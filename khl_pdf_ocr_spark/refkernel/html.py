@@ -1,0 +1,169 @@
+"""HTML main-content extraction (boilerplate stripping) — pure stdlib.
+
+No reference code exists for this path (the reference handles only PDFs);
+the north rule (BASELINE.json) mandates "HTML boilerplate stripping via
+DOM-tree heuristics (text-density + link-ratio scoring)".  Design follows
+the published shallow-text-feature approach of Boilerpipe (Kohlschütter
+et al., WSDM 2010) and jusText's paragraph link-density heuristic
+(Pomikálek, 2011):
+
+1. parse into a flat sequence of text *blocks* (one per run of text
+   under the nearest block-level element; script/style/nav subtrees are
+   hard-dropped);
+2. score each block:  ``link_ratio`` = anchored chars / chars,
+   ``density`` = words per 80-char wrapped line;
+3. keep content blocks (long enough, low link ratio, dense enough);
+   headings are kept whenever their link ratio is low.
+
+The function is deterministic and shared verbatim between the golden
+generator and the Spark UDF, extending the byte-identity gate to HTML
+rows.  All thresholds are module constants (part of the spec).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+__all__ = ["strip_boilerplate", "extract_html_text"]
+
+RE_WS = re.compile(r"\s+")
+
+# block-level elements: a new text block starts when one opens or closes
+BLOCK_TAGS = frozenset("""
+    address article aside blockquote body caption dd div dl dt fieldset
+    figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr li main nav
+    ol p pre section table tbody td tfoot th thead tr ul
+""".split())
+
+# subtrees dropped wholesale (never produce text)
+DROP_TAGS = frozenset("""
+    script style noscript template svg head iframe object embed select
+    option button datalist
+""".split())
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "title"})
+
+# boilerplate containers: text directly under these is penalized
+NAV_TAGS = frozenset({"nav", "footer", "aside", "header", "form"})
+
+MIN_CHARS = 25          # blocks shorter than this are boilerplate unless heading
+MAX_LINK_RATIO = 1 / 3  # jusText-style link-density cut
+MIN_DENSITY = 6.0       # words per 80-char wrapped line
+WRAP_COLS = 80
+
+
+class _Block:
+    __slots__ = ("tag", "chars", "link_chars", "parts", "in_nav")
+
+    def __init__(self, tag: str, in_nav: bool):
+        self.tag = tag
+        self.chars = 0
+        self.link_chars = 0
+        self.parts: list[str] = []
+        self.in_nav = in_nav
+
+    def text(self) -> str:
+        return RE_WS.sub(" ", "".join(self.parts)).strip()
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur: _Block | None = None
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        self._nav_depth = 0
+        self._tag_stack: list[str] = []
+
+    # -- helpers ---------------------------------------------------------
+    def _open_block(self, tag: str) -> None:
+        self._cur = _Block(tag, self._nav_depth > 0)
+        self.blocks.append(self._cur)
+
+    def _close_block(self) -> None:
+        self._cur = None
+
+    # -- parser events ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in NAV_TAGS:
+            self._nav_depth += 1
+        if tag == "br":
+            return
+        if tag in BLOCK_TAGS or tag in HEADING_TAGS:
+            self._tag_stack.append(tag)
+            self._open_block(tag)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag in NAV_TAGS:
+            self._nav_depth = max(0, self._nav_depth - 1)
+        if tag in BLOCK_TAGS or tag in HEADING_TAGS:
+            if self._tag_stack and self._tag_stack[-1] == tag:
+                self._tag_stack.pop()
+            self._close_block()
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        if self._cur is None:
+            self._open_block("p")
+        n = len(data.strip())
+        self._cur.parts.append(data)
+        self._cur.chars += n
+        if self._anchor_depth:
+            self._cur.link_chars += n
+
+
+def _score_keep(block: _Block) -> bool:
+    text = block.text()
+    if not text:
+        return False
+    chars = len(text)
+    link_ratio = block.link_chars / max(1, block.chars)
+    if block.tag in HEADING_TAGS:
+        return link_ratio <= MAX_LINK_RATIO and chars >= 3
+    if block.in_nav:
+        return False
+    if chars < MIN_CHARS or link_ratio > MAX_LINK_RATIO:
+        return False
+    words = len(text.split())
+    lines = max(1.0, math.ceil(chars / WRAP_COLS))
+    return (words / lines) >= MIN_DENSITY
+
+
+def strip_boilerplate(html_text: str) -> str:
+    """Return main-content text, one kept block per line (\\n-joined)."""
+    parser = _BlockParser()
+    try:
+        parser.feed(html_text)
+        parser.close()
+    except Exception:
+        # html.parser is forgiving; anything fatal → best-effort tag strip
+        flat = RE_WS.sub(" ", re.sub(r"<[^>]*>", " ", unescape(html_text))).strip()
+        return flat
+    kept = [b.text() for b in parser.blocks if _score_keep(b)]
+    return "\n".join(kept)
+
+
+def extract_html_text(payload: bytes) -> str:
+    """Decode bytes (UTF-8 with replacement — Common-Crawl reality) and strip."""
+    return strip_boilerplate(payload.decode("utf-8", errors="replace"))

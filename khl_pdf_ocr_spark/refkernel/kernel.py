@@ -1,0 +1,160 @@
+"""Per-document dispatch kernel: bytes → structured extraction result.
+
+One call = one document row.  Dispatches on magic bytes (Common-Crawl
+payloads mix PDFs and web pages in one binary column), runs the
+appropriate extractor, and ALWAYS returns the same result shape — errors
+become data (``ok=False`` + error class), never exceptions, mirroring
+the reference's HTTP error envelopes (``app.py:387-419``) so that a
+corrupt document can never fail a Spark task.
+
+Result dict (fixed key order — ``result_json`` is part of the golden
+fixtures, rendered with ``ensure_ascii=False`` like app.py:417):
+
+    ok, engine, match{season,uid,date,time_msk,teams{home,away}},
+    referees{main,linesmen}, goalies{home,away}[{name,flag}],
+    extracted_text, error, detail
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from khl_pdf_ocr_spark.refkernel import html as htmlmod
+from khl_pdf_ocr_spark.refkernel import minipdf, pdfops
+
+__all__ = ["extract_document", "result_to_json", "parse_season_uid", "pdf_words"]
+
+# url pattern of the reference's source documents (app.py:55-58)
+RE_GAME_URL = re.compile(r"/([^/]+)/([^/]+)/game-\2-start-ru\.pdf$")
+
+_EMPTY_MATCH = {"season": "", "uid": "", "date": "", "time_msk": "",
+                "teams": {"home": "", "away": ""}}
+
+try:  # real-world backend for wild PDFs, if present (not in this sandbox)
+    import fitz  # type: ignore  # PyMuPDF
+
+    HAS_FITZ = True
+except Exception:  # pragma: no cover - environment without PyMuPDF
+    fitz = None  # type: ignore
+    HAS_FITZ = False
+
+
+def parse_season_uid(url: str) -> tuple[str, str]:
+    m = RE_GAME_URL.search(url or "")
+    return (m.group(1), m.group(2)) if m else ("", "")
+
+
+def pdf_words(payload: bytes):
+    """PDF bytes → MuPDF-shaped word tuples, page 0 only (app.py:67,86).
+
+    minipdf first (deterministic, dependency-free); PyMuPDF as the
+    fallback backend for wild PDFs when installed.
+    """
+    try:
+        return minipdf.extract_words(payload)
+    except minipdf.MiniPdfError:
+        if HAS_FITZ:
+            doc = fitz.open(stream=payload, filetype="pdf")
+            try:
+                return list(doc.load_page(0).get_text("words"))
+            finally:
+                doc.close()
+        raise
+
+
+def _empty_result(engine: str) -> dict:
+    return {
+        "ok": True,
+        "engine": engine,
+        "match": json.loads(json.dumps(_EMPTY_MATCH)),  # deep copy
+        "referees": {"main": [], "linesmen": []},
+        "goalies": {"home": [], "away": []},
+        "extracted_text": "",
+        "error": "",
+        "detail": "",
+    }
+
+
+def _error_result(error: str, detail: str) -> dict:
+    res = _empty_result("error")
+    res["ok"] = False
+    res["error"] = error
+    res["detail"] = detail
+    return res
+
+
+def extract_document(url: str, payload: bytes, mode: str = "all") -> dict:
+    """The flagship per-document operator.
+
+    mode ∈ {all, words, refs, gk, goalies} mirrors the reference's query
+    API (app.py:381-412); every mode also emits ``extracted_text`` (the
+    byte-identity gate field applies to every document type).
+    """
+    if payload is None:
+        return _error_result("download_error", "null payload")
+    payload = bytes(payload)
+
+    if payload[:5] == b"%PDF-":
+        try:
+            words8 = pdf_words(payload)
+        except Exception as e:  # corrupt PDF → envelope (app.py:399-401)
+            return _error_result("pdf_open_error", str(e))
+        return _extract_pdf(url, words8, mode)
+
+    head = payload[:4096].lstrip().lower()
+    if head.startswith((b"<!doctype", b"<html")) or b"<html" in head or b"<body" in head:
+        return _extract_html(payload)
+
+    # plain text (WET-style row): normalize lines, no structure
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return _error_result("unsupported_format", "binary payload with unknown magic")
+    res = _empty_result("text")
+    lines = [pdfops.RE_WS.sub(" ", ln).strip() for ln in text.splitlines()]
+    res["extracted_text"] = "\n".join(ln for ln in lines if ln)
+    return res
+
+
+def _extract_pdf(url: str, words8, mode: str) -> dict:
+    words = pdfops.sort_project_words(words8)
+    season, uid = parse_season_uid(url)
+    res = _empty_result("all")
+
+    if mode == "words":
+        sub = pdfops.extract_match_from_words(words)
+        res["engine"] = sub["engine"]
+        res["match"].update(sub["match"])
+        res["match"]["season"], res["match"]["uid"] = season, uid
+    elif mode == "refs":
+        sub = pdfops.extract_refs_from_words(words)
+        res["engine"] = sub["engine"]
+        res["referees"] = sub["referees"]
+    elif mode in ("gk", "goalies"):
+        sub = pdfops.extract_goalies_from_words(words)
+        res["engine"] = sub["engine"]
+        res["goalies"] = sub["goalies"]
+    else:  # all (default, app.py:411-412)
+        sub = pdfops.extract_all_from_words(words, season, uid)
+        res["engine"] = sub["engine"]
+        res["match"] = sub["match"]
+        res["referees"] = sub["referees"]
+        res["goalies"] = sub["goalies"]
+
+    res["extracted_text"] = pdfops.extracted_text(words)
+    return res
+
+
+def _extract_html(payload: bytes) -> dict:
+    res = _empty_result("html")
+    res["extracted_text"] = htmlmod.extract_html_text(payload)
+    return res
+
+
+def result_to_json(res: dict) -> str:
+    """Golden-fixture JSON: full result minus the (huge) text payload,
+    raw UTF-8 like the reference response (``ensure_ascii=False``,
+    app.py:417)."""
+    slim = {k: v for k, v in res.items() if k != "extracted_text"}
+    return json.dumps(slim, ensure_ascii=False)

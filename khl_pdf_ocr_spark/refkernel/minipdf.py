@@ -1,0 +1,303 @@
+"""minipdf — a minimal, dependency-free PDF writer and word extractor.
+
+The execution environment has no PyMuPDF/poppler, so the pipeline needs
+its own deterministic PDF codec for fixtures and extraction.  The writer
+emits structurally valid PDF 1.4 (header, numbered objects, page tree,
+content streams, xref, trailer); the reader parses content streams and
+reconstructs the per-word tuples the layout kernel consumes.
+
+Reader output matches the shape of PyMuPDF's ``page.get_text("words")``
+(see reference ``/root/reference/app.py:92``): 8-tuples
+``(x0, y0, x1, y1, text, block_no, line_no, word_no)`` with a TOP-DOWN
+y axis (PDF device space is bottom-up; we flip against the MediaBox
+height, which is what MuPDF does too).
+
+Supported content-stream subset (what the writer emits, plus a little
+slack for robustness): ``BT/ET``, ``Tf``, ``Td``, ``TD``, ``Tm``, ``T*``,
+``Tj`` with literal ``( )`` and hex ``< >`` strings.  Cyrillic text is
+carried as UTF-8 bytes inside hex strings (unambiguous, no escaping).
+Streams may be ``/FlateDecode``-compressed (stdlib zlib).
+
+If PyMuPDF happens to be installed (real-world deployment), the kernel
+prefers it for arbitrary wild PDFs — see ``kernel.extract_pdf_words``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["MiniPdfError", "PdfWriter", "build_game_sheet_pdf", "extract_words"]
+
+DEFAULT_PAGE_W = 595.0
+DEFAULT_PAGE_H = 842.0
+
+# Approximate glyph metrics for the bbox model.  Both writer and reader
+# use the same constants, so round-trips are exact by construction.
+ASCENT = 0.8  # fraction of font size above the baseline
+CHAR_W = 0.5  # average advance width as a fraction of font size
+
+
+class MiniPdfError(ValueError):
+    """Raised when bytes cannot be parsed as a (mini)PDF document."""
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+class PdfWriter:
+    """Builds a single-page PDF from absolutely-positioned words.
+
+    ``add_word(x, y_top, text, size)`` places a word so that the reader
+    recovers exactly ``(x0=x, y0=y_top)`` for it.  Coordinates use the
+    top-down convention of the layout kernel.
+    """
+
+    def __init__(self, page_w: float = DEFAULT_PAGE_W, page_h: float = DEFAULT_PAGE_H,
+                 compress: bool = False):
+        self.page_w = float(page_w)
+        self.page_h = float(page_h)
+        self.compress = compress
+        self._ops: list[bytes] = []
+        self._pad = 0
+
+    def add_word(self, x: float, y_top: float, text: str, size: float = 10.0) -> None:
+        # reader computes y_top = page_h - baseline - ASCENT*size  =>  invert here
+        baseline = self.page_h - float(y_top) - ASCENT * float(size)
+        hex_text = text.encode("utf-8").hex().upper()
+        self._ops.append(
+            b"BT /F1 %s Tf %s %s Td <%s> Tj ET"
+            % (_num(size), _num(x), _num(baseline), hex_text.encode("ascii"))
+        )
+
+    def add_padding(self, n_bytes: int) -> None:
+        """Inflate the file with an inert stream (size-skew fixtures)."""
+        self._pad = max(self._pad, int(n_bytes))
+
+    def tobytes(self) -> bytes:
+        content = b"\n".join(self._ops) + b"\n"
+        filt = b""
+        if self.compress:
+            content = zlib.compress(content, 6)
+            filt = b" /Filter /FlateDecode"
+
+        objs: list[bytes] = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+             % (_num(self.page_w), _num(self.page_h))),
+            (b"<< /Length %d%s >>\nstream\n" % (len(content), filt)) + content + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        if self._pad:
+            # incompressible deterministic filler so parquet/snappy cannot
+            # shrink the oversize fixtures back down
+            filler = zlib.compress(bytes((i * 2654435761) % 256 for i in range(self._pad)), 0)
+            objs.append((b"<< /Length %d >>\nstream\n" % len(filler)) + filler + b"\nendstream")
+
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i
+            out += body
+            out += b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % (len(objs) + 1, xref_at))
+        return bytes(out)
+
+
+def _num(v: float) -> bytes:
+    s = ("%.3f" % float(v)).rstrip("0").rstrip(".")
+    return (s or "0").encode("ascii")
+
+
+def build_game_sheet_pdf(words: list[tuple[float, float, str, float]], *,
+                         page_w: float = DEFAULT_PAGE_W, page_h: float = DEFAULT_PAGE_H,
+                         compress: bool = False, pad_bytes: int = 0) -> bytes:
+    """Convenience wrapper: words are ``(x, y_top, text, font_size)``."""
+    w = PdfWriter(page_w, page_h, compress=compress)
+    for x, y, t, size in words:
+        w.add_word(x, y, t, size)
+    if pad_bytes:
+        w.add_padding(pad_bytes)
+    return w.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+
+# content-stream tokens we understand
+_TOK_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"   # literal string
+    rb"|<[0-9A-Fa-f\s]*>"      # hex string
+    rb"|/[^\s/<>()\[\]]+"      # name
+    rb"|[-+]?\d*\.?\d+"        # number
+    rb"|\[|\]"
+    rb"|[A-Za-z'*\"]+"         # operator
+)
+
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _decode_literal(tok: bytes) -> bytes:
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i:i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, len(body)) and body[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(body[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _decode_hex(tok: bytes) -> bytes:
+    h = re.sub(rb"\s+", b"", tok[1:-1])
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def extract_words(pdf_bytes: bytes):
+    """Parse a PDF and return MuPDF-shaped word tuples (top-down y).
+
+    Raises :class:`MiniPdfError` on anything that is not a parseable
+    PDF — mirrored by the pipeline as a per-row ``pdf_open_error``
+    envelope (reference behavior: ``app.py:399-401``).
+    """
+    if not isinstance(pdf_bytes, (bytes, bytearray)) or not bytes(pdf_bytes).startswith(b"%PDF-"):
+        raise MiniPdfError("not a PDF: missing %PDF- header")
+    data = bytes(pdf_bytes)
+
+    m = _MEDIABOX_RE.search(data)
+    page_h = float(m.group(4)) if m else DEFAULT_PAGE_H
+
+    streams = []
+    for sm in _STREAM_RE.finditer(data):
+        sdict, body = sm.group(1), sm.group(2)
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        if b"/FlateDecode" in sdict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue  # non-content stream (e.g. padding); skip
+        if b"BT" in body:
+            streams.append(body)
+    if not streams:
+        raise MiniPdfError("no text content stream found")
+
+    words = []
+    block_no = -1
+    for stream in streams:
+        size = 10.0
+        x = y = 0.0
+        line_start_x = 0.0
+        leading = 0.0
+        stack: list[bytes] = []
+        in_text = False
+        line_no = 0
+        word_no = 0
+        for tok in _TOK_RE.finditer(stream):
+            t = tok.group(0)
+            c = t[:1]
+            if c in b"(<" or c in b"+-.0123456789" or c == b"/":
+                stack.append(t)
+                continue
+            if t == b"[" or t == b"]":
+                continue
+            # operator
+            if t == b"BT":
+                in_text = True
+                block_no += 1
+                line_no = 0
+                word_no = 0
+                x = y = 0.0
+                line_start_x = 0.0
+                stack.clear()
+            elif t == b"ET":
+                in_text = False
+                stack.clear()
+            elif t == b"Tf":
+                if stack:
+                    try:
+                        size = float(stack[-1])
+                    except ValueError:
+                        pass
+                stack.clear()
+            elif t == b"Td" or t == b"TD":
+                if len(stack) >= 2:
+                    try:
+                        dx, dy = float(stack[-2]), float(stack[-1])
+                        x += dx
+                        y += dy
+                        line_start_x = x
+                        if t == b"TD":
+                            leading = -dy
+                    except ValueError:
+                        pass
+                stack.clear()
+            elif t == b"Tm":
+                if len(stack) >= 6:
+                    try:
+                        x = float(stack[-2])
+                        y = float(stack[-1])
+                        line_start_x = x
+                    except ValueError:
+                        pass
+                stack.clear()
+            elif t == b"T*":
+                y -= leading
+                x = line_start_x
+                line_no += 1
+                stack.clear()
+            elif t == b"TL":
+                if stack:
+                    try:
+                        leading = float(stack[-1])
+                    except ValueError:
+                        pass
+                stack.clear()
+            elif t == b"Tj":
+                raw = stack[-1] if stack else b"()"
+                text_bytes = _decode_hex(raw) if raw[:1] == b"<" else _decode_literal(raw)
+                text = text_bytes.decode("utf-8", errors="replace").strip()
+                if in_text and text:
+                    y_top = page_h - y - ASCENT * size
+                    x1 = x + CHAR_W * size * len(text)
+                    words.append((x, y_top, x1, y_top + size, text,
+                                  block_no, line_no, word_no))
+                    word_no += 1
+                stack.clear()
+            else:
+                stack.clear()
+    return words
