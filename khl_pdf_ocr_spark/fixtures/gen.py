@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from khl_pdf_ocr_spark.refkernel import minipdf
 from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
 
-GEN_VERSION = 3  # bump to invalidate cached fixture dirs
+GEN_VERSION = 4  # bump to invalidate cached fixture dirs
 
 REFERENCE_DIR = os.environ.get("KHL_REFERENCE_DIR", "/root/reference")
 

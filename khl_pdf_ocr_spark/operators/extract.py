@@ -1,0 +1,82 @@
+"""The flagship operator: Arrow-batched document extraction.
+
+``extract_documents(df)`` maps the refkernel over the binary payload
+column with ``mapInArrow`` — one Python process per task, one kernel
+call per document, amortized per RecordBatch (iterator form: imports,
+regex compilation and schema objects are reused across batches, never
+per row; per the "no per-row Python dispatch" mandate in
+BASELINE.json:15).
+
+Scale notes (SURVEY.md §3.5, §4.3):
+- the caller should ``select("url", "html")`` first (done here) so
+  Catalyst prunes the scan to exactly the two needed columns — verify
+  with ``df.explain``: ``ReadSchema: struct<url:string,html:binary>``;
+- Arrow batch size is capped session-wide (session.py) because payloads
+  are MB-scale;
+- errors become rows (``ok=false`` + error class), never task failures
+  (reference behavior: error envelopes, app.py:387-419).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from khl_pdf_ocr_spark.schemas import EXTRACT_PA, EXTRACT_SCHEMA
+
+__all__ = ["extract_documents", "extract_batches", "make_extract_fn"]
+
+
+def _extract_rows(urls, payloads, mode: str) -> list[dict[str, Any]]:
+    # import inside the task (executor-side) — refkernel is pure stdlib
+    from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
+
+    rows = []
+    for url, payload in zip(urls, payloads):
+        res = extract_document(url, payload, mode=mode)
+        text = res["extracted_text"]
+        rows.append({
+            "url": url,
+            "ok": res["ok"],
+            "engine": res["engine"],
+            "error": res["error"],
+            "detail": res["detail"],
+            "extracted_text": text,
+            "result_json": result_to_json(res),
+            "match": res["match"],
+            "referees": res["referees"],
+            "goalies": res["goalies"],
+            "n_bytes": len(payload) if payload is not None else 0,
+            "n_lines": (text.count("\n") + 1) if text else 0,
+        })
+    return rows
+
+
+def extract_batches(batches: Iterator[pa.RecordBatch], mode: str = "all"
+                    ) -> Iterator[pa.RecordBatch]:
+    """Iterator[RecordBatch] → Iterator[RecordBatch] extraction kernel."""
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        rows = _extract_rows(urls, payloads, mode)
+        yield pa.RecordBatch.from_pylist(rows, schema=EXTRACT_PA)
+
+
+def make_extract_fn(mode: str = "all"):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return extract_batches(batches, mode=mode)
+
+    return fn
+
+
+def extract_documents(df: DataFrame, mode: str = "all") -> DataFrame:
+    """documents(url, …, html binary, …) → extraction results.
+
+    Column-prunes to (url, html) before the Arrow boundary so the
+    parquet/Iceberg scan reads exactly two columns.
+    """
+    return df.select("url", "html").mapInArrow(
+        make_extract_fn(mode), EXTRACT_SCHEMA)

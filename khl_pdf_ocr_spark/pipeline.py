@@ -1,0 +1,154 @@
+"""End-to-end extraction job: scan → salt-shuffle → extract → write,
+with per-partition lineage metrics and checkpoint-manifest resume.
+
+Lifecycle (SURVEY.md §3.5): read documents (Catalyst prunes the scan to
+``url, html``) → one explicit repartition on (size_bucket, salt) to
+defeat payload-size skew → Arrow-batched refkernel map → write results +
+per-partition metrics.  Errors are rows, not task failures.
+
+Resume model (SURVEY.md §4.3.4): the input is split into ``n_buckets``
+deterministic url-hash buckets; each bucket is processed and written as
+its own unit, then its manifest entry is committed (write-tmp + atomic
+rename).  A rerun skips every bucket whose manifest entry exists —
+idempotent, exactly-once per bucket.  On an Iceberg deployment the
+bucket is a table partition and the manifest commit is Iceberg's
+transactional ``overwritePartitions``; the local parquet layout mirrors
+that contract 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.operators.extract import extract_documents
+from khl_pdf_ocr_spark.operators.partitioning import repartition_for_extraction
+from khl_pdf_ocr_spark.sources.readers import read_documents
+
+__all__ = ["run_extraction", "run_resumable", "partition_metrics"]
+
+
+def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rollup (docs in/ok/failed, bytes).
+
+    ``spark_partition_id()`` is evaluated in the extraction stage itself
+    (narrow dependency), so rows attribute to the partition that actually
+    computed them.
+    """
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                 F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
+                 F.sum("n_bytes").alias("n_bytes"))
+            .withColumn("run_id", F.lit(run_id))
+            .select("run_id", "partition_id", "n_docs", "n_ok", "n_failed", "n_bytes"))
+
+
+def run_extraction(spark: SparkSession, input_path: str, output_path: str | None = None,
+                   *, mode: str = "all", num_partitions: int | None = None,
+                   salt: bool = True, input_format: str = "parquet",
+                   run_id: str | None = None, write_metrics: bool = True):
+    """Single-pass job. Returns (extracted_df, stats dict).
+
+    When ``output_path`` is None the result is returned un-materialized
+    (callers compose further operators on it).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    docs = read_documents(spark, input_path, input_format)
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+    if salt:
+        docs = repartition_for_extraction(docs, n_part)
+    out = extract_documents(docs, mode=mode)
+
+    stats: dict = {"run_id": run_id}
+    if output_path:
+        t0 = time.time()
+        out.write.mode("overwrite").parquet(os.path.join(output_path, "data"))
+        elapsed = time.time() - t0
+        metrics = partition_metrics(
+            spark.read.parquet(os.path.join(output_path, "data")), run_id)
+        if write_metrics:
+            metrics.write.mode("overwrite").parquet(os.path.join(output_path, "_metrics"))
+        agg = metrics.agg(F.sum("n_docs"), F.sum("n_ok"), F.sum("n_bytes")).first()
+        stats.update(n_docs=agg[0] or 0, n_ok=agg[1] or 0, n_bytes=agg[2] or 0,
+                     elapsed_s=round(elapsed, 3),
+                     docs_per_sec=round((agg[0] or 0) / elapsed, 2) if elapsed else None)
+    return out, stats
+
+
+# ---------------------------------------------------------------------------
+# Resumable, bucketed variant
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "_manifest")
+
+
+def _manifest_path(output_dir: str, bucket: int) -> str:
+    return os.path.join(_manifest_dir(output_dir), f"bucket_{bucket:05d}.json")
+
+
+def completed_buckets(output_dir: str) -> set[int]:
+    d = _manifest_dir(output_dir)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for fn in os.listdir(d):
+        if fn.startswith("bucket_") and fn.endswith(".json"):
+            out.add(int(fn[len("bucket_"):-len(".json")]))
+    return out
+
+
+def run_resumable(spark: SparkSession, input_path: str, output_dir: str, *,
+                  n_buckets: int = 16, mode: str = "all",
+                  input_format: str = "parquet", run_id: str | None = None,
+                  fail_after: int | None = None) -> dict:
+    """Bucketed run with checkpointed manifests; rerun = resume.
+
+    ``fail_after`` injects a crash after N freshly-processed buckets
+    (test hook for the resume contract).
+
+    Scale note: locally every bucket filter re-scans the input; on the
+    Iceberg deployment the table is partitioned by the same bucket
+    expression, so each bucket job prunes to its own files and the scan
+    amplification disappears.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    os.makedirs(_manifest_dir(output_dir), exist_ok=True)
+    docs = read_documents(spark, input_path, input_format)
+    docs = docs.withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+    docs.persist()
+    try:
+        done = completed_buckets(output_dir)
+        processed = skipped = 0
+        t0 = time.time()
+        for b in range(n_buckets):
+            if b in done:
+                skipped += 1
+                continue
+            part = docs.filter(F.col("_bucket") == b).drop("_bucket")
+            out = extract_documents(
+                repartition_for_extraction(part, max(4, spark.sparkContext.defaultParallelism)))
+            data_path = os.path.join(output_dir, "data", f"bucket={b}")
+            out.write.mode("overwrite").parquet(data_path)
+            n = spark.read.parquet(data_path).count()
+            tmp = _manifest_path(output_dir, b) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"run_id": run_id, "bucket": b, "n_docs": n,
+                           "status": "complete"}, f)
+            os.replace(tmp, _manifest_path(output_dir, b))  # atomic commit
+            processed += 1
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} buckets")
+        return {"run_id": run_id, "processed": processed, "skipped": skipped,
+                "elapsed_s": round(time.time() - t0, 3)}
+    finally:
+        docs.unpersist()

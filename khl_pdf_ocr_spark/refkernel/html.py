@@ -40,7 +40,7 @@ BLOCK_TAGS = frozenset("""
 
 # subtrees dropped wholesale (never produce text)
 DROP_TAGS = frozenset("""
-    script style noscript template svg head iframe object embed select
+    script style noscript template svg iframe object embed select
     option button datalist
 """.split())
 

@@ -1,0 +1,66 @@
+"""HTML boilerplate stripper: content kept, chrome dropped."""
+
+from khl_pdf_ocr_spark.refkernel.html import extract_html_text, strip_boilerplate
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>Заголовок статьи</title>
+<style>.x { color: red }</style>
+<script>var t = 1; function f() { return "dropped"; }</script>
+</head><body>
+<header><nav><a href="/a">Главная</a> <a href="/b">Новости</a> <a href="/c">Матчи</a></nav></header>
+<div id="main">
+<h1>Большой матч сезона</h1>
+<p>Это основное содержание страницы с достаточно длинным текстом, чтобы
+пройти порог плотности и быть сохранённым экстрактором без ссылок.</p>
+<p>Второй абзац основного текста тоже достаточно длинный и плотный, он
+должен сохраниться в выводе после фильтрации шаблонного мусора.</p>
+</div>
+<aside><ul>
+<li><a href="/t/1">ссылка один</a></li>
+<li><a href="/t/2">ссылка два</a></li>
+<li><a href="/t/3">ссылка три</a></li>
+</ul></aside>
+<footer><p>© 2025 — <a href="/about">о сайте</a> <a href="/tos">условия</a></p></footer>
+</body></html>"""
+
+
+def test_keeps_main_content_and_heading():
+    out = strip_boilerplate(PAGE)
+    assert "Большой матч сезона" in out
+    assert "основное содержание страницы" in out
+    assert "Второй абзац" in out
+
+
+def test_drops_nav_sidebar_footer_script_style():
+    out = strip_boilerplate(PAGE)
+    assert "Главная" not in out
+    assert "ссылка один" not in out
+    assert "© 2025" not in out
+    assert "dropped" not in out
+    assert "color: red" not in out
+
+
+def test_title_kept_when_low_link():
+    assert "Заголовок статьи" in strip_boilerplate(PAGE)
+
+
+def test_blocks_joined_with_newlines():
+    out = strip_boilerplate(PAGE)
+    lines = out.split("\n")
+    assert len(lines) >= 3
+    assert all(ln == ln.strip() and "  " not in ln for ln in lines)
+
+
+def test_deterministic():
+    assert strip_boilerplate(PAGE) == strip_boilerplate(PAGE)
+
+
+def test_bytes_entry_decodes_utf8_with_replacement():
+    payload = PAGE.encode("utf-8") + b"\xff\xfe"
+    out = extract_html_text(payload)
+    assert "Большой матч сезона" in out
+
+
+def test_short_linky_block_dropped():
+    html = '<div><a href="/x">много ссылок тут совсем</a> и чуть текста</div>'
+    assert strip_boilerplate(html) == ""

@@ -1,0 +1,69 @@
+"""minipdf codec: round-trips, compression, corruption."""
+
+import pytest
+
+from khl_pdf_ocr_spark.refkernel import minipdf
+
+WORDS = [
+    (40.0, 50.0, "Официальный", 10.0),
+    (110.0, 50.0, "протокол", 10.0),
+    (40.0, 70.5, "АВАНГАРД", 14.0),
+    (320.0, 70.5, "МЕТАЛЛУРГ", 14.0),
+    (40.0, 100.0, "15.09.2025", 10.0),
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip(compress):
+    pdf = minipdf.build_game_sheet_pdf(WORDS, compress=compress)
+    assert pdf.startswith(b"%PDF-")
+    out = minipdf.extract_words(pdf)
+    assert len(out) == len(WORDS)
+    for (x, y, t, _s), w in zip(WORDS, out):
+        x0, y0, x1, y1, text, *_ = w
+        assert abs(x0 - x) < 1e-6
+        assert abs(y0 - y) < 1e-6
+        assert text == t
+        assert x1 > x0 and y1 > y0
+
+
+def test_padding_inflates_but_parses():
+    small = minipdf.build_game_sheet_pdf(WORDS)
+    big = minipdf.build_game_sheet_pdf(WORDS, pad_bytes=100_000)
+    assert len(big) > len(small) + 90_000
+    assert [w[4] for w in minipdf.extract_words(big)] == [t for _, _, t, _ in WORDS]
+
+
+def test_corrupt_inputs():
+    with pytest.raises(minipdf.MiniPdfError):
+        minipdf.extract_words(b"not a pdf at all")
+    with pytest.raises(minipdf.MiniPdfError):
+        minipdf.extract_words(b"%PDF-1.4\ngarbage without streams")
+    with pytest.raises(minipdf.MiniPdfError):
+        minipdf.extract_words(b"")
+
+
+def test_literal_string_escapes():
+    # hand-built content stream exercising ( ) literal strings + escapes
+    content = b"BT /F1 10 Tf 40 800 Td (hello \\(x\\) \\\\ world) Tj ET\n"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Page /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content +
+           b"endstream\nendobj\ntrailer\n<< >>\n%%EOF\n")
+    out = minipdf.extract_words(pdf)
+    assert len(out) == 1
+    assert out[0][4] == "hello (x) \\ world"
+
+
+def test_tm_and_tstar_operators():
+    content = (b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (first) Tj "
+               b"14 TL T* (second) Tj ET\n")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content +
+           b"endstream\nendobj\n%%EOF\n")
+    out = minipdf.extract_words(pdf)
+    assert [w[4] for w in out] == ["first", "second"]
+    assert out[1][1] > out[0][1]  # second line is lower on the page (top-down y)
