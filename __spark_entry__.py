@@ -1,38 +1,577 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: full extraction pipeline over the
+                       synthetic Common-Crawl-style fixture corpus.
+``queries()``        — one entry per operator from SURVEY.md §2 (+ the
+                       training-data-pipeline operators): callables
+                       ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query (omitted for
+                       the genuinely non-SQL-expressible kernel/LSH ops,
+                       which get rows-only checks).
+
+Column names are aliased identically on both sides; float outputs are
+rounded identically; timestamps are rendered as strings so value hashes
+compare across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from khl_pdf_ocr_spark.functions import text as X
+from khl_pdf_ocr_spark.functions.rounding import round_half_up as _r
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+FIXTURE_DIR = os.path.join(REPO_DIR, ".fixtures", "entry")
+N_FIXTURE_DOCS = 400
+SEED = 42
+
+
+def _fixture_docs() -> str:
+    from khl_pdf_ocr_spark.fixtures.gen import write_tables
+
+    docs, _ = write_tables(FIXTURE_DIR, N_FIXTURE_DOCS, SEED)
+    return docs
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction pipeline (scan → salt shuffle → Arrow kernel) over the
+    deterministic fixture corpus; returns the structured results."""
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+    from khl_pdf_ocr_spark.operators.partitioning import repartition_for_extraction
+
+    docs = spark.read.parquet(_fixture_docs())
+    out = extract_documents(repartition_for_extraction(docs, 32))
+    return out.select("url", "ok", "engine", "error", "extracted_text",
+                      "result_json", "n_bytes", "n_lines")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- extraction pipeline (rows-only checks; byte-identity is gated in
+    #     tests/test_spark_extract.py against refkernel goldens) ---------
+
+    def extract_all_fixtures(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.extract import extract_documents
+        from khl_pdf_ocr_spark.operators.partitioning import repartition_for_extraction
+
+        docs = spark.read.parquet(_fixture_docs())
+        out = extract_documents(repartition_for_extraction(docs, 16))
+        return out.select("url", "ok", "engine", "error", "extracted_text",
+                          "result_json", "n_bytes", "n_lines")
+
+    q["extract_all_fixtures"] = extract_all_fixtures
+
+    def html_boilerplate_strip(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.extract import extract_documents
+
+        docs = spark.read.parquet(_fixture_docs())
+        out = extract_documents(docs)
+        return (out.filter(F.col("engine") == "html")
+                .select("url", "extracted_text", "n_lines"))
+
+    q["html_boilerplate_strip"] = html_boilerplate_strip
+
+    def masters_validate_referees(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.extract import extract_documents
+        from khl_pdf_ocr_spark.sources.masters import (load_masters,
+                                                       validate_referee_names)
+
+        docs = spark.read.parquet(_fixture_docs())
+        out = extract_documents(docs).filter(F.col("engine") == "all")
+        _, referees = load_masters(spark)
+        return validate_referee_names(out, referees)
+
+    q["masters_validate_referees"] = masters_validate_referees
+
+    # --- TPC-H-ish relational core (oracle-checked) ---------------------
+
+    def q1_pricing_summary(spark, sf_dir):
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1999-06-30")))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(_r(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                     _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                             ).alias("sum_disc_price"),
+                     _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+                     _r(F.avg("l_discount"), 4).alias("avg_disc"),
+                     F.count(F.lit(1)).alias("count_order")))
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_orders(spark, sf_dir):
+        cust = spark.read.parquet(_t(sf_dir, "customer"))
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                      orders.o_custkey == F.col("c_custkey"))
+                .groupBy("o_orderkey")
+                .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                             ).alias("revenue"))
+                .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+                .limit(10))
+
+    q["q3_top_orders"] = q3_top_orders
+
+    def q5_nation_revenue(spark, sf_dir):
+        nation = spark.read.parquet(_t(sf_dir, "nation"))
+        region = spark.read.parquet(_t(sf_dir, "region"))
+        supp = spark.read.parquet(_t(sf_dir, "supplier"))
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.join(supp, li.l_suppkey == supp.s_suppkey)
+                .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+                .groupBy(F.col("r_name").alias("region_name"),
+                         F.col("n_name").alias("nation_name"))
+                .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                             ).alias("revenue"),
+                     F.count(F.lit(1)).alias("n_items")))
+
+    q["q5_nation_revenue"] = q5_nation_revenue
+
+    def scan_filter_project(spark, sf_dir):
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+                          & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-07-01")))
+                          & (F.col("l_discount") < 0.02))
+                .select("l_orderkey", "l_linenumber",
+                        _r(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+                                ).alias("net_price")))
+
+    q["scan_filter_project"] = scan_filter_project
+
+    def top_spenders_window(spark, sf_dir):
+        cust = spark.read.parquet(_t(sf_dir, "customer"))
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        return (cust.withColumn("rank_in_segment",
+                                F.row_number().over(w).cast("long"))
+                .filter(F.col("rank_in_segment") <= 3)
+                .select("c_mktsegment", "rank_in_segment", "c_custkey",
+                        _r(F.col("c_acctbal"), 2).alias("acctbal")))
+
+    q["top_spenders_window"] = top_spenders_window
+
+    # --- events: sessionization, windows, regex -------------------------
+
+    def events_sessionize(spark, sf_dir):
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        sess = (ev.withColumn("new_sess", new_sess)
+                .withColumn("session_id", F.sum("new_sess").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (sess.groupBy("user_id")
+                .agg(F.max("session_id").alias("n_sessions"),
+                     F.count(F.lit(1)).alias("n_events"))
+                .select("user_id", "n_sessions", "n_events"))
+
+    q["events_sessionize"] = events_sessionize
+
+    def events_hourly_rollup(spark, sf_dir):
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                         "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                           "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     _r(F.sum("value"), 2).alias("sum_value")))
+
+    q["events_hourly_rollup"] = events_hourly_rollup
+
+    def events_band_filter(spark, sf_dir):
+        # relational shadow of the reference's top-25%-of-extent band
+        # (app.py:165-169): per user, events in the top quartile band of
+        # the value extent
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        w = Window.partitionBy("user_id")
+        cut = F.min("value").over(w) + 0.25 * (F.max("value").over(w) - F.min("value").over(w))
+        return (ev.withColumn("cut", cut)
+                .filter(F.col("value") <= F.col("cut"))
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_low"),
+                     _r(F.sum("value"), 2).alias("sum_low")))
+
+    q["events_band_filter"] = events_band_filter
+
+    def events_group_concat(spark, sf_dir):
+        # relational shadow of line reconstruction (group-concat ordered
+        # by coordinate, app.py:110-116)
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        packed = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+        return (ev.groupBy("user_id")
+                .agg(F.concat_ws(" ", F.transform(packed, lambda s: s["event_type"])
+                                 ).alias("type_seq")))
+
+    q["events_group_concat"] = events_group_concat
+
+    def events_props_extract(spark, sf_dir):
+        # regex field extraction shadow (app.py:146-160)
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        return ev.select("event_id",
+                         F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+                         .cast("int").alias("k_val"))
+
+    q["events_props_extract"] = events_props_extract
+
+    # --- documents: text analytics --------------------------------------
+
+    def doc_token_counts(spark, sf_dir):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        c = F.col("text")
+        return docs.select("doc_id",
+                           X.token_count(c).cast("long").alias("n_tokens"),
+                           X.stopword_count(c).cast("long").alias("n_stopwords"))
+
+    q["doc_token_counts"] = doc_token_counts
+
+    def doc_quality_scores(spark, sf_dir):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+    q["doc_quality_scores"] = doc_quality_scores
+
+    def doc_lang_id(spark, sf_dir):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+    q["doc_lang_id"] = doc_lang_id
+
+    def doc_fingerprint_dedup(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.dedup import exact_dedup
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return exact_dedup(docs)
+
+    q["doc_fingerprint_dedup"] = doc_fingerprint_dedup
+
+    def doc_median_chars_by_source(spark, sf_dir):
+        # exact upper-median (element n//2 of the sorted list) — the
+        # reference's median rule (app.py:129-130), as a grouped agg
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        idx = (F.floor(F.count(F.lit(1)) / 2) + 1).cast("int")
+        return (docs.groupBy("source")
+                .agg(F.element_at(F.sort_array(F.collect_list("n_chars")), idx)
+                     .alias("median_chars"),
+                     F.count(F.lit(1)).alias("n_docs")))
+
+    q["doc_median_chars_by_source"] = doc_median_chars_by_source
+
+    def doc_longest_per_lang(spark, sf_dir):
+        # top-1-by-length shadow of the team-name pick (app.py:174)
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        w = Window.partitionBy("lang").orderBy(
+            F.length("text").desc(), F.col("doc_id").asc())
+        return (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("lang", "doc_id",
+                        F.length("text").cast("long").alias("text_len")))
+
+    q["doc_longest_per_lang"] = doc_longest_per_lang
+
+    def doc_ngram_jaccard_pairs(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return ngram_jaccard_pairs(docs, threshold=0.05)
+
+    q["doc_ngram_jaccard_pairs"] = doc_ngram_jaccard_pairs
+
+    def doc_minhash_lsh_pairs(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return minhash_lsh_pairs(docs, verify_threshold=0.3)
+
+    q["doc_minhash_lsh_pairs"] = doc_minhash_lsh_pairs
+
+    def doc_simhash_pairs(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.dedup import simhash_pairs
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return simhash_pairs(docs, max_hamming=3)
+
+    q["doc_simhash_pairs"] = doc_simhash_pairs
+
+    # --- embeddings: similarity search -----------------------------------
+
+    def emb_cosine_topk(spark, sf_dir):
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        from khl_pdf_ocr_spark.operators.similarity import cosine
+
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec"))
+        joined = emb.crossJoin(F.broadcast(qv))
+        sim = _r(cosine(F.col("embedding"), F.col("qvec")), 6)
+        return (joined.select("vec_id", sim.alias("cos_sim"))
+                .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+                .limit(10))
+
+    q["emb_cosine_topk"] = emb_cosine_topk
+
+    def emb_near_dup_pairs(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        return embedding_near_dup_pairs(emb, threshold=0.3)
+
+    q["emb_near_dup_pairs"] = emb_near_dup_pairs
+
+    def emb_ann_lsh_topk(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        qv = [r[0] for r in
+              emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+        return lsh_ann_topk(emb, qv, k=10, nbits=8)
+
+    q["emb_ann_lsh_topk"] = emb_ann_lsh_topk
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_SW = r"\b(the|a|of|and|to|in|is|on|for|with)\b"
+_PUNCT = "[.,!?;:]"
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),"
+         " '\\s+', ' ', 'g'))")
+_SHINGLES = (
+    "case when len(_toks) >= 3 then list_distinct(list_transform("
+    "range(1, len(_toks)-1), i -> array_to_string(_toks[i:i+2], ' '))) "
+    "else [array_to_string(_toks, ' ')] end")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q3_top_orders"] = """
+        SELECT o_orderkey,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    o["q5_nation_revenue"] = """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+
+    o["scan_filter_project"] = """
+        SELECT l_orderkey, l_linenumber,
+               floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-07-01'
+          AND l_discount < 0.02
+    """
+
+    o["top_spenders_window"] = """
+        SELECT c_mktsegment, rank_in_segment, c_custkey,
+               floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
+        FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey ASC)
+                         AS rank_in_segment
+              FROM customer)
+        WHERE rank_in_segment <= 3
+    """
+
+    o["events_sessionize"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id,
+                 (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING))::bigint AS session_id
+          FROM flagged
+        )
+        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        FROM sess GROUP BY user_id
+    """
+
+    o["events_hourly_rollup"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    o["events_band_filter"] = """
+        WITH banded AS (
+          SELECT user_id, value,
+                 min(value) OVER w + 0.25 * (max(value) OVER w - min(value) OVER w) AS cut
+          FROM events
+          WINDOW w AS (PARTITION BY user_id)
+        )
+        SELECT user_id, count(*) AS n_low, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_low
+        FROM banded WHERE value <= cut GROUP BY user_id
+    """
+
+    o["events_group_concat"] = """
+        SELECT user_id,
+               string_agg(event_type, ' ' ORDER BY ts, event_id) AS type_seq
+        FROM events GROUP BY user_id
+    """
+
+    o["events_props_extract"] = """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS k_val
+        FROM events
+    """
+
+    o["doc_token_counts"] = f"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(lower(text), '{_SW}')) AS n_stopwords
+        FROM documents
+    """
+
+    o["doc_quality_scores"] = f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                 len(regexp_extract_all(lower(text), '{_SW}')) AS n_sw,
+                 len(regexp_extract_all(text, '{_PUNCT}')) AS n_pun,
+                 len(regexp_extract_all(text, '[0-9]')) AS n_dig,
+                 greatest(length(text), 1)::double AS n_chr
+          FROM documents)
+        SELECT doc_id,
+               floor((0.4 * least(1.0, n_tok / 100.0)
+                   + 0.3 * least(1.0, 5.0 * n_sw / greatest(n_tok, 1)::double)
+                   + 0.2 * (1.0 - least(1.0, 10.0 * n_dig / n_chr))
+                   + 0.1 * (1.0 - least(1.0, 10.0 * n_pun / n_chr))) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM c
+    """
+
+    o["doc_lang_id"] = f"""
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(text, '[а-яёА-ЯЁ]'))
+                         / greatest(length(text), 1)::double > 0.3 THEN 'ru'
+                    WHEN len(regexp_extract_all(lower(text), '{_SW}')) >= 3 THEN 'en'
+                    ELSE 'other' END AS lang_pred
+        FROM documents
+    """
+
+    o["doc_fingerprint_dedup"] = f"""
+        SELECT md5({_NORM}) AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents
+        GROUP BY 1
+    """
+
+    o["doc_median_chars_by_source"] = """
+        SELECT source,
+               (list_sort(list(n_chars)))[(count(*) // 2)::int + 1] AS median_chars,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY source
+    """
+
+    o["doc_longest_per_lang"] = """
+        SELECT lang, doc_id, length(text) AS text_len
+        FROM (SELECT lang, doc_id, text,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY length(text) DESC, doc_id ASC) AS rn
+              FROM documents)
+        WHERE rn = 1
+    """
+
+    o["doc_ngram_jaccard_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array({_NORM}, '\\s+') AS _toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, source, {_SHINGLES} AS sh FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               floor((len(list_intersect(a.sh, b.sh))::double
+                     / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE floor((len(list_intersect(a.sh, b.sh))::double
+              / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 >= 0.05
+    """
+
+    o["emb_cosine_topk"] = """
+        SELECT b.vec_id,
+               floor((list_cosine_similarity(b.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM embeddings b,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, b.vec_id ASC
+        LIMIT 10
+    """
+
+    o["emb_near_dup_pairs"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """
+
+    # rows-only (non-SQL-expressible / hash-seed-dependent):
+    # extract_all_fixtures, html_boilerplate_strip, masters_validate_referees,
+    # doc_minhash_lsh_pairs, doc_simhash_pairs, emb_ann_lsh_topk
+    return o

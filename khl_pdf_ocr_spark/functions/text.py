@@ -1,0 +1,96 @@
+"""Text-analytics building blocks over a string column.
+
+Every function here is expressible in ANSI SQL (the oracle contract);
+the regex/stopword constants are shared with the SQL strings in
+``__spark_entry__.py`` so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["EN_STOPWORDS", "STOPWORD_RE", "PUNCT_RE", "DIGIT_RE", "CYRILLIC_RE",
+           "tokens", "token_count", "stopword_count", "punct_count",
+           "digit_count", "cyrillic_count", "quality_score", "lang_id",
+           "normalized_text", "fingerprint"]
+
+# tiny, fixed stopword list — a deterministic heuristic, not linguistics
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+STOPWORD_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+PUNCT_RE = r"[.,!?;:]"
+DIGIT_RE = r"[0-9]"
+CYRILLIC_RE = r"[а-яёА-ЯЁ]"
+WS_SPLIT_RE = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), WS_SPLIT_RE)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def stopword_count(col: Column) -> Column:
+    return F.regexp_count(F.lower(col), F.lit(STOPWORD_RE))
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PUNCT_RE))
+
+
+def digit_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(DIGIT_RE))
+
+
+def cyrillic_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(CYRILLIC_RE))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic (length / punctuation /
+    stopword / digit signals) — the web-scale "keep this document?"
+    scoring stage of a training-data pipeline.
+
+        score = 0.4*min(1, tokens/100)           (long enough)
+              + 0.3*min(1, 5*stopwords/tokens)   (natural language)
+              + 0.2*(1 - min(1, 10*digits/chars))(not a number dump)
+              + 0.1*(1 - min(1, 10*punct/chars)) (not markup soup)
+    """
+    from khl_pdf_ocr_spark.functions.rounding import round_half_up
+
+    n_tok = token_count(col).cast("double")
+    n_chr = F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    safe_tok = F.greatest(n_tok, F.lit(1.0))
+    return round_half_up(
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * F.least(F.lit(1.0),
+                               F.lit(5.0) * stopword_count(col).cast("double") / safe_tok)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0),
+                                             F.lit(10.0) * digit_count(col).cast("double") / n_chr))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0),
+                                             F.lit(10.0) * punct_count(col).cast("double") / n_chr)),
+        4)
+
+
+def lang_id(col: Column) -> Column:
+    """Character/stopword n-gram heuristic → 'ru' / 'en' / 'other'."""
+    n_chr = F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    cyr_ratio = cyrillic_count(col).cast("double") / n_chr
+    sw = stopword_count(col)
+    return (F.when(cyr_ratio > 0.3, F.lit("ru"))
+            .when(sw >= 3, F.lit("en"))
+            .otherwise(F.lit("other")))
+
+
+def normalized_text(col: Column) -> Column:
+    """lowercase → strip punctuation → collapse whitespace → trim."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), PUNCT_RE, ""), WS_SPLIT_RE, " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (dedup key)."""
+    return F.md5(normalized_text(col))

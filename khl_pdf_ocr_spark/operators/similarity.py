@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``      — exact brute-force top-k against a query vector:
+  the correctness baseline.  Pure built-in higher-order functions
+  (zip_with/aggregate) → whole-stage codegen, no Python in the loop.
+- ``lsh_ann_topk``     — the scale path: random-hyperplane (sign) LSH.
+  Buckets come from deterministic seeded hyperplanes; the query probes
+  its own bucket plus all hamming-1 neighbors.  At 100 TB the bucketed
+  table is written once (partitioned by bucket) and each query prunes
+  to ~nbits+1 buckets instead of scanning every vector.
+- ``embedding_near_dup_pairs`` — pairwise cosine near-dups within a
+  blocking key (label), for embedding-level corpus dedup.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions.rounding import round_half_up
+
+__all__ = ["cosine", "cosine_topk", "hyperplanes", "with_lsh_bucket",
+           "lsh_ann_topk", "embedding_near_dup_pairs"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _query_lit(query_vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10, *,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    sim = round_half_up(cosine(F.col(vec_col), _query_lit(query_vec)), 6)
+    return (df.select(F.col(id_col), sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def hyperplanes(dim: int, nbits: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes (seeded Gaussian, pure stdlib)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(nbits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _bucket_expr(vec_col: Column, planes) -> Column:
+    vec = _to_double(vec_col)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        bit = F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) >= 0,
+                     F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def with_lsh_bucket(df: DataFrame, planes, vec_col: str = "embedding",
+                    out_col: str = "lsh_bucket") -> DataFrame:
+    return df.withColumn(out_col, _bucket_expr(F.col(vec_col), planes))
+
+
+def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, *, nbits: int = 12,
+                 seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (+ hamming-1 probes). Same output schema as ``cosine_topk``."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, nbits, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    probes = [qbits] + ([qbits ^ (1 << i) for i in range(nbits)] if multiprobe else [])
+    bucketed = with_lsh_bucket(df, planes, vec_col)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(probes))
+    sim = round_half_up(cosine(F.col(vec_col), _query_lit(query_vec)), 6)
+    return (cand.select(F.col(id_col), sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key."""
+    base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+                     F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    sim = round_half_up(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

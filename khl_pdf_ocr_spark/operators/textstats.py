@@ -1,0 +1,42 @@
+"""Text-analytics operators over a documents table (training-data
+pipeline stages: language ID, quality scoring, token counting, document
+fingerprinting).  All JVM-side whole-stage-codegen expressions — zero
+Python UDFs in these paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions import text as X
+
+__all__ = ["text_stats", "language_id", "quality_filter", "fingerprints"]
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars_actual"),
+        X.token_count(c).alias("n_tokens"),
+        X.stopword_count(c).alias("n_stopwords"),
+        X.punct_count(c).alias("n_punct"),
+        X.digit_count(c).alias("n_digits"),
+        X.quality_score(c).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), X.lang_id(F.col(text_col)).alias("lang_pred"))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_score: float = 0.5) -> DataFrame:
+    """The keep/drop gate of a corpus-cleaning pipeline."""
+    return (df.withColumn("quality", X.quality_score(F.col(text_col)))
+            .filter(F.col("quality") >= min_score))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col),
+                     X.fingerprint(F.col(text_col)).alias("fingerprint"))

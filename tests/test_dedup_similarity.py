@@ -1,0 +1,112 @@
+"""Dedup + similarity operators on planted corpora (known ground truth)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.operators.dedup import (exact_dedup, minhash_lsh_pairs,
+                                               ngram_jaccard_pairs, simhash,
+                                               simhash_pairs)
+from khl_pdf_ocr_spark.operators.similarity import (cosine_topk,
+                                                    embedding_near_dup_pairs,
+                                                    lsh_ann_topk)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles columnar batches across executors in the cluster every day")
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rows = [
+        (0, BASE, "s"),
+        (1, BASE, "s"),                                   # exact dup of 0
+        (2, BASE + " tail", "s"),                          # near dup of 0
+        (3, BASE.replace("quick", "rapid"), "s"),          # near dup of 0
+        (4, "completely different text about databases and query planners "
+            "with nothing shared at all beyond english itself", "s"),
+        (5, "another unrelated document mentioning volcanoes glaciers and "
+            "tectonic plates moving slowly over millennia", "s"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_dedup_groups(planted_docs):
+    out = exact_dedup(planted_docs).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[0] == 2          # docs 0 and 1 collapse
+    assert len(out) == 5           # 6 docs → 5 fingerprints
+
+
+def test_ngram_jaccard_finds_planted_pairs(planted_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(planted_docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.9
+    assert (0, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_pairs(planted_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(planted_docs, verify_threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    # verification step guarantees no false positives above threshold
+    assert all(j >= 0.5 for j in pairs.values())
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_distance_reflects_similarity(planted_docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(planted_docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[4])
+
+
+def test_simhash_pairs_banding(planted_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(planted_docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert not any((a, b) in pairs for a in (0, 1, 2, 3) for b in (4, 5))
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    # axis-aligned vectors: known cosine structure
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal
+        (3, [0.7, 0.7, 0.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite
+        (5, [1.0, 0.05, 0.0, 0.0], 1),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_order(planted_vecs):
+    out = cosine_topk(planted_vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 5, 1]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_lsh_ann_contains_true_top1(planted_vecs):
+    out = lsh_ann_topk(planted_vecs, [1.0, 0.0, 0.0, 0.0], k=3, nbits=4).collect()
+    assert out, "ANN returned nothing"
+    assert out[0]["vec_id"] == 0  # exact match must be in its own bucket
+
+
+def test_embedding_near_dup_blocked_by_label(planted_vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(planted_vecs, threshold=0.9).collect()}
+    assert (0, 1) in pairs          # same label, cos ≈ 0.994
+    assert (3, 5) not in pairs      # same label but cos ≈ 0.74
+    assert not any(a == 0 and b == 5 for a, b in pairs)  # cross-label blocked
+
+
+def test_dedup_single_shuffle_plan(planted_docs):
+    plan = exact_dedup(planted_docs)._jdf.queryExecution().executedPlan().toString()
+    # map-side partial agg around exactly one exchange
+    assert plan.count("Exchange") == 1, plan

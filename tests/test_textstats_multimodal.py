@@ -1,0 +1,72 @@
+"""Text analytics + multimodal plumbing."""
+
+import pytest
+
+from khl_pdf_ocr_spark.operators.multimodal import (frame_sample_plan,
+                                                    image_features)
+from khl_pdf_ocr_spark.operators.textstats import (language_id, quality_filter,
+                                                   text_stats)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog slept in the sun for a while "
+            "as the day went on and on with more of the same words to count", "x"),
+        (1, "Привет мир это русский текст про хоккей и матчи сезона лиги", "x"),
+        (2, "1234 5678 9999 0000 1111 2222", "x"),
+        (3, "", "x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_text_stats(docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 31
+    assert out[0]["n_stopwords"] >= 8
+    assert out[3]["n_tokens"] == 0
+    assert out[2]["n_digits"] == 24
+    assert 0.0 <= out[2]["quality"] < out[0]["quality"] <= 1.0
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "ru"
+    assert out[2] == "other"
+
+
+def test_quality_filter_drops_junk(docs):
+    kept = {r["doc_id"] for r in quality_filter(docs, min_score=0.5).collect()}
+    assert 0 in kept
+    assert 2 not in kept and 3 not in kept
+
+
+def test_image_features_batch_shape(spark):
+    rows = [(f"m{i}", "image", bytes([i]) * (100 + i),
+             {"width": None, "height": None, "duration_ms": None, "mime": "image/x-fake"})
+            for i in range(10)]
+    from khl_pdf_ocr_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = image_features(df).collect()
+    assert len(out) == 10
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id["m0"]["n_bytes"] == 100
+    assert len(by_id["m0"]["phash"]) == 16
+    # deterministic fake: same payload → same phash
+    again = {r["media_id"]: r["phash"] for r in image_features(df).collect()}
+    assert again == {r["media_id"]: r["phash"] for r in out}
+
+
+def test_real_decode_is_explicitly_stubbed():
+    from khl_pdf_ocr_spark.operators.multimodal import _decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_stub(b"x", real_decode=True)
+
+
+def test_frame_sample_plan():
+    assert frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
+    assert frame_sample_plan(0, 1000) == []
+    assert frame_sample_plan(-5, 1000) == []
