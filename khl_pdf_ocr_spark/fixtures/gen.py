@@ -318,38 +318,44 @@ GOLDEN_SCHEMA = pa.schema([
 ])
 
 
-def write_tables(out_dir: str, n_docs: int, seed: int = 42, force: bool = False):
-    """Write documents.parquet + goldens.parquet; cached by meta.json."""
+def write_tables(out_dir: str, n_docs: int, seed: int = 42, force: bool = False,
+                 goldens: bool = True):
+    """Write documents.parquet (+ goldens.parquet); cached by meta.json."""
     os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "meta.json")
-    meta = {"n_docs": n_docs, "seed": seed, "version": GEN_VERSION}
+    meta = {"n_docs": n_docs, "seed": seed, "version": GEN_VERSION,
+            "goldens": goldens}
     docs_path = os.path.join(out_dir, "documents.parquet")
-    gold_path = os.path.join(out_dir, "goldens.parquet")
+    gold_path = os.path.join(out_dir, "goldens.parquet") if goldens else None
     if not force and os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
-                if json.load(f) == meta and os.path.exists(docs_path) and os.path.exists(gold_path):
+                if (json.load(f) == meta and os.path.exists(docs_path)
+                        and (gold_path is None or os.path.exists(gold_path))):
                     return docs_path, gold_path
         except (OSError, json.JSONDecodeError):
             pass
 
     rows = list(generate_rows(n_docs, seed))
     docs = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
-    pq.write_table(docs, docs_path, compression="snappy", row_group_size=2048)
+    # small row groups → fine-grained scan splits (scan parallelism must
+    # scale with cores for the N→4N efficiency gate)
+    pq.write_table(docs, docs_path, compression="snappy", row_group_size=512)
 
-    goldens = []
-    for r in rows:
-        res = extract_document(r["url"], r["html"], mode="all")
-        goldens.append({
-            "url": r["url"],
-            "extracted_text": res["extracted_text"],
-            "result_json": result_to_json(res),
-            "ok": res["ok"],
-            "engine": res["engine"],
-            "error": res["error"],
-        })
-    pq.write_table(pa.Table.from_pylist(goldens, schema=GOLDEN_SCHEMA),
-                   gold_path, compression="snappy")
+    if goldens:
+        out = []
+        for r in rows:
+            res = extract_document(r["url"], r["html"], mode="all")
+            out.append({
+                "url": r["url"],
+                "extracted_text": res["extracted_text"],
+                "result_json": result_to_json(res),
+                "ok": res["ok"],
+                "engine": res["engine"],
+                "error": res["error"],
+            })
+        pq.write_table(pa.Table.from_pylist(out, schema=GOLDEN_SCHEMA),
+                       gold_path, compression="snappy")
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return docs_path, gold_path

@@ -25,6 +25,18 @@ __all__ = ["exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures
            "minhash_lsh_pairs", "simhash", "simhash_pairs"]
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Shingling/hashing is CPU-bound per row; if the upstream scan has
+    fewer splits than cores (single-file local tables, small Iceberg
+    partitions), one task serializes the whole stage.  One cheap
+    round-robin shuffle of the (small) text rows restores parallelism;
+    skipped when the scan is already wide."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -72,8 +84,9 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     so the shuffle is by block, never all-pairs. Emits
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
-                     shingles(text_col, n).alias("sh"))
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        shingles(text_col, n).alias("sh"))
     a = base.alias("a")
     b = base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
@@ -92,15 +105,25 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        shingle_n: int = 3) -> DataFrame:
-    """(id, sig array<long>[num_perm]) via xxhash64(shingle, seed_i) mins.
+    """(id, sig array<long>[num_perm]) via per-permutation mins of
+    re-hashed shingle hashes.
 
-    Implemented as explode → num_perm partial-min aggregates: one
-    shuffle keyed on id, map-side combine keeps the exploded volume off
-    the wire.
+    Implementation notes (measured at sf0.1):
+    - each shingle STRING is hashed exactly once (``xxhash64(sh)``);
+      the per-permutation values re-hash that 8-byte long, not the
+      string — 64 cheap long-hashes instead of 64 string-hashes;
+    - a pure map-side nested-``transform`` formulation (zero shuffles)
+      is NOT used: higher-order functions run interpreted without
+      common-subexpression elimination, so the shingle array would be
+      rebuilt per permutation (~10× slower end-to-end);
+    - the explode→aggregate shuffle carries only (id, long) pairs and
+      combines map-side.
     """
-    exploded = (df.select(F.col(id_col).alias("id"),
-                          F.explode(shingles(text_col, shingle_n)).alias("sh")))
-    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+    exploded = (_ensure_parallelism(df)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(shingles(text_col, shingle_n)).alias("sh"))
+                .select("id", F.xxhash64("sh").alias("h")))
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
             for i in range(num_perm)]
     agg = exploded.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]
@@ -137,7 +160,8 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
             .select(F.col("la.id").alias("id_a"), F.col("lb.id").alias("id_b"))
             .distinct())
 
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                                        shingles(text_col, shingle_n).alias("sh"))
     cand = (cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
             .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -159,7 +183,7 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
         # bit 63 is the sign bit of a JVM long — two's complement literal
         return F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
 
-    toks = (df.select(F.col(id_col).alias("id"),
+    toks = (_ensure_parallelism(df).select(F.col(id_col).alias("id"),
                       F.explode(F.array_distinct(
                           F.split(X.normalized_text(F.col(text_col)), r"\s+"))).alias("tok"))
             .withColumn("h", F.xxhash64("tok")))

@@ -118,31 +118,35 @@ def extract_document(url: str, payload: bytes, mode: str = "all") -> dict:
 
 
 def _extract_pdf(url: str, words8, mode: str) -> dict:
+    # layout reconstruction happens ONCE per document; all sub-extractors
+    # fan out from the same parts (fixes the reference's 3× recompute,
+    # SURVEY.md §3.1; both steps are pure so semantics are unchanged)
     words = pdfops.sort_project_words(words8)
+    lines_all, cols = pdfops.group_words_by_lines_and_cols(words)
     season, uid = parse_season_uid(url)
     res = _empty_result("all")
 
     if mode == "words":
-        sub = pdfops.extract_match_from_words(words)
-        res["engine"] = sub["engine"]
-        res["match"].update(sub["match"])
+        res["engine"] = "words"
+        res["match"].update(pdfops.find_match_meta(lines_all, cols))
         res["match"]["season"], res["match"]["uid"] = season, uid
     elif mode == "refs":
-        sub = pdfops.extract_refs_from_words(words)
-        res["engine"] = sub["engine"]
-        res["referees"] = sub["referees"]
+        main, linesmen, _ = pdfops.find_ref_lines(lines_all)
+        res["engine"] = "ocr-refs"
+        res["referees"] = {"main": main, "linesmen": linesmen}
     elif mode in ("gk", "goalies"):
-        sub = pdfops.extract_goalies_from_words(words)
-        res["engine"] = sub["engine"]
-        res["goalies"] = sub["goalies"]
+        res["engine"] = "gk"
+        res["goalies"] = {
+            "home": pdfops.collect_goalies_from_column(cols["left"]),
+            "away": pdfops.collect_goalies_from_column(cols["right"])}
     else:  # all (default, app.py:411-412)
-        sub = pdfops.extract_all_from_words(words, season, uid)
+        sub = pdfops.extract_all_from_parts(lines_all, cols, season, uid)
         res["engine"] = sub["engine"]
         res["match"] = sub["match"]
         res["referees"] = sub["referees"]
         res["goalies"] = sub["goalies"]
 
-    res["extracted_text"] = pdfops.extracted_text(words)
+    res["extracted_text"] = "\n".join(lines_all)
     return res
 
 

@@ -153,6 +153,12 @@ _TOK_RE = re.compile(
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
             b"(": b"(", b")": b")", b"\\": b"\\"}
 
+# fast path: the exact op sequence our writer emits per word.  Streams
+# composed solely of these ops skip the general tokenizer (~4× faster);
+# anything else falls back to the full token scan.
+_FAST_WORD_RE = re.compile(
+    rb"BT /F1 ([\d.]+) Tf ([-\d.]+) ([-\d.]+) Td <([0-9A-Fa-f]*)> Tj ET")
+
 
 def _decode_literal(tok: bytes) -> bytes:
     body = tok[1:-1]
@@ -219,6 +225,20 @@ def extract_words(pdf_bytes: bytes):
     words = []
     block_no = -1
     for stream in streams:
+        # fast path: uniform writer-emitted word ops
+        matches = _FAST_WORD_RE.findall(stream)
+        if matches and len(matches) == stream.count(b"BT"):
+            for size_b, x_b, y_b, hex_b in matches:
+                block_no += 1
+                size, x, y = float(size_b), float(x_b), float(y_b)
+                text = bytes.fromhex(hex_b.decode("ascii")).decode(
+                    "utf-8", errors="replace").strip()
+                if not text:
+                    continue
+                y_top = page_h - y - ASCENT * size
+                words.append((x, y_top, x + CHAR_W * size * len(text),
+                              y_top + size, text, block_no, 0, 0))
+            continue
         size = 10.0
         x = y = 0.0
         line_start_x = 0.0

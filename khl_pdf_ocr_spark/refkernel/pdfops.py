@@ -265,6 +265,16 @@ def extract_goalies_from_words(words) -> dict:
 def extract_all_from_words(words, season: str, uid: str) -> dict:
     """mode=all (app.py:348-366) minus self-timing (stamped by caller)."""
     lines_all, cols = group_words_by_lines_and_cols(words)
+    return extract_all_from_parts(lines_all, cols, season, uid)
+
+
+def extract_all_from_parts(lines_all, cols, season: str, uid: str) -> dict:
+    """mode=all over pre-computed page parts.
+
+    The reference recomputes ``text_words`` + line clustering once per
+    sub-extractor (3× per request, app.py:183,235,304 — see SURVEY.md
+    §3.1); since both are pure, computing them once per document is
+    semantics-preserving and is the pipeline's single-pass fan-out."""
     meta = find_match_meta(lines_all, cols)
     main, linesmen, _ = find_ref_lines(lines_all)
     return {

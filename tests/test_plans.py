@@ -1,0 +1,87 @@
+"""Plan-shape assertions: the plans we WANT, kept under test so a
+regression in pushdown/broadcast/shuffle-count fails here, not at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.plans.inspect import (count_exchanges,
+                                             has_broadcast_join,
+                                             physical_plan, pushed_filters,
+                                             read_schema)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as em
+
+    return em.queries()
+
+
+def test_scan_filter_pushdown(spark, queries):
+    df = queries["scan_filter_project"](spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "l_discount" in filters or "l_shipdate" in filters, filters
+    # column pruning: only the needed lineitem columns are read
+    schemas = read_schema(df)
+    assert any("l_extendedprice" in s and "l_quantity" not in s for s in schemas), schemas
+
+
+def test_q3_broadcasts_dimension(spark, queries):
+    df = queries["q3_top_orders"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_q5_broadcasts_both_dims(spark, queries):
+    df = queries["q5_nation_revenue"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q1_partial_aggregation(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # map-side combine: two HashAggregates around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1, plan
+
+
+def test_extraction_reads_two_columns_only(spark, fixture_tables):
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+
+    docs_path, _ = fixture_tables
+    df = extract_documents(spark.read.parquet(docs_path))
+    assert read_schema(df) == ["url:string,html:binary"]
+    assert count_exchanges(df) == 0  # default path: no payload shuffle
+
+
+def test_masters_join_never_shuffles_fact_side(spark, fixture_tables):
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+    from khl_pdf_ocr_spark.sources.masters import (load_masters,
+                                                   validate_referee_names)
+
+    docs_path, _ = fixture_tables
+    out = extract_documents(spark.read.parquet(docs_path))
+    _, refs = load_masters(spark)
+    validated = validate_referee_names(out, refs)
+    plan = physical_plan(validated)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_single_exchange(spark):
+    from khl_pdf_ocr_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert count_exchanges(exact_dedup(docs)) == 1
+
+
+def test_cosine_topk_whole_stage_codegen(spark):
+    from khl_pdf_ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = cosine_topk(emb, [0.1] * 64, k=5)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        "similarity math must stay JVM-side"
