@@ -104,6 +104,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["masters_validate_referees"] = masters_validate_referees
 
+    def _mode_query(mode):
+        def run(spark, sf_dir, _mode=mode):
+            from khl_pdf_ocr_spark.operators.extract import extract_documents
+
+            docs = spark.read.parquet(_fixture_docs())
+            out = extract_documents(docs, mode=_mode)
+            return out.select("url", "ok", "engine", "extracted_text", "result_json")
+
+        return run
+
+    # the reference's other query modes (app.py:405-410), rows-only
+    q["extract_words_mode"] = _mode_query("words")
+    q["extract_refs_mode"] = _mode_query("refs")
+    q["extract_goalies_mode"] = _mode_query("gk")
+
+    def ocr_fallback_subset(spark, sf_dir):
+        # two-phase OCR plumbing: phase-1 rows that WOULD go to the OCR
+        # stage (engine absent in this sandbox → pass-through, app.py:76-77)
+        from khl_pdf_ocr_spark.operators.extract import extract_documents
+        from khl_pdf_ocr_spark.operators.ocr_fallback import (needs_ocr,
+                                                              with_ocr_fallback)
+
+        docs = spark.read.parquet(_fixture_docs())
+        out = extract_documents(docs)
+        merged = with_ocr_fallback(out, docs, ocr_stage=None)
+        return needs_ocr(merged).select("url", "engine", "error")
+
+    q["ocr_fallback_subset"] = ocr_fallback_subset
+
+    def url_construction(spark, sf_dir):
+        # source-URL construction (make_pdf_url, app.py:49-58) as a
+        # vectorized expression over the documents table
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return docs.select(
+            "doc_id",
+            F.format_string("https://www.khl.ru/pdf/%s/%s/game-%s-start-ru.pdf",
+                            F.col("source"), F.col("doc_id"), F.col("doc_id")
+                            ).alias("pdf_url"))
+
+    q["url_construction"] = url_construction
+
     # --- TPC-H-ish relational core (oracle-checked) ---------------------
 
     def q1_pricing_summary(spark, sf_dir):
@@ -571,7 +612,15 @@ def oracle_sql() -> dict[str, str]:
                                            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
     """
 
+    o["url_construction"] = """
+        SELECT doc_id,
+               printf('https://www.khl.ru/pdf/%s/%s/game-%s-start-ru.pdf',
+                      source, doc_id::varchar, doc_id::varchar) AS pdf_url
+        FROM documents
+    """
+
     # rows-only (non-SQL-expressible / hash-seed-dependent):
     # extract_all_fixtures, html_boilerplate_strip, masters_validate_referees,
+    # extract_{words,refs,goalies}_mode, ocr_fallback_subset,
     # doc_minhash_lsh_pairs, doc_simhash_pairs, emb_ann_lsh_topk
     return o

@@ -1,0 +1,62 @@
+"""Job entry point — the batch twin of the reference's query API.
+
+The reference exposes ``GET /extract?season&uid&mode=all|refs|goalies|
+words[&debug]`` (``app.py:376-419``); at pipeline scale the same surface
+is a ``spark-submit`` job over the whole table:
+
+    spark-submit --py-files khl_pdf_ocr_spark.zip -m khl_pdf_ocr_spark.cli \
+        --input  /data/docs            # parquet dir or iceberg table name
+        --output /data/extracted \
+        --mode all                     # all | words | refs | gk | goalies
+        --resume                       # manifest-checkpointed bucketed run
+
+Per-row failures become error-envelope rows (never task failures),
+matching the reference's 4xx/5xx envelopes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from khl_pdf_ocr_spark.pipeline import run_extraction, run_resumable
+from khl_pdf_ocr_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "words", "refs", "gk", "goalies"])
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--resume", action="store_true",
+                    help="bucketed run with checkpointed manifests")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt", action="store_true",
+                    help="explicit size-bucket salted repartition before the "
+                         "extract map (for heavy-tailed per-byte cost)")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("khl-extract", cpus=args.cpus)
+    try:
+        if args.resume:
+            stats = run_resumable(spark, args.input, args.output,
+                                  n_buckets=args.buckets, mode=args.mode,
+                                  input_format=args.format)
+        else:
+            _, stats = run_extraction(spark, args.input, args.output,
+                                      mode=args.mode, salt=args.salt,
+                                      num_partitions=args.partitions,
+                                      input_format=args.format)
+        print(json.dumps(stats))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

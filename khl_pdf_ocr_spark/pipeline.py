@@ -53,12 +53,17 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
 
 def run_extraction(spark: SparkSession, input_path: str, output_path: str | None = None,
                    *, mode: str = "all", num_partitions: int | None = None,
-                   salt: bool = True, input_format: str = "parquet",
+                   salt: bool = False, input_format: str = "parquet",
                    run_id: str | None = None, write_metrics: bool = True):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
     (callers compose further operators on it).
+
+    ``salt=False`` by default: byte-balanced scan splits already balance
+    task cost for text-layer extraction; pay the payload shuffle only
+    for heavy-tailed per-byte cost (OCR pass, pathological corpora) —
+    measured rationale in BENCH.md §4.1.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     docs = read_documents(spark, input_path, input_format)
