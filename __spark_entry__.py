@@ -145,6 +145,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_construction"] = url_construction
 
+    def media_image_features(spark, sf_dir):
+        # multimodal plumbing: binary media column → Arrow-batched
+        # feature extraction (decode stubbed; schema/batching real)
+        from khl_pdf_ocr_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                            image_features)
+
+        rows = [(f"m{i}", "image", bytes([i % 256]) * (256 + i),
+                 {"width": None, "height": None, "duration_ms": None,
+                  "mime": "image/x-fake"}) for i in range(64)]
+        return image_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
+
+    q["media_image_features"] = media_image_features
+
     # --- TPC-H-ish relational core (oracle-checked) ---------------------
 
     def q1_pricing_summary(spark, sf_dir):

@@ -30,7 +30,25 @@ from khl_pdf_ocr_spark.operators.extract import extract_documents
 from khl_pdf_ocr_spark.operators.partitioning import repartition_for_extraction
 from khl_pdf_ocr_spark.sources.readers import read_documents
 
-__all__ = ["run_extraction", "run_resumable", "partition_metrics"]
+__all__ = ["run_extraction", "run_resumable", "partition_metrics", "preflight"]
+
+
+def preflight(spark: SparkSession) -> dict:
+    """Driver-side liveness/capability probe — the batch twin of the
+    reference's ``GET /health`` (app.py:371-373): verifies the kernel
+    imports and runs ON EXECUTORS (not just the driver) and reports
+    whether the optional OCR engine is present.
+    """
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+    from khl_pdf_ocr_spark.operators.ocr_fallback import HAS_OCR
+
+    probe = spark.createDataFrame(
+        [("preflight://doc", bytearray(b"%PDF-1.4"))], ["url", "html"])
+    row = extract_documents(probe).select("ok", "error").first()
+    kernel_ok = row is not None and row["error"] == "pdf_open_error"
+    return {"ok": bool(kernel_ok), "engine": "ready" if kernel_ok else "broken",
+            "ocr": HAS_OCR,
+            "parallelism": spark.sparkContext.defaultParallelism}
 
 
 def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:

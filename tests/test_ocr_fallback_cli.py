@@ -64,3 +64,13 @@ def test_cli_end_to_end(fixture_tables, tmp_path):
     stats = json.loads([ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1])
     assert stats["n_docs"] == 200
     assert stats["docs_per_sec"] > 0
+
+
+def test_preflight(spark):
+    from khl_pdf_ocr_spark.pipeline import preflight
+
+    res = preflight(spark)
+    assert res["ok"] is True
+    assert res["engine"] == "ready"
+    assert res["ocr"] is False  # no tesseract/PyMuPDF in this sandbox
+    assert res["parallelism"] >= 1
