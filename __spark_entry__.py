@@ -228,6 +228,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_spenders_window"] = top_spenders_window
 
+    def lineitem_rollup(spark, sf_dir):
+        # hierarchical totals: ROLLUP(returnflag, linestatus) incl. grand total
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.rollup("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     _r(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+    q["lineitem_rollup"] = lineitem_rollup
+
+    def orders_distinct_customers(spark, sf_dir):
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        return (orders.groupBy("o_orderpriority")
+                .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                     F.count(F.lit(1)).alias("n_orders")))
+
+    q["orders_distinct_customers"] = orders_distinct_customers
+
     # --- events: sessionization, windows, regex -------------------------
 
     def events_sessionize(spark, sf_dir):
@@ -623,6 +640,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """
+
+    o["lineitem_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["orders_distinct_customers"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
     """
 
     o["url_construction"] = """
