@@ -228,6 +228,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_spenders_window"] = top_spenders_window
 
+    def q6_revenue_delta(spark, sf_dir):
+        # simple predicate agg (TPC-H Q6 shape)
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+                          & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
+                          & (F.col("l_discount").between(0.03, 0.07))
+                          & (F.col("l_quantity") < 24))
+                .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                     .alias("revenue_delta"),
+                     F.count(F.lit(1)).alias("n_items")))
+
+    q["q6_revenue_delta"] = q6_revenue_delta
+
+    def q12_shipmode_priority(spark, sf_dir):
+        # join + conditional aggregation (TPC-H Q12 shape)
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+        return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("l_linestatus")
+                .agg(F.sum(high).alias("high_priority"),
+                     F.sum(1 - high).alias("low_priority")))
+
+    q["q12_shipmode_priority"] = q12_shipmode_priority
+
+    def customers_without_orders(spark, sf_dir):
+        # anti join (set-difference operator)
+        cust = spark.read.parquet(_t(sf_dir, "customer"))
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .select("c_custkey", "c_mktsegment"))
+
+    q["customers_without_orders"] = customers_without_orders
+
+    def suppliers_with_big_items_semi(spark, sf_dir):
+        # semi join (EXISTS operator)
+        supp = spark.read.parquet(_t(sf_dir, "supplier"))
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        big = li.filter(F.col("l_quantity") >= 49)
+        return (supp.join(big, supp.s_suppkey == big.l_suppkey, "left_semi")
+                .select("s_suppkey", "s_nationkey"))
+
+    q["suppliers_with_big_items_semi"] = suppliers_with_big_items_semi
+
+    def events_first3_types(spark, sf_dir):
+        # array slicing shadow of names[:2]/[2:4] (app.py:227-228):
+        # first 3 event types per user in time order
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        packed = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+        return (ev.groupBy("user_id")
+                .agg(F.concat_ws(
+                    " ", F.slice(F.transform(packed, lambda s: s["event_type"]), 1, 3)
+                ).alias("first3")))
+
+    q["events_first3_types"] = events_first3_types
+
+    def doc_normalized_preview(spark, sf_dir):
+        # string-function pipeline: lower → strip punct → collapse ws → prefix
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return docs.select(
+            "doc_id", F.substring(X.normalized_text(F.col("text")), 1, 48
+                                  ).alias("preview"))
+
+    q["doc_normalized_preview"] = doc_normalized_preview
+
     def lineitem_rollup(spark, sf_dir):
         # hierarchical totals: ROLLUP(returnflag, linestatus) incl. grand total
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
@@ -361,6 +426,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.length("text").cast("long").alias("text_len")))
 
     q["doc_longest_per_lang"] = doc_longest_per_lang
+
+    def doc_top_terms_per_lang(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.textstats import top_terms_per_group
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return top_terms_per_group(docs, group_col="lang", k=3)
+
+    q["doc_top_terms_per_lang"] = doc_top_terms_per_lang
 
     def doc_ngram_jaccard_pairs(spark, sf_dir):
         from khl_pdf_ocr_spark.operators.dedup import ngram_jaccard_pairs
@@ -606,6 +679,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
     """
 
+    o["doc_top_terms_per_lang"] = """
+        WITH toks AS (
+          SELECT lang, doc_id, unnest(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token
+          FROM documents
+        ), counts AS (
+          SELECT lang, token, count(*) AS doc_freq
+          FROM toks WHERE length(token) > 0
+          GROUP BY lang, token
+        )
+        SELECT lang, rank, token, doc_freq
+        FROM (SELECT lang, token, doc_freq,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY doc_freq DESC, token ASC) AS rank
+              FROM counts)
+        WHERE rank <= 3
+    """
+
     o["doc_ngram_jaccard_pairs"] = f"""
         WITH t AS (
           SELECT doc_id, source,
@@ -640,6 +731,52 @@ def oracle_sql() -> dict[str, str]:
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """
+
+    o["q6_revenue_delta"] = """
+        SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0
+                   AS revenue_delta,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """
+
+    o["q12_shipmode_priority"] = """
+        SELECT l_linestatus,
+               (sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END))::bigint AS high_priority,
+               (sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END))::bigint AS low_priority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus
+    """
+
+    o["customers_without_orders"] = """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    o["suppliers_with_big_items_semi"] = """
+        SELECT s_suppkey, s_nationkey
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+    """
+
+    o["events_first3_types"] = """
+        SELECT user_id,
+               array_to_string((list(event_type ORDER BY ts, event_id))[1:3], ' ')
+                   AS first3
+        FROM events GROUP BY user_id
+    """
+
+    o["doc_normalized_preview"] = f"""
+        SELECT doc_id, substr({_NORM}, 1, 48) AS preview
+        FROM documents
     """
 
     o["lineitem_rollup"] = """

@@ -10,7 +10,32 @@ from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.functions import text as X
 
-__all__ = ["text_stats", "language_id", "quality_filter", "fingerprints"]
+__all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
+           "top_terms_per_group"]
+
+
+def top_terms_per_group(df: DataFrame, *, text_col: str = "text",
+                        group_col: str = "lang", k: int = 3) -> DataFrame:
+    """Top-k terms per group by document frequency (corpus vocabulary
+    profiling).  explode → two-level aggregation → window top-k; all
+    shuffles are on (group, token) / group keys with map-side combine.
+    Deterministic tie-break: higher doc-frequency first, then token asc.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(group_col).alias("grp"),
+                     F.col("doc_id"),
+                     F.explode(F.array_distinct(
+                         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                     ).alias("token"))
+    counts = (toks.filter(F.length("token") > 0)
+              .groupBy("grp", "token")
+              .agg(F.count(F.lit(1)).alias("doc_freq")))
+    w = Window.partitionBy("grp").orderBy(F.col("doc_freq").desc(),
+                                          F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col), "rank", "token", "doc_freq"))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

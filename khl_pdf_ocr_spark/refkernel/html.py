@@ -164,6 +164,32 @@ def strip_boilerplate(html_text: str) -> str:
     return "\n".join(kept)
 
 
+RE_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+
+
+def detect_charset(payload: bytes) -> str:
+    """Charset from BOM or a <meta charset=…> in the first 4 KB;
+    UTF-8 otherwise (Common-Crawl reality: mislabeled pages abound,
+    so the decode is always errors='replace')."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = RE_CHARSET.search(payload[:4096])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            import codecs
+
+            codecs.lookup(enc)
+            return enc
+        except LookupError:
+            pass
+    return "utf-8"
+
+
 def extract_html_text(payload: bytes) -> str:
-    """Decode bytes (UTF-8 with replacement — Common-Crawl reality) and strip."""
-    return strip_boilerplate(payload.decode("utf-8", errors="replace"))
+    """Decode bytes (detected charset, replacement on errors) and strip."""
+    return strip_boilerplate(payload.decode(detect_charset(payload),
+                                            errors="replace"))

@@ -307,9 +307,20 @@ def extract_words(pdf_bytes: bytes):
                     except ValueError:
                         pass
                 stack.clear()
-            elif t == b"Tj":
-                raw = stack[-1] if stack else b"()"
-                text_bytes = _decode_hex(raw) if raw[:1] == b"<" else _decode_literal(raw)
+            elif t == b"Tj" or t == b"TJ" or t == b"'":
+                if t == b"'":  # move-to-next-line-and-show
+                    y -= leading
+                    x = line_start_x
+                    line_no += 1
+                if t == b"TJ":
+                    # array form: concatenate string elements, ignore the
+                    # numeric kerning adjustments
+                    parts = [(_decode_hex(s) if s[:1] == b"<" else _decode_literal(s))
+                             for s in stack if s[:1] in (b"(", b"<")]
+                    text_bytes = b"".join(parts)
+                else:
+                    raw = stack[-1] if stack else b"()"
+                    text_bytes = _decode_hex(raw) if raw[:1] == b"<" else _decode_literal(raw)
                 text = text_bytes.decode("utf-8", errors="replace").strip()
                 if in_text and text:
                     y_top = page_h - y - ASCENT * size

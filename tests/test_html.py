@@ -64,3 +64,28 @@ def test_bytes_entry_decodes_utf8_with_replacement():
 def test_short_linky_block_dropped():
     html = '<div><a href="/x">много ссылок тут совсем</a> и чуть текста</div>'
     assert strip_boilerplate(html) == ""
+
+
+def test_charset_detection_cp1251():
+    from khl_pdf_ocr_spark.refkernel.html import detect_charset
+
+    body = ("<html><head><meta charset=windows-1251></head><body><p>"
+            + "очень длинный русский текст страницы про матчи " * 4
+            + "</p></body></html>")
+    payload = body.encode("cp1251")
+    assert detect_charset(payload) == "windows-1251"
+    out = extract_html_text(payload)
+    assert "русский текст" in out
+
+
+def test_charset_unknown_falls_back_utf8():
+    from khl_pdf_ocr_spark.refkernel.html import detect_charset
+
+    assert detect_charset(b'<meta charset="no-such-enc">') == "utf-8"
+    assert detect_charset(b"plain") == "utf-8"
+
+
+def test_charset_utf8_bom():
+    from khl_pdf_ocr_spark.refkernel.html import detect_charset
+
+    assert detect_charset(b"\xef\xbb\xbf<html>") == "utf-8"

@@ -67,3 +67,17 @@ def test_tm_and_tstar_operators():
     out = minipdf.extract_words(pdf)
     assert [w[4] for w in out] == ["first", "second"]
     assert out[1][1] > out[0][1]  # second line is lower on the page (top-down y)
+
+
+def test_tj_array_and_quote_operators():
+    content = (b"BT /F1 12 Tf 1 0 0 1 100 700 Tm "
+               b"[(Hel) -120 (lo)] TJ "
+               b"14 TL (world) ' ET\n")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content +
+           b"endstream\nendobj\n%%EOF\n")
+    out = minipdf.extract_words(pdf)
+    assert [w[4] for w in out] == ["Hello", "world"]
+    assert out[1][1] > out[0][1]  # ' moved to the next line

@@ -126,3 +126,26 @@ def test_resume_skips_completed_buckets(spark, fixture_tables, tmp_path):
     full = spark.read.parquet(os.path.join(out_dir, "data"))
     assert full.count() == 200
     assert full.select("url").distinct().count() == 200
+
+
+def test_salting_bounds_byte_skew(spark, fixture_tables):
+    """The skew story, quantified: on a corpus where all heavy documents
+    share one key, hash partitioning on that key concentrates the bytes;
+    salted size-bucket repartitioning spreads them."""
+    docs_path, _ = fixture_tables
+    docs = spark.read.parquet(docs_path)
+    n_part = 8
+
+    def max_partition_bytes(df):
+        rows = (df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").agg(F.sum(F.length("html")).alias("b")).collect())
+        sizes = [r["b"] for r in rows]
+        return max(sizes), sum(sizes) / len(sizes)
+
+    # adversarial layout: everything hashed by a constant-ish key
+    skewed = docs.repartition(n_part, F.lit(1))
+    mx_skew, _ = max_partition_bytes(skewed)
+    salted = repartition_for_extraction(docs, n_part)
+    mx_salt, avg_salt = max_partition_bytes(salted)
+    assert mx_salt < mx_skew * 0.6
+    assert mx_salt < 4 * avg_salt
