@@ -493,6 +493,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ann_lsh_topk"] = emb_ann_lsh_topk
 
+    def emb_ann_ivf_topk(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.similarity import ivf_ann_topk
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        qv = [r[0] for r in
+              emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+        return ivf_ann_topk(emb, qv, k=10, n_centroids=16, nprobe=3)
+
+    q["emb_ann_ivf_topk"] = emb_ann_ivf_topk
+
+    def emb_lsh_near_dup_pairs(spark, sf_dir):
+        from khl_pdf_ocr_spark.operators.similarity import lsh_near_dup_pairs
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        return lsh_near_dup_pairs(emb, threshold=0.3, nbits=6)
+
+    q["emb_lsh_near_dup_pairs"] = emb_lsh_near_dup_pairs
+
     return q
 
 

@@ -32,11 +32,15 @@ __all__ = ["extract_documents", "extract_batches", "make_extract_fn"]
 
 def _extract_rows(urls, payloads, mode: str) -> list[dict[str, Any]]:
     # import inside the task (executor-side) — refkernel is pure stdlib
+    import time
+
     from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
 
     rows = []
     for url, payload in zip(urls, payloads):
+        t0 = time.perf_counter()
         res = extract_document(url, payload, mode=mode)
+        kernel_us = int((time.perf_counter() - t0) * 1e6)
         text = res["extracted_text"]
         rows.append({
             "url": url,
@@ -51,6 +55,7 @@ def _extract_rows(urls, payloads, mode: str) -> list[dict[str, Any]]:
             "goalies": res["goalies"],
             "n_bytes": len(payload) if payload is not None else 0,
             "n_lines": (text.count("\n") + 1) if text else 0,
+            "kernel_us": kernel_us,
         })
     return rows
 

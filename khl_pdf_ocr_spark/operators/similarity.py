@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
 __all__ = ["cosine", "cosine_topk", "hyperplanes", "with_lsh_bucket",
-           "lsh_ann_topk", "embedding_near_dup_pairs"]
+           "lsh_ann_topk", "lsh_near_dup_pairs", "ivf_ann_topk",
+           "embedding_near_dup_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -98,6 +99,67 @@ def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, *, nbits: int = 12,
     bucketed = with_lsh_bucket(df, planes, vec_col)
     cand = bucketed.filter(F.col("lsh_bucket").isin(probes))
     sim = round_half_up(cosine(F.col(vec_col), _query_lit(query_vec)), 6)
+    return (cand.select(F.col(id_col), sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10,
+                       seed: int = 42, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates share an LSH bucket
+    (random-hyperplane signs), then exact cosine verification.
+
+    vs ``embedding_near_dup_pairs`` (blocking key): no natural blocking
+    column needed; recall is tunable via nbits (fewer bits → bigger
+    buckets → higher recall, more verification work).  The self-join
+    shuffles on the bucket id only.
+    """
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = hyperplanes(dim, nbits, seed)
+    b = with_lsh_bucket(df.select(F.col(id_col).alias("id"),
+                                  F.col(vec_col).alias("v")), planes, "v")
+    l, r = b.alias("l"), b.alias("r")
+    sim = round_half_up(cosine(F.col("l.v"), F.col("r.v")), 6)
+    return (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def ivf_ann_topk(df: DataFrame, query_vec, k: int = 10, *, n_centroids: int = 16,
+                 nprobe: int = 2, seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (MLlib, seeded) → assign
+    each vector to its nearest centroid ("inverted list") → the query
+    scores only the ``nprobe`` nearest lists.
+
+    At 100 TB the assignment is computed once and the table is written
+    partitioned by ``ivf_cell``, so a query prunes to nprobe/(n_centroids)
+    of the data at the storage layer.  Same output schema as
+    ``cosine_topk``.
+    """
+    import math as _math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(F.col(id_col), F.col(vec_col),
+                     array_to_vector(_to_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                   predictionCol="ivf_cell").fit(feat)
+    assigned = model.transform(feat)
+
+    centers = model.clusterCenters()
+    q = [float(v) for v in query_vec]
+
+    def _dist(c):
+        return _math.sqrt(sum((a - b) ** 2 for a, b in zip(c, q)))
+
+    probes = sorted(range(len(centers)), key=lambda i: _dist(centers[i]))[:nprobe]
+    cand = assigned.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
+    sim = round_half_up(cosine(F.col(vec_col), _query_lit(q)), 6)
     return (cand.select(F.col(id_col), sim.alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
             .limit(k))

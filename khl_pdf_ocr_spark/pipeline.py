@@ -64,9 +64,14 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col("ok").cast("long")).alias("n_ok"),
                  F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
-                 F.sum("n_bytes").alias("n_bytes"))
+                 F.sum("n_bytes").alias("n_bytes"),
+                 (F.sum("kernel_us") / 1e6).alias("kernel_s"))
             .withColumn("run_id", F.lit(run_id))
-            .select("run_id", "partition_id", "n_docs", "n_ok", "n_failed", "n_bytes"))
+            .withColumn("docs_per_sec",
+                        F.round(F.col("n_docs") / F.greatest(F.col("kernel_s"),
+                                                             F.lit(1e-9)), 2))
+            .select("run_id", "partition_id", "n_docs", "n_ok", "n_failed",
+                    "n_bytes", "kernel_s", "docs_per_sec"))
 
 
 def run_extraction(spark: SparkSession, input_path: str, output_path: str | None = None,

@@ -55,6 +55,7 @@ EXTRACT_SCHEMA = T.StructType([
     ]), True),
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("n_lines", T.IntegerType(), True),
+    T.StructField("kernel_us", T.LongType(), True),
 ])
 
 # Arrow twin of EXTRACT_SCHEMA (mapInArrow produces RecordBatches directly)
@@ -79,6 +80,7 @@ EXTRACT_PA = pa.schema([
                            ("away", pa.list_(GOALIE_PA))])),
     ("n_bytes", pa.int64()),
     ("n_lines", pa.int32()),
+    ("kernel_us", pa.int64()),
 ])
 
 METRICS_SCHEMA = T.StructType([
@@ -88,5 +90,6 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("n_ok", T.LongType(), False),
     T.StructField("n_failed", T.LongType(), False),
     T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("kernel_s", T.DoubleType(), True),
     T.StructField("docs_per_sec", T.DoubleType(), True),
 ])

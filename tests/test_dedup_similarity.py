@@ -110,3 +110,27 @@ def test_dedup_single_shuffle_plan(planted_docs):
     plan = exact_dedup(planted_docs)._jdf.queryExecution().executedPlan().toString()
     # map-side partial agg around exactly one exchange
     assert plan.count("Exchange") == 1, plan
+
+
+def test_lsh_near_dup_pairs(planted_vecs):
+    from khl_pdf_ocr_spark.operators.similarity import lsh_near_dup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+             lsh_near_dup_pairs(planted_vecs, threshold=0.9, nbits=3).collect()}
+    assert (0, 1) in pairs          # cos ≈ 0.994, same half-space w.h.p.
+    assert all(v >= 0.9 for v in pairs.values())
+
+
+def test_ivf_ann_topk(spark):
+    from khl_pdf_ocr_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0)
+          .select(F.explode("embedding")).collect()]
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=5).collect()]
+    approx = ivf_ann_topk(emb, qv, k=5, n_centroids=8, nprobe=3).collect()
+    assert len(approx) == 5
+    # the query's own vector lives in the probed cell → rank 1, sim 1.0
+    assert approx[0]["vec_id"] == 0 and approx[0]["cos_sim"] == 1.0
+    # decent recall vs exact top-5
+    assert len(set(exact) & {r["vec_id"] for r in approx}) >= 2
