@@ -253,6 +253,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q12_shipmode_priority"] = q12_shipmode_priority
 
+    def q14_promo_ratio(spark, sf_dir):
+        # conditional-aggregate ratio over a broadcast join (TPC-H Q14 shape)
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        part = spark.read.parquet(_t(sf_dir, "part"))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+        return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .agg(_r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+                     .alias("promo_pct"),
+                     F.count(F.lit(1)).alias("n_items")))
+
+    q["q14_promo_ratio"] = q14_promo_ratio
+
+    def q18_large_orders(spark, sf_dir):
+        # group-by + HAVING on an aggregate (TPC-H Q18 shape)
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.groupBy("l_orderkey")
+                .agg(_r(F.sum("l_quantity"), 2).alias("total_qty"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .filter(F.col("total_qty") > 150)
+                .orderBy(F.col("total_qty").desc(), F.col("l_orderkey").asc())
+                .limit(20))
+
+    q["q18_large_orders"] = q18_large_orders
+
     def customers_without_orders(spark, sf_dir):
         # anti join (set-difference operator)
         cust = spark.read.parquet(_t(sf_dir, "customer"))
@@ -770,6 +795,27 @@ def oracle_sql() -> dict[str, str]:
                          THEN 0 ELSE 1 END))::bigint AS low_priority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_linestatus
+    """
+
+    o["q14_promo_ratio"] = """
+        SELECT floor((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+                   / 10000.0 AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """
+
+    o["q18_large_orders"] = """
+        SELECT l_orderkey,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 > 150
+        ORDER BY total_qty DESC, l_orderkey ASC
+        LIMIT 20
     """
 
     o["customers_without_orders"] = """
