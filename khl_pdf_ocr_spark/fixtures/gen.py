@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from khl_pdf_ocr_spark.refkernel import minipdf
 from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
 
-GEN_VERSION = 4  # bump to invalidate cached fixture dirs
+GEN_VERSION = 5  # bump to invalidate cached fixture dirs
 
 REFERENCE_DIR = os.environ.get("KHL_REFERENCE_DIR", "/root/reference")
 
@@ -208,9 +208,22 @@ def _balance_median(words: list[tuple[float, float, str, float]]) -> None:
 
 def make_game_sheet_pdf(rng, players, referees, variant: int,
                         compress: bool, pad_bytes: int) -> bytes:
-    return minipdf.build_game_sheet_pdf(
-        make_game_sheet_words(rng, players, referees, variant),
-        compress=compress, pad_bytes=pad_bytes)
+    w = minipdf.PdfWriter(compress=compress)
+    for x, y, t, size in make_game_sheet_words(rng, players, referees, variant):
+        w.add_word(x, y, t, size)
+    if variant == 0 and rng.random() < 0.5:
+        # multipage: page 2 carries decoy content (caps team-like line,
+        # different referee names) that must NOT leak into the page-0
+        # extraction (reference restriction, app.py:67,86)
+        w.new_page()
+        w.add_word(40.0, 60.0, "ВТОРАЯ", 13.0)
+        w.add_word(140.0, 60.0, "СТРАНИЦА", 13.0)
+        w.add_word(40.0, 90.0, "Главный", 10.0)
+        w.add_word(100.0, 90.0, "судья", 10.0)
+        w.add_word(40.0, 106.0, _two_token(rng.choice(referees)), 10.0)
+    if pad_bytes:
+        w.add_padding(pad_bytes)
+    return w.tobytes()
 
 
 # ---------------------------------------------------------------------------

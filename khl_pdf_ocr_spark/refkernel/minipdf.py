@@ -60,14 +60,19 @@ class PdfWriter:
         self.page_w = float(page_w)
         self.page_h = float(page_h)
         self.compress = compress
-        self._ops: list[bytes] = []
+        self._pages: list[list[bytes]] = [[]]
         self._pad = 0
+
+    def new_page(self) -> None:
+        """Start another page (the reference only ever reads page 0 —
+        multipage fixtures exercise exactly that restriction)."""
+        self._pages.append([])
 
     def add_word(self, x: float, y_top: float, text: str, size: float = 10.0) -> None:
         # reader computes y_top = page_h - baseline - ASCENT*size  =>  invert here
         baseline = self.page_h - float(y_top) - ASCENT * float(size)
         hex_text = text.encode("utf-8").hex().upper()
-        self._ops.append(
+        self._pages[-1].append(
             b"BT /F1 %s Tf %s %s Td <%s> Tj ET"
             % (_num(size), _num(x), _num(baseline), hex_text.encode("ascii"))
         )
@@ -77,21 +82,26 @@ class PdfWriter:
         self._pad = max(self._pad, int(n_bytes))
 
     def tobytes(self) -> bytes:
-        content = b"\n".join(self._ops) + b"\n"
-        filt = b""
-        if self.compress:
-            content = zlib.compress(content, 6)
-            filt = b" /Filter /FlateDecode"
-
+        n_pages = len(self._pages)
+        font_obj = 3 + 2 * n_pages
+        kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
         objs: list[bytes] = [
             b"<< /Type /Catalog /Pages 2 0 R >>",
-            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-            (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
-             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-             % (_num(self.page_w), _num(self.page_h))),
-            (b"<< /Length %d%s >>\nstream\n" % (len(content), filt)) + content + b"\nendstream",
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages),
         ]
+        for i, ops in enumerate(self._pages):
+            content = b"\n".join(ops) + b"\n"
+            filt = b""
+            if self.compress:
+                content = zlib.compress(content, 6)
+                filt = b" /Filter /FlateDecode"
+            objs.append(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
+                b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+                % (_num(self.page_w), _num(self.page_h), 4 + 2 * i, font_obj))
+            objs.append((b"<< /Length %d%s >>\nstream\n" % (len(content), filt))
+                        + content + b"\nendstream")
+        objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
         if self._pad:
             # incompressible deterministic filler so parquet/snappy cannot
             # shrink the oversize fixtures back down
@@ -193,8 +203,45 @@ def _decode_hex(tok: bytes) -> bytes:
     return bytes.fromhex(h.decode("ascii"))
 
 
+_PAGE_OBJ_RE = re.compile(
+    rb"(\d+)\s+0\s+obj\s*<<(?:(?!endobj).)*?/Type\s*/Page\b(?:(?!endobj).)*?>>", re.S)
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_OBJ_STREAM_RE_TMPL = rb"%d\s+0\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
+
+
+def _first_page_stream(data: bytes) -> bytes | None:
+    """Resolve the FIRST page's /Contents stream via the page tree.
+
+    The reference processes page 0 only (``pno=0`` at app.py:67,86 and
+    every call site) — a multipage document must NOT leak later pages'
+    words into the layout. Returns None when the page tree cannot be
+    resolved (malformed or exotic PDFs → caller falls back to scanning
+    all text streams, best-effort)."""
+    page = _PAGE_OBJ_RE.search(data)
+    if not page:
+        return None
+    cref = _CONTENTS_REF_RE.search(page.group(0))
+    if not cref:
+        return None
+    obj_num = int(cref.group(1))
+    sm = re.search(_OBJ_STREAM_RE_TMPL % obj_num, data, re.S)
+    if not sm:
+        return None
+    sdict, body = sm.group(1), sm.group(2)
+    if body.endswith(b"\n"):
+        body = body[:-1]
+    if b"/FlateDecode" in sdict:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            return None
+    return body
+
+
 def extract_words(pdf_bytes: bytes):
-    """Parse a PDF and return MuPDF-shaped word tuples (top-down y).
+    """Parse a PDF and return MuPDF-shaped word tuples for PAGE 0 ONLY
+    (top-down y) — mirroring the reference's single-page restriction
+    (app.py:67,86).
 
     Raises :class:`MiniPdfError` on anything that is not a parseable
     PDF — mirrored by the pipeline as a per-row ``pdf_open_error``
@@ -207,18 +254,24 @@ def extract_words(pdf_bytes: bytes):
     m = _MEDIABOX_RE.search(data)
     page_h = float(m.group(4)) if m else DEFAULT_PAGE_H
 
-    streams = []
-    for sm in _STREAM_RE.finditer(data):
-        sdict, body = sm.group(1), sm.group(2)
-        if body.endswith(b"\n"):
-            body = body[:-1]
-        if b"/FlateDecode" in sdict:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue  # non-content stream (e.g. padding); skip
-        if b"BT" in body:
-            streams.append(body)
+    first = _first_page_stream(data)
+    if first is not None and b"BT" in first:
+        streams = [first]
+    else:
+        # fallback: page tree unresolvable → best-effort over all text
+        # streams (single-page writers without /Page objects, tests)
+        streams = []
+        for sm in _STREAM_RE.finditer(data):
+            sdict, body = sm.group(1), sm.group(2)
+            if body.endswith(b"\n"):
+                body = body[:-1]
+            if b"/FlateDecode" in sdict:
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    continue  # non-content stream (e.g. padding); skip
+            if b"BT" in body:
+                streams.append(body)
     if not streams:
         raise MiniPdfError("no text content stream found")
 

@@ -81,3 +81,23 @@ def test_tj_array_and_quote_operators():
     out = minipdf.extract_words(pdf)
     assert [w[4] for w in out] == ["Hello", "world"]
     assert out[1][1] > out[0][1]  # ' moved to the next line
+
+
+def test_multipage_reads_page_zero_only():
+    # reference restriction: pno=0 at every call site (app.py:67,86)
+    w = minipdf.PdfWriter()
+    w.add_word(40.0, 50.0, "первая", 10.0)
+    w.add_word(120.0, 50.0, "страница", 10.0)
+    w.new_page()
+    w.add_word(40.0, 50.0, "вторая", 10.0)
+    out = minipdf.extract_words(w.tobytes())
+    assert [x[4] for x in out] == ["первая", "страница"]
+
+
+def test_multipage_compressed():
+    w = minipdf.PdfWriter(compress=True)
+    w.add_word(40.0, 50.0, "стр1", 10.0)
+    w.new_page()
+    w.add_word(40.0, 50.0, "стр2", 10.0)
+    out = minipdf.extract_words(w.tobytes())
+    assert [x[4] for x in out] == ["стр1"]
