@@ -91,7 +91,10 @@ def extract_only(cpus: int) -> None:
     from khl_pdf_ocr_spark.session import get_spark
 
     docs_path = bench_corpus(SCALING_DOCS)
-    # fine-grained scan splits so the map side scales with cores
+    # FIXED split size at both parallelism levels — the scaling gate
+    # compares the IDENTICAL job; only the core count differs.  (A
+    # per-core split-sizing variant measured a faster small-N baseline
+    # but a weaker comparison: the jobs were no longer identical.)
     spark = get_spark(f"bench-extract-{cpus}", cpus=cpus,
                       extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"})
     out_base = os.path.join(REPO, ".bench_cache", f"out_{cpus}")
