@@ -536,6 +536,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_lsh_near_dup_pairs"] = emb_lsh_near_dup_pairs
 
+    def corpus_clean_ledger(spark, sf_dir):
+        # end-to-end cleaning composition: lang/quality filters → exact
+        # dedup → MinHash near-dup removal; returns the reject ledger
+        from khl_pdf_ocr_spark.corpus import clean_corpus
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        _, ledger = clean_corpus(docs, allowed_langs=("en", "ru", "other"),
+                                 min_quality=0.3, near_dup_threshold=0.5)
+        return ledger
+
+    q["corpus_clean_ledger"] = corpus_clean_ledger
+
     return q
 
 

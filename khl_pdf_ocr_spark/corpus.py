@@ -1,0 +1,69 @@
+"""End-to-end training-corpus cleaning: the composition a 100 TB
+pretraining-data pipeline actually runs over extracted text.
+
+    extract → language filter → quality filter → exact dedup
+            → MinHash near-dup removal → cleaned corpus + reject ledger
+
+Each stage is one of this engine's operators; the composition adds the
+keep/drop bookkeeping (every dropped row lands in the ledger with its
+reject reason — at scale you audit the drops, not the keeps).
+
+Shuffle budget: lang/quality filters are map-only; exact dedup is one
+hash shuffle on the fingerprint; near-dup removal reuses the MinHash-LSH
+band shuffle + a broadcast-able drop-list anti-join (the drop list is
+tiny relative to the corpus — near-dup rates are single-digit percent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions import text as X
+from khl_pdf_ocr_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+                 allowed_langs: tuple[str, ...] = ("en", "ru"),
+                 min_quality: float = 0.4,
+                 near_dup_threshold: float = 0.8) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(kept, ledger)``.
+
+    ``kept``   — surviving rows of ``df`` (original columns).
+    ``ledger`` — (id, reject_reason) for every dropped row:
+                 lang | quality | exact_dup | near_dup.
+    """
+    base = df.withColumn("_lang", X.lang_id(F.col(text_col))) \
+             .withColumn("_q", X.quality_score(F.col(text_col)))
+
+    lang_bad = base.filter(~F.col("_lang").isin(*allowed_langs)) \
+                   .select(F.col(id_col).alias("id"),
+                           F.lit("lang").alias("reject_reason"))
+    stage1 = base.filter(F.col("_lang").isin(*allowed_langs))
+
+    q_bad = stage1.filter(F.col("_q") < min_quality) \
+                  .select(F.col(id_col).alias("id"),
+                          F.lit("quality").alias("reject_reason"))
+    stage2 = stage1.filter(F.col("_q") >= min_quality)
+
+    # exact dedup: keep min(id) per fingerprint
+    groups = exact_dedup(stage2, text_col=text_col, id_col=id_col)
+    keep_ids = groups.select(F.col("keep_id").alias(id_col))
+    exact_bad = (stage2.join(keep_ids, id_col, "left_anti")
+                 .select(F.col(id_col).alias("id"),
+                         F.lit("exact_dup").alias("reject_reason")))
+    stage3 = stage2.join(keep_ids, id_col, "left_semi")
+
+    # near-dup: drop the higher id of every confirmed pair
+    pairs = minhash_lsh_pairs(stage3, text_col=text_col, id_col=id_col,
+                              verify_threshold=near_dup_threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near_bad = drop.select(F.col(id_col).alias("id"),
+                           F.lit("near_dup").alias("reject_reason"))
+    kept = stage3.join(F.broadcast(drop), id_col, "left_anti") \
+                 .drop("_lang", "_q")
+
+    ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
+    return kept, ledger

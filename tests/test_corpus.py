@@ -1,0 +1,56 @@
+"""corpus.clean_corpus: every row is kept or landed in the ledger with
+the right reject reason; no row is lost or double-counted."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.corpus import clean_corpus
+
+GOOD_EN = ("the quick brown fox jumps over the lazy dog and then the fox "
+           "runs back to the forest for a while as the day goes on with many "
+           "more of the same words to keep the quality score high enough "
+           "for the filter to pass it through to the cleaned corpus today")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, GOOD_EN, "s"),
+        (1, GOOD_EN, "s"),                          # exact dup of 0
+        (2, GOOD_EN + " extra tail words here", "s"),  # near dup of 0
+        (3, "1234 5678 9999 0000", "s"),            # digit junk → fails lang gate first
+        (4, "hola mundo esto es otro idioma sin palabras inglesas comunes "
+            "aqui nada coincide con la lista", "s"),   # non-en/ru → lang reject
+        (5, "совершенно другой русский текст про горы и ледники который "
+            "достаточно длинный и естественный чтобы пройти фильтры " * 3, "s"),
+        # passes lang (≥3 EN stopwords) but digit/punct spam sinks quality
+        (6, "the fox and dog in " + "11, 22; 33! " * 8, "s"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_clean_corpus_partition(spark, corpus):
+    kept, ledger = clean_corpus(corpus, min_quality=0.4, near_dup_threshold=0.6)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+
+    assert kept_ids == {0, 5}
+    assert reasons[1] == "exact_dup"
+    assert reasons[2] == "near_dup"
+    assert reasons[3] == "lang"      # reject_reason = FIRST failing gate
+    assert reasons[4] == "lang"
+    assert reasons[6] == "quality"
+    # conservation: every input row is exactly one of kept/rejected
+    assert kept_ids.isdisjoint(reasons)
+    assert kept_ids | set(reasons) == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_clean_corpus_keeps_original_columns(spark, corpus):
+    kept, _ = clean_corpus(corpus, min_quality=0.4)
+    assert set(kept.columns) == {"doc_id", "text", "source"}
+
+
+def test_clean_corpus_droplist_antijoin_broadcasts(spark, corpus):
+    kept, _ = clean_corpus(corpus)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
