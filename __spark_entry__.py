@@ -388,6 +388,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_group_concat"] = events_group_concat
 
+    def events_value_percentiles(spark, sf_dir):
+        # exact order-statistics percentiles (sorted-list indexing, the
+        # same exact-element discipline as the median rule)
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        arr = F.sort_array(F.collect_list("value"))
+        n = F.count(F.lit(1))
+
+        def pct(p):
+            idx = (F.floor(n * F.lit(p)).cast("int") + 1)
+            return F.element_at(arr, F.least(idx, n.cast("int")))
+
+        return (ev.groupBy("event_type")
+                .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"),
+                     pct(0.99).alias("p99"), n.alias("n_events")))
+
+    q["events_value_percentiles"] = events_value_percentiles
+
+    def orders_monthly_trend(spark, sf_dir):
+        # time-series rollup + lag window (month-over-month delta)
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        monthly = (orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                                "yyyy-MM").alias("month"))
+                   .agg(F.count(F.lit(1)).alias("n_orders"),
+                        _r(F.sum("o_totalprice"), 2).alias("total")))
+        w = Window.orderBy("month")
+        return monthly.select(
+            "month", "n_orders", "total",
+            (F.col("n_orders") - F.coalesce(F.lag("n_orders").over(w), F.lit(0))
+             ).alias("mom_delta"))
+
+    q["orders_monthly_trend"] = orders_monthly_trend
+
     def events_props_extract(spark, sf_dir):
         # regex field extraction shadow (app.py:146-160)
         ev = spark.read.parquet(_t(sf_dir, "events"))
@@ -666,6 +698,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                string_agg(event_type, ' ' ORDER BY ts, event_id) AS type_seq
         FROM events GROUP BY user_id
+    """
+
+    o["events_value_percentiles"] = """
+        SELECT event_type,
+               (list_sort(list(value)))[least((floor(count(*) * 0.5))::int + 1,
+                                              count(*)::int)] AS p50,
+               (list_sort(list(value)))[least((floor(count(*) * 0.9))::int + 1,
+                                              count(*)::int)] AS p90,
+               (list_sort(list(value)))[least((floor(count(*) * 0.99))::int + 1,
+                                              count(*)::int)] AS p99,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """
+
+    o["orders_monthly_trend"] = """
+        WITH monthly AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                 count(*) AS n_orders,
+                 floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+          FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders, total,
+               n_orders - coalesce(lag(n_orders) OVER (ORDER BY month), 0)
+                   AS mom_delta
+        FROM monthly
     """
 
     o["events_props_extract"] = """

@@ -37,9 +37,12 @@ def stream_dir(tmp_path):
         (T0 + timedelta(hours=2), 1, "click"),
         (T0, 2, "view"), (T0 + timedelta(minutes=10), 2, "view"),
     ])
-    # batch 2: user 1 event far after → closes the 2h-session
+    # batch 2: user 1 event far after → closes the 2h-session; plus a
+    # LATE event for hour 0 arriving after the watermark passed — the
+    # windowed agg must drop it (no update to the finalized window)
     _write_events(str(d / "b2.parquet"), [
         (T0 + timedelta(hours=6), 1, "click"),
+        (T0 + timedelta(minutes=30), 9, "late"),
     ])
     return str(d)
 
@@ -74,19 +77,44 @@ def test_streaming_sessionize_emits_closed_sessions(spark, stream_dir, tmp_path)
                                     for r in all_rows))
 
 
-def test_streaming_windowed_counts_with_watermark(spark, stream_dir, tmp_path):
-    stream = (spark.readStream.schema(
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string")
-        .option("maxFilesPerTrigger", "1").parquet(stream_dir))
-    out = streaming_windowed_counts(stream, window="1 hour", watermark="1 hour")
-    q = (out.writeStream.format("memory").queryName("hourly")
-         .option("checkpointLocation", str(tmp_path / "ckpt2"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    rows = {(r["window_start"].hour, r["event_type"]): r["n_events"]
-            for r in spark.sql("select * from hourly").collect()}
-    # hour 0 finalized once the watermark passed (batch 2 at T0+6h):
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    """Two separate availableNow drains over a shared checkpoint: the
+    watermark persists between runs, so run 2's late hour-0 event is
+    unambiguously beyond-watermark and must be dropped."""
+    in_dir = tmp_path / "wm_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "wm_out")
+
+    def drain(_):
+        stream = (spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string").parquet(str(in_dir)))
+        out = streaming_windowed_counts(stream, window="1 hour",
+                                        watermark="30 minutes")
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _write_events(str(in_dir / "b1.parquet"), [
+        (T0, 1, "click"), (T0 + timedelta(minutes=5), 1, "click"),
+        (T0, 2, "view"), (T0 + timedelta(minutes=10), 2, "view"),
+        (T0 + timedelta(hours=2), 1, "click"),
+    ])
+    drain("hourly1")
+    # after run 1 the checkpointed watermark = T0+2h − 30min = T0+1.5h
+    _write_events(str(in_dir / "b2.parquet"), [
+        (T0 + timedelta(hours=6), 1, "click"),
+        (T0 + timedelta(minutes=30), 9, "late"),  # beyond watermark → drop
+    ])
+    drain("hourly2")
+
+    rows = {}
+    for r in spark.read.parquet(out_dir).collect():
+        key = (r["window_start"].hour, r["event_type"])
+        rows[key] = rows.get(key, 0) + r["n_events"]
     assert rows.get((0, "click")) == 2
     assert rows.get((0, "view")) == 2
-    assert rows.get((2, "click")) == 1
+    assert rows.get((2, "click")) == 1  # finalized in run 2 (watermark 5.5h)
+    assert not any(et == "late" for _, et in rows), rows
