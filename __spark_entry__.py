@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- TPC-H-ish relational core (oracle-checked) ---------------------
 
     def q1_pricing_summary(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
         return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1999-06-30")))
                 .groupBy("l_returnflag", "l_linestatus")
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q5_nation_revenue"] = q5_nation_revenue
 
     def scan_filter_project(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
         return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
                           & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-07-01")))
@@ -229,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_spenders_window"] = top_spenders_window
 
     def q6_revenue_delta(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         # simple predicate agg (TPC-H Q6 shape)
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
         return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
@@ -338,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- events: sessionization, windows, regex -------------------------
 
     def events_sessionize(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ev = spark.read.parquet(_t(sf_dir, "events"))
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -353,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize"] = events_sessionize
 
     def events_hourly_rollup(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ev = spark.read.parquet(_t(sf_dir, "events"))
         return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
                                          "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -406,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_percentiles"] = events_value_percentiles
 
     def orders_monthly_trend(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         # time-series rollup + lag window (month-over-month delta)
         orders = spark.read.parquet(_t(sf_dir, "orders"))
         monthly = (orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
