@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "48000"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "48000"))
 BENCH_SEED = 7
 BENCH_CORPUS_DIR = os.path.join(REPO, ".bench_cache", f"corpus_{BENCH_DOCS}_{BENCH_SEED}")
@@ -144,7 +144,10 @@ def main() -> None:
     from khl_pdf_ocr_spark.session import get_spark
 
     docs_path = bench_corpus()
-    spark = get_spark("bench", cpus=args.cpus)
+    # fine scan splits for the local corpus (128 MB default would give
+    # ~3 tasks for a ~300 MB corpus → idle cores)
+    spark = get_spark("bench", cpus=args.cpus,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "8388608"})
     qmap = entrymod.queries()
 
     timings: dict[str, float] = {}
