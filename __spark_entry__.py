@@ -435,6 +435,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_props_extract"] = events_props_extract
 
+    def events_json_extract(spark, sf_dir):
+        # JSON path extraction (vs the regex variant above)
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_json"))
+
+    q["events_json_extract"] = events_json_extract
+
     # --- documents: text analytics --------------------------------------
 
     def doc_token_counts(spark, sf_dir):
@@ -734,6 +743,12 @@ def oracle_sql() -> dict[str, str]:
     o["events_props_extract"] = """
         SELECT event_id,
                CAST(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS k_val
+        FROM events
+    """
+
+    o["events_json_extract"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS int) AS k_json
         FROM events
     """
 
