@@ -107,7 +107,6 @@ def extract_only(cpus: int) -> None:
 
 
 def scaling(cpus_big: int) -> dict:
-    cpus_big = int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "16"))
     cpus_small = max(1, cpus_big // 4)
     results = {}
     for c in (cpus_small, cpus_big):
@@ -130,6 +129,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--scaling-big", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "16")),
+                    help="4N core count for --scaling (N = this // 4); default "
+                         "16 keeps both levels in the flat-frequency regime "
+                         "(BENCH.md §2)")
     args = ap.parse_args()
 
     if args.extract_only:
@@ -137,7 +141,7 @@ def main() -> None:
         return
 
     if args.scaling:
-        print(json.dumps(scaling(args.cpus)))
+        print(json.dumps(scaling(args.scaling_big)))
         return
 
     import __spark_entry__ as entrymod

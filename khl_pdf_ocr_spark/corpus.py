@@ -35,15 +35,21 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     ``ledger`` — (id, reject_reason) for every dropped row:
                  lang | quality | exact_dup | near_dup.
     """
-    base = df.withColumn("_lang", X.lang_id(F.col(text_col))) \
-             .withColumn("_q", X.quality_score(F.col(text_col)))
+    # score on coalesce(text,'') — NULL text propagates oddly through
+    # SQL null semantics (size(split(NULL)) = -1); empty text scores a
+    # deterministic 0.3 → quality reject
+    scored = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.withColumn("_lang", X.lang_id(scored)) \
+             .withColumn("_q", X.quality_score(scored))
 
     lang_bad = base.filter(~F.col("_lang").isin(*allowed_langs)) \
                    .select(F.col(id_col).alias("id"),
                            F.lit("lang").alias("reject_reason"))
     stage1 = base.filter(F.col("_lang").isin(*allowed_langs))
 
-    q_bad = stage1.filter(F.col("_q") < min_quality) \
+    # NULL text → NULL quality → reject (a row must never vanish from
+    # both kept and ledger)
+    q_bad = stage1.filter((F.col("_q") < min_quality) | F.col("_q").isNull()) \
                   .select(F.col(id_col).alias("id"),
                           F.lit("quality").alias("reject_reason"))
     stage2 = stage1.filter(F.col("_q") >= min_quality)

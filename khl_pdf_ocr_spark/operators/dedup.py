@@ -29,10 +29,18 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Shingling/hashing is CPU-bound per row; if the upstream scan has
     fewer splits than cores (single-file local tables, small Iceberg
     partitions), one task serializes the whole stage.  One cheap
-    round-robin shuffle of the (small) text rows restores parallelism;
-    skipped when the scan is already wide."""
+    round-robin shuffle of the (small) text rows restores parallelism.
+
+    The width probe uses ``inputFiles()`` (metadata-only) rather than
+    ``df.rdd.getNumPartitions()`` — the latter finalizes the adaptive
+    plan and can EXECUTE upstream stages just to count partitions.
+    Non-file-backed frames (joins, in-memory) are left untouched."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < max(2, sc.defaultParallelism // 2):
         return df.repartition(sc.defaultParallelism)
     return df
 
@@ -141,6 +149,9 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     Candidates are then verified exactly, so the output has no false
     positives w.r.t. ``verify_threshold``.
     """
+    if num_perm % bands:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm}); "
+                         "trailing permutations would be silently unused")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
                               num_perm=num_perm, shingle_n=shingle_n)

@@ -106,7 +106,7 @@ def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, *, nbits: int = 12,
 
 def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10,
                        seed: int = 42, vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id", dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates share an LSH bucket
     (random-hyperplane signs), then exact cosine verification.
 
@@ -115,7 +115,16 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10
     buckets → higher recall, more verification work).  The self-join
     shuffles on the bucket id only.
     """
-    dim = df.select(F.size(vec_col)).first()[0]
+    if dim is None:
+        # dimension probe = one tiny job; pass dim explicitly to keep
+        # plan construction fully lazy
+        row = df.select(F.size(vec_col)).first()
+        if row is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                    "cos_sim double")
+        dim = row[0]
     planes = hyperplanes(dim, nbits, seed)
     b = with_lsh_bucket(df.select(F.col(id_col).alias("id"),
                                   F.col(vec_col).alias("v")), planes, "v")

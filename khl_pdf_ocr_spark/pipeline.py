@@ -54,12 +54,15 @@ def preflight(spark: SparkSession) -> dict:
 def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage rollup (docs in/ok/failed, bytes).
 
-    ``spark_partition_id()`` is evaluated in the extraction stage itself
-    (narrow dependency), so rows attribute to the partition that actually
-    computed them.
+    If the frame already carries a ``partition_id`` column (stamped by
+    ``run_extraction`` in the extraction stage itself, i.e. BEFORE the
+    write), rows attribute to the task that actually computed them —
+    re-reading written output would otherwise regroup by the unrelated
+    output-scan splits.
     """
+    if "partition_id" not in extracted.columns:
+        extracted = extracted.withColumn("partition_id", F.spark_partition_id())
     return (extracted
-            .withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col("ok").cast("long")).alias("n_ok"),
@@ -97,6 +100,9 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
 
     stats: dict = {"run_id": run_id}
     if output_path:
+        # stamp the extraction task id BEFORE writing, so the persisted
+        # metrics attribute docs/sec to the task that computed them
+        out = out.withColumn("partition_id", F.spark_partition_id())
         t0 = time.time()
         out.write.mode("overwrite").parquet(os.path.join(output_path, "data"))
         elapsed = time.time() - t0
@@ -164,7 +170,8 @@ def run_resumable(spark: SparkSession, input_path: str, output_dir: str, *,
                 continue
             part = docs.filter(F.col("_bucket") == b).drop("_bucket")
             out = extract_documents(
-                repartition_for_extraction(part, max(4, spark.sparkContext.defaultParallelism)))
+                repartition_for_extraction(part, max(4, spark.sparkContext.defaultParallelism)),
+                mode=mode)
             data_path = os.path.join(output_dir, "data", f"bucket={b}")
             out.write.mode("overwrite").parquet(data_path)
             n = spark.read.parquet(data_path).count()

@@ -66,7 +66,10 @@ def _sessionize_group(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState,
             closed.append((start, end, n))
             start, end, n = t, t, 1
         else:
-            end = t
+            # a late cross-batch event may precede the stored bounds —
+            # extend, never shrink, the session interval
+            start = min(start, t)
+            end = max(end, t)
             n += 1
 
     if start is not None:

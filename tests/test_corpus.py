@@ -54,3 +54,17 @@ def test_clean_corpus_droplist_antijoin_broadcasts(spark, corpus):
     kept, _ = clean_corpus(corpus)
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_clean_corpus_null_text_lands_in_ledger(spark):
+    df = spark.createDataFrame(
+        [(0, None, "s"),
+         (1, "the fox and the dog in the sun for a long while as days go on "
+             "and on with many more of the same words to stay high quality "
+             "through the filter today and tomorrow and beyond", "s")],
+        "doc_id long, text string, source string")
+    kept, ledger = clean_corpus(df, allowed_langs=("en", "ru", "other"))
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert reasons.get(0) == "quality"   # NULL text must not vanish
+    assert kept_ids == {1}
