@@ -26,8 +26,11 @@ from khl_pdf_ocr_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--preflight", action="store_true",
+                    help="liveness/capability probe (the batch twin of the "
+                         "reference's GET /health) and exit")
+    ap.add_argument("--input", required=False)
+    ap.add_argument("--output", required=False)
     ap.add_argument("--mode", default="all",
                     choices=["all", "words", "refs", "gk", "goalies"])
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
@@ -43,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("khl-extract", cpus=args.cpus)
     try:
+        if args.preflight:
+            from khl_pdf_ocr_spark.pipeline import preflight
+
+            res = preflight(spark)
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
+        if not (args.input and args.output):
+            ap.error("--input and --output are required unless --preflight")
         if args.resume:
             stats = run_resumable(spark, args.input, args.output,
                                   n_buckets=args.buckets, mode=args.mode,

@@ -273,6 +273,12 @@ def extract_words(pdf_bytes: bytes):
             if b"BT" in body:
                 streams.append(body)
     if not streams:
+        # a structurally-valid PDF with no text layer is NOT an error:
+        # MuPDF opens it and returns zero words (→ ok=true with empty
+        # extraction, matching reference semantics); only documents
+        # with no parseable PDF structure at all raise
+        if _PAGE_OBJ_RE.search(data) or b"endobj" in data:
+            return []
         raise MiniPdfError("no text content stream found")
 
     words = []

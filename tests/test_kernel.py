@@ -87,3 +87,13 @@ def test_result_json_utf8_no_escapes():
     assert "\\u" not in j
     parsed = json.loads(j)
     assert "extracted_text" not in parsed
+
+
+def test_textless_pdf_is_ok_with_empty_extraction():
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Page /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"%%EOF\n")
+    res = extract_document("u", pdf)
+    assert res["ok"] is True and res["engine"] == "all"
+    assert res["extracted_text"] == ""
+    assert res["referees"] == {"main": [], "linesmen": []}

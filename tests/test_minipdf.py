@@ -101,3 +101,14 @@ def test_multipage_compressed():
     w.add_word(40.0, 50.0, "стр2", 10.0)
     out = minipdf.extract_words(w.tobytes())
     assert [x[4] for x in out] == ["стр1"]
+
+
+def test_textless_valid_pdf_returns_no_words_not_error():
+    # MuPDF semantics: a structurally valid PDF without a text layer
+    # yields zero words, not an open error (scanned-image PDFs)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"%%EOF\n")
+    assert minipdf.extract_words(pdf) == []
