@@ -35,7 +35,9 @@ SEED = 42
 def _fixture_docs() -> str:
     from khl_pdf_ocr_spark.fixtures.gen import write_tables
 
-    docs, _ = write_tables(FIXTURE_DIR, N_FIXTURE_DOCS, SEED)
+    # goldens are not consumed here (byte-identity gating lives in
+    # tests/); skip the serial per-doc golden pass on the driver
+    docs, _ = write_tables(FIXTURE_DIR, N_FIXTURE_DOCS, SEED, goldens=False)
     return docs
 
 
@@ -602,9 +604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
-_SW = r"\b(the|a|of|and|to|in|is|on|for|with)\b"
-_PUNCT = "[.,!?;:]"
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),"
+# derived from the SAME constants the Spark expressions use — adding a
+# stopword or punctuation char in functions/text.py updates both sides
+_SW = X.STOPWORD_RE
+_PUNCT = X.PUNCT_RE
+_NORM = (f"trim(regexp_replace(regexp_replace(lower(text), '{X.PUNCT_RE}', '', 'g'),"
          " '\\s+', ' ', 'g'))")
 _SHINGLES = (
     "case when len(_toks) >= 3 then list_distinct(list_transform("

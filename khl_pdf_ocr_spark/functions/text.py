@@ -29,8 +29,12 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
-    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+    """Whitespace token count; 0 for empty/blank strings, NULL for NULL
+    (matching SQL semantics — Spark's bare size(split(NULL)) would give
+    the legacy -1)."""
+    return (F.when(col.isNull(), F.lit(None).cast("int"))
+            .when(F.length(F.trim(col)) == 0, F.lit(0))
+            .otherwise(F.size(tokens(col))))
 
 
 def stopword_count(col: Column) -> Column:

@@ -43,11 +43,14 @@ except Exception:  # pragma: no cover
 def needs_ocr(extracted: DataFrame) -> DataFrame:
     """Rows where the text layer came up empty — the reference's fallback
     predicates: no referees (app.py:240) or no goalies at all
-    (app.py:311), on otherwise-parseable PDFs."""
+    (app.py:311), on otherwise-parseable PDFs, in whichever mode the
+    rows were extracted (engines: all / ocr-refs / gk)."""
+    no_refs = (F.size("referees.main") == 0) | (F.size("referees.linesmen") == 0)
+    no_gk = (F.size("goalies.home") == 0) & (F.size("goalies.away") == 0)
     return extracted.filter(
-        (F.col("engine") == "all")
-        & ((F.size("referees.main") == 0) | (F.size("referees.linesmen") == 0)
-           | ((F.size("goalies.home") == 0) & (F.size("goalies.away") == 0))))
+        ((F.col("engine") == "all") & (no_refs | no_gk))
+        | ((F.col("engine") == "ocr-refs") & no_refs)
+        | ((F.col("engine") == "gk") & no_gk))
 
 
 def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
@@ -60,9 +63,12 @@ def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
     (mirroring app.py:76-77).  The merged result keeps phase-1 rows for
     every url the second pass did not improve.
     """
+    if ocr_stage is None:  # no engine → pass-through, BEFORE any job runs
+        return extracted
+
+    extracted = extracted.persist()  # probed once, merged once
     failed_urls = needs_ocr(extracted).select("url")
-    n_failed = failed_urls.limit(1).count()
-    if n_failed == 0 or ocr_stage is None:
+    if failed_urls.limit(1).count() == 0:
         return extracted
 
     failed_docs = documents.join(F.broadcast(failed_urls), "url", "left_semi") \

@@ -93,9 +93,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     docs = read_documents(spark, input_path, input_format)
-    n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
     if salt:
+        n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
         docs = repartition_for_extraction(docs, n_part)
+    elif num_partitions:
+        # explicit width without salting = plain round-robin rebalance
+        docs = docs.repartition(num_partitions)
     out = extract_documents(docs, mode=mode)
 
     stats: dict = {"run_id": run_id}
@@ -157,6 +160,17 @@ def run_resumable(spark: SparkSession, input_path: str, output_dir: str, *,
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(_manifest_dir(output_dir), exist_ok=True)
+    # the bucket expression is the resume unit: resuming with a different
+    # n_buckets would skip/duplicate urls — fail fast on mismatch
+    for b in sorted(completed_buckets(output_dir)):
+        with open(_manifest_path(output_dir, b)) as f:
+            prev = json.load(f).get("n_buckets")
+        if prev is not None and prev != n_buckets:
+            raise ValueError(
+                f"manifest bucket_{b:05d} was committed with n_buckets={prev}; "
+                f"resume requested n_buckets={n_buckets} — rerun with the "
+                "original bucket count or start a fresh output dir")
+        break
     docs = read_documents(spark, input_path, input_format)
     docs = docs.withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
     docs.persist()
@@ -178,7 +192,7 @@ def run_resumable(spark: SparkSession, input_path: str, output_dir: str, *,
             tmp = _manifest_path(output_dir, b) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"run_id": run_id, "bucket": b, "n_docs": n,
-                           "status": "complete"}, f)
+                           "n_buckets": n_buckets, "status": "complete"}, f)
             os.replace(tmp, _manifest_path(output_dir, b))  # atomic commit
             processed += 1
             if fail_after is not None and processed >= fail_after:

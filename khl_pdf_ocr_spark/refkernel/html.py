@@ -44,6 +44,12 @@ DROP_TAGS = frozenset("""
     option button datalist
 """.split())
 
+# drop-tags that are void or have optional end tags in real-world HTML —
+# pushing them onto the drop stack would never unwind (e.g. bare <embed>,
+# <option>A<option>B) and silently swallow the rest of the document
+DROP_VOID = frozenset({"embed"})
+DROP_SELF_SIBLING = frozenset({"option"})  # a new one implicitly closes the last
+
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "title"})
 
 # boilerplate containers: text directly under these is penalized
@@ -74,10 +80,14 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._cur: _Block | None = None
-        self._drop_depth = 0
+        self._drop_stack: list[str] = []
         self._anchor_depth = 0
         self._nav_depth = 0
         self._tag_stack: list[str] = []
+
+    @property
+    def _drop_depth(self) -> int:
+        return len(self._drop_stack)
 
     # -- helpers ---------------------------------------------------------
     def _open_block(self, tag: str) -> None:
@@ -91,7 +101,11 @@ class _BlockParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
         if tag in DROP_TAGS:
-            self._drop_depth += 1
+            if tag in DROP_SELF_SIBLING and self._drop_stack and \
+                    self._drop_stack[-1] == tag:
+                pass  # implicit close of the previous sibling
+            elif tag not in DROP_VOID:
+                self._drop_stack.append(tag)
             return
         if self._drop_depth:
             return
@@ -108,7 +122,12 @@ class _BlockParser(HTMLParser):
     def handle_endtag(self, tag):
         tag = tag.lower()
         if tag in DROP_TAGS:
-            self._drop_depth = max(0, self._drop_depth - 1)
+            # pop to the nearest matching open drop-tag; an end tag whose
+            # start never pushed (void / implicitly closed) is a no-op
+            if tag in self._drop_stack:
+                while self._drop_stack:
+                    if self._drop_stack.pop() == tag:
+                        break
             return
         if self._drop_depth:
             return

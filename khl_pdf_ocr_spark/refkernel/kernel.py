@@ -53,14 +53,20 @@ def pdf_words(payload: bytes):
     """
     try:
         return minipdf.extract_words(payload)
-    except minipdf.MiniPdfError:
+    except Exception as e:
+        # ANY minipdf failure (not only MiniPdfError) defers to the
+        # full-fidelity backend when present — a wild-but-valid PDF must
+        # not be misclassified as corrupt just because the minimal
+        # parser tripped
         if HAS_FITZ:
             doc = fitz.open(stream=payload, filetype="pdf")
             try:
                 return list(doc.load_page(0).get_text("words"))
             finally:
                 doc.close()
-        raise
+        if isinstance(e, minipdf.MiniPdfError):
+            raise
+        raise minipdf.MiniPdfError(str(e)) from e
 
 
 def _empty_result(engine: str) -> dict:

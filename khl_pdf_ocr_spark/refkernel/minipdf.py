@@ -182,13 +182,15 @@ def _decode_literal(tok: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
                 j = i + 1
-                while j < min(i + 4, len(body)) and body[j:j + 1].isdigit():
+                while j < min(i + 4, len(body)) and body[j:j + 1] in b"01234567":
                     j += 1
                 out.append(int(body[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            # PDF spec: backslash before any other char is ignored
+            # (e.g. '\8' is just '8')
             i += 1
             continue
         out += c

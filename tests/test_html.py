@@ -89,3 +89,19 @@ def test_charset_utf8_bom():
     from khl_pdf_ocr_spark.refkernel.html import detect_charset
 
     assert detect_charset(b"\xef\xbb\xbf<html>") == "utf-8"
+
+
+def test_unclosed_option_does_not_swallow_document():
+    html = ('<select><option>A<option>B</select>'
+            '<p>длинный основной текст статьи который обязан сохраниться '
+            'после невалидной разметки селекта в начале страницы</p>')
+    out = strip_boilerplate(html)
+    assert "основной текст статьи" in out
+    assert "A" not in out.split()
+
+
+def test_void_embed_does_not_swallow_document():
+    html = ('<embed src="x.swf">'
+            '<p>ещё один достаточно длинный основной текст статьи который '
+            'обязан пережить встречу с войд-элементом перед ним</p>')
+    assert "основной текст статьи" in strip_boilerplate(html)

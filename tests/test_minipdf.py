@@ -112,3 +112,14 @@ def test_textless_valid_pdf_returns_no_words_not_error():
            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] >>\nendobj\n"
            b"%%EOF\n")
     assert minipdf.extract_words(pdf) == []
+
+
+def test_literal_backslash_8_is_not_octal():
+    # PDF spec: octal escapes are \0..\7 digits only; \8 is just '8'
+    content = b"BT /F1 10 Tf 40 800 Td (a\\89b \\0101) Tj ET\n"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"endstream\nendobj\n%%EOF\n")
+    out = minipdf.extract_words(pdf)
+    assert out[0][4] == "a89b \x081"  # \010 = octal 8 = backspace, then '1'
