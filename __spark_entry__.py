@@ -332,6 +332,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lineitem_rollup"] = lineitem_rollup
 
+    def lineitem_cube(spark, sf_dir):
+        # full grouping-sets lattice: CUBE(returnflag, linestatus)
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return (li.cube("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     _r(F.avg("l_discount"), 4).alias("avg_disc")))
+
+    q["lineitem_cube"] = lineitem_cube
+
     def orders_distinct_customers(spark, sf_dir):
         orders = spark.read.parquet(_t(sf_dir, "orders"))
         return (orders.groupBy("o_orderpriority")
@@ -943,6 +952,14 @@ def oracle_sql() -> dict[str, str]:
                floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["lineitem_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
     o["orders_distinct_customers"] = """
