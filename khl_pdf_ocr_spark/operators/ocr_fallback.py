@@ -69,7 +69,11 @@ def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
     extracted = extracted.persist()  # probed once, merged once
     failed_urls = needs_ocr(extracted).select("url")
     if failed_urls.limit(1).count() == 0:
+        extracted.unpersist()
         return extracted
+    # NOTE: on the two-pass path the cache stays pinned until the caller
+    # materializes the merged result; unpersist it afterwards in
+    # long-lived sessions
 
     failed_docs = documents.join(F.broadcast(failed_urls), "url", "left_semi") \
                            .select("url", "html")

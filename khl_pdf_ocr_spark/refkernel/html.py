@@ -81,13 +81,17 @@ class _BlockParser(HTMLParser):
         self.blocks: list[_Block] = []
         self._cur: _Block | None = None
         self._drop_stack: list[str] = []
+        self._nav_stack: list[str] = []
         self._anchor_depth = 0
-        self._nav_depth = 0
         self._tag_stack: list[str] = []
 
     @property
     def _drop_depth(self) -> int:
         return len(self._drop_stack)
+
+    @property
+    def _nav_depth(self) -> int:
+        return len(self._nav_stack)
 
     # -- helpers ---------------------------------------------------------
     def _open_block(self, tag: str) -> None:
@@ -112,10 +116,21 @@ class _BlockParser(HTMLParser):
         if tag == "a":
             self._anchor_depth += 1
         if tag in NAV_TAGS:
-            self._nav_depth += 1
+            self._nav_stack.append(tag)
+        if tag in ("main", "article"):
+            # a content landmark implicitly closes dangling boilerplate
+            # containers (sloppy HTML with a missing </nav>/</form> must
+            # not swallow the article body)
+            self._nav_stack.clear()
+            self._anchor_depth = 0
         if tag == "br":
             return
         if tag in BLOCK_TAGS or tag in HEADING_TAGS:
+            # anchors do not straddle block boundaries in rendered
+            # reality — an unclosed <a> must not mark every following
+            # block as pure link text
+            if tag not in ("li",):
+                self._anchor_depth = 0
             self._tag_stack.append(tag)
             self._open_block(tag)
 
@@ -133,8 +148,10 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
-        if tag in NAV_TAGS:
-            self._nav_depth = max(0, self._nav_depth - 1)
+        if tag in NAV_TAGS and tag in self._nav_stack:
+            while self._nav_stack:  # pop to the nearest matching open tag
+                if self._nav_stack.pop() == tag:
+                    break
         if tag in BLOCK_TAGS or tag in HEADING_TAGS:
             if self._tag_stack and self._tag_stack[-1] == tag:
                 self._tag_stack.pop()

@@ -51,21 +51,24 @@ def pdf_words(payload: bytes):
     minipdf first (deterministic, dependency-free); PyMuPDF as the
     fallback backend for wild PDFs when installed.
     """
-    try:
-        return minipdf.extract_words(payload)
-    except Exception as e:
-        # ANY minipdf failure (not only MiniPdfError) defers to the
-        # full-fidelity backend when present — a wild-but-valid PDF must
-        # not be misclassified as corrupt just because the minimal
-        # parser tripped
-        if HAS_FITZ:
+    if HAS_FITZ:
+        # full-fidelity backend FIRST when installed: wild PDFs with
+        # embedded/CID fonts half-parse under minipdf (glyph-ID hex
+        # strings decode to garbage without raising), so minipdf is
+        # only the fallback here, not the primary
+        try:
             doc = fitz.open(stream=payload, filetype="pdf")
             try:
                 return list(doc.load_page(0).get_text("words"))
             finally:
                 doc.close()
-        if isinstance(e, minipdf.MiniPdfError):
-            raise
+        except Exception:
+            pass  # fall through to minipdf
+    try:
+        return minipdf.extract_words(payload)
+    except minipdf.MiniPdfError:
+        raise
+    except Exception as e:
         raise minipdf.MiniPdfError(str(e)) from e
 
 
@@ -108,8 +111,12 @@ def extract_document(url: str, payload: bytes, mode: str = "all") -> dict:
             return _error_result("pdf_open_error", str(e))
         return _extract_pdf(url, words8, mode)
 
-    head = payload[:4096].lstrip().lower()
-    if head.startswith((b"<!doctype", b"<html")) or b"<html" in head or b"<body" in head:
+    # markup must announce itself at the START of the payload — a
+    # plain-text document that merely MENTIONS "<body" or "<html"
+    # mid-text must not be routed through the boilerplate stripper
+    head = payload[:1024].lstrip().lower()
+    if head.startswith((b"<!doctype", b"<html", b"<head", b"<body")) \
+            or (head.startswith(b"<") and b"<html" in head):
         return _extract_html(payload)
 
     # plain text (WET-style row): normalize lines, no structure

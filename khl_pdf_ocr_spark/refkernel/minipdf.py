@@ -19,7 +19,7 @@ carried as UTF-8 bytes inside hex strings (unambiguous, no escaping).
 Streams may be ``/FlateDecode``-compressed (stdlib zlib).
 
 If PyMuPDF happens to be installed (real-world deployment), the kernel
-prefers it for arbitrary wild PDFs — see ``kernel.extract_pdf_words``.
+prefers it for arbitrary wild PDFs — see ``kernel.pdf_words``.
 """
 
 from __future__ import annotations
@@ -157,7 +157,8 @@ _TOK_RE = re.compile(
     rb"|/[^\s/<>()\[\]]+"      # name
     rb"|[-+]?\d*\.?\d+"        # number
     rb"|\[|\]"
-    rb"|[A-Za-z'*\"]+"         # operator
+    rb"|[A-Za-z'*\"]+",        # operator
+    re.S,  # '\\.' must match a backslash-newline line continuation
 )
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -181,6 +182,11 @@ def _decode_literal(tok: bytes) -> bytes:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
+                continue
+            if nxt in b"\r\n":  # line continuation: drop backslash AND eol
+                i += 2
+                if nxt == b"\r" and body[i:i + 1] == b"\n":
+                    i += 1
                 continue
             if nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
                 j = i + 1
@@ -207,37 +213,43 @@ def _decode_hex(tok: bytes) -> bytes:
 
 _PAGE_OBJ_RE = re.compile(
     rb"(\d+)\s+0\s+obj\s*<<(?:(?!endobj).)*?/Type\s*/Page\b(?:(?!endobj).)*?>>", re.S)
-_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+# /Contents may be a single indirect ref or an ARRAY of refs
+_CONTENTS_VAL_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _OBJ_STREAM_RE_TMPL = rb"%d\s+0\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
 
 
 def _first_page_stream(data: bytes) -> bytes | None:
-    """Resolve the FIRST page's /Contents stream via the page tree.
+    """Resolve the FIRST page's /Contents stream(s) via the page tree.
 
     The reference processes page 0 only (``pno=0`` at app.py:67,86 and
     every call site) — a multipage document must NOT leak later pages'
-    words into the layout. Returns None when the page tree cannot be
-    resolved (malformed or exotic PDFs → caller falls back to scanning
-    all text streams, best-effort)."""
+    words into the layout.  Handles both the single-ref and the array
+    form of /Contents (multiple streams are concatenated in order).
+    Returns None when the page tree cannot be resolved (malformed or
+    exotic PDFs → caller falls back to scanning all text streams,
+    best-effort)."""
     page = _PAGE_OBJ_RE.search(data)
     if not page:
         return None
-    cref = _CONTENTS_REF_RE.search(page.group(0))
-    if not cref:
+    cval = _CONTENTS_VAL_RE.search(page.group(0))
+    if not cval:
         return None
-    obj_num = int(cref.group(1))
-    sm = re.search(_OBJ_STREAM_RE_TMPL % obj_num, data, re.S)
-    if not sm:
-        return None
-    sdict, body = sm.group(1), sm.group(2)
-    if body.endswith(b"\n"):
-        body = body[:-1]
-    if b"/FlateDecode" in sdict:
-        try:
-            body = zlib.decompress(body)
-        except zlib.error:
+    parts = []
+    for ref in _REF_RE.findall(cval.group(1)):
+        sm = re.search(_OBJ_STREAM_RE_TMPL % int(ref), data, re.S)
+        if not sm:
             return None
-    return body
+        sdict, body = sm.group(1), sm.group(2)
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        if b"/FlateDecode" in sdict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                return None
+        parts.append(body)
+    return b"\n".join(parts) if parts else None
 
 
 def extract_words(pdf_bytes: bytes):
@@ -257,7 +269,12 @@ def extract_words(pdf_bytes: bytes):
     page_h = float(m.group(4)) if m else DEFAULT_PAGE_H
 
     first = _first_page_stream(data)
-    if first is not None and b"BT" in first:
+    if first is not None:
+        # the page tree resolved: page 0's content is AUTHORITATIVE —
+        # a textless first page yields zero words (never fall through to
+        # the all-streams scan, which would leak later pages' text)
+        if b"BT" not in first:
+            return []
         streams = [first]
     else:
         # fallback: page tree unresolvable → best-effort over all text

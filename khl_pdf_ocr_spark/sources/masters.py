@@ -41,9 +41,16 @@ def load_masters(spark: SparkSession, reference_dir: str | None = None
 
 
 def _validate(names_df: DataFrame, master: DataFrame) -> DataFrame:
-    """names_df(url, name) + master → (url, name, known boolean)."""
+    """names_df(url, name) + master → (url, name, known boolean).
+
+    Both sides key on the first two tokens: extracted goalie names may
+    carry a third word (RE_GOALIE_NAME matches 2-3 capitalized words,
+    pdfops.py) just as master rows may carry a disambiguating initial.
+    """
     dim = F.broadcast(master.select("name_key").distinct())
-    return (names_df.join(dim, names_df["name"] == dim["name_key"], "left")
+    keyed = names_df.withColumn(
+        "_key", F.concat_ws(" ", F.slice(F.split(F.col("name"), r"\s+"), 1, 2)))
+    return (keyed.join(dim, keyed["_key"] == dim["name_key"], "left")
             .select("url", "name", F.col("name_key").isNotNull().alias("known")))
 
 

@@ -105,3 +105,17 @@ def test_void_embed_does_not_swallow_document():
             '<p>ещё один достаточно длинный основной текст статьи который '
             'обязан пережить встречу с войд-элементом перед ним</p>')
     assert "основной текст статьи" in strip_boilerplate(html)
+
+
+def test_unclosed_nav_does_not_swallow_article():
+    html = ('<header><nav><a href="/a">меню</a>'  # missing </nav></header>
+            '<main><p>длинный основной текст статьи который обязан выжить '
+            'после незакрытого нав-контейнера в начале документа страницы</p></main>')
+    assert "основной текст статьи" in strip_boilerplate(html)
+
+
+def test_unclosed_anchor_does_not_poison_following_blocks():
+    html = ('<p><a href="/x">ссылка без закрытия'  # missing </a>
+            '</p><p>совершенно обычный длинный абзац основного текста который '
+            'не должен считаться ссылочным мусором из-за чужой ошибки</p>')
+    assert "обычный длинный абзац" in strip_boilerplate(html)

@@ -97,3 +97,12 @@ def test_textless_pdf_is_ok_with_empty_extraction():
     assert res["ok"] is True and res["engine"] == "all"
     assert res["extracted_text"] == ""
     assert res["referees"] == {"main": [], "linesmen": []}
+
+
+def test_plain_text_mentioning_html_markup_stays_text():
+    body = ("первая строка обычного текста\n"
+            "в учебнике упоминается тег <body> и даже <html> посреди текста\n"
+            "третья строка").encode()
+    res = extract_document("u", body)
+    assert res["engine"] == "text"
+    assert "третья строка" in res["extracted_text"]

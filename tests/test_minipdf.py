@@ -123,3 +123,35 @@ def test_literal_backslash_8_is_not_octal():
            b" >>\nstream\n" + content + b"endstream\nendobj\n%%EOF\n")
     out = minipdf.extract_words(pdf)
     assert out[0][4] == "a89b \x081"  # \010 = octal 8 = backspace, then '1'
+
+
+def test_textless_first_page_does_not_leak_second_page():
+    w = minipdf.PdfWriter()
+    # page 0: no words at all
+    w.new_page()
+    w.add_word(40.0, 50.0, "скрытая", 10.0)
+    w.add_word(120.0, 50.0, "страница", 10.0)
+    assert minipdf.extract_words(w.tobytes()) == []
+
+
+def test_contents_array_form():
+    # /Contents [4 0 R] — array form of the first page's content refs
+    content = b"BT /F1 10 Tf 40 800 Td (hello) Tj ET\n"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Contents [4 0 R] >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"endstream\nendobj\n%%EOF\n")
+    assert [x[4] for x in minipdf.extract_words(pdf)] == ["hello"]
+
+
+def test_backslash_newline_is_line_continuation():
+    content = b"BT /F1 10 Tf 40 800 Td (Glav\\\nny) Tj ET\n"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /MediaBox [0 0 595 842] >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"endstream\nendobj\n%%EOF\n")
+    out = minipdf.extract_words(pdf)
+    assert out[0][4] == "Glavny"
