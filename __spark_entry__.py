@@ -45,6 +45,21 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding width via a driver-side pyarrow metadata/row peek —
+    NOT a Spark job (plan construction must stay lazy)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = _t(sf_dir, "embeddings")
+    if os.path.isdir(path):
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    first = next(pq.ParquetFile(path).iter_batches(batch_size=1,
+                                                   columns=["embedding"]))
+    return len(first.column(0)[0].as_py())
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -590,7 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from khl_pdf_ocr_spark.operators.similarity import lsh_near_dup_pairs
 
         emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-        return lsh_near_dup_pairs(emb, threshold=0.3, nbits=6)
+        return lsh_near_dup_pairs(emb, threshold=0.3, nbits=6, dim=_emb_dim(sf_dir))
 
     q["emb_lsh_near_dup_pairs"] = emb_lsh_near_dup_pairs
 

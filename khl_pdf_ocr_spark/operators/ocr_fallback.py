@@ -11,12 +11,21 @@ pipeline NEVER branches into OCR inside the main map.  Instead
     phase 2: failed = out.filter(needs_ocr)   — tiny subset
              failed → salt-repartition → OCR kernel → unionByName
 
-The OCR engine itself (tesseract + rasterization via PyMuPDF/Pillow) is
-NOT in this container; the kernel degrades gracefully exactly like the
-reference does when tesseract is absent (``app.py:17-22,76-77``):
-``HAS_OCR`` is False and the second pass is a no-op pass-through.  The
-Spark plumbing — subset selection, salting, schema-stable union — is
-real and tested with an injectable fake engine.
+The whole composition is LAZY — no Spark job runs until the caller
+materializes the merged frame.  The OCR recipe itself (crop geometry +
+re-scan, ported from app.py:240-263/311-338) lives in
+``operators.ocr_stage``; the engine binary deps are environment-gated
+there exactly like the reference's HAS_TESSERACT (app.py:17-22,76-77).
+
+Compute-once discipline: ``ocr_rows`` appears on both sides of the
+merge (anti-join build + union), so it is persisted LAZILY (populated
+by the caller's first action, reused by the second branch — the subset
+is failure-rate-sized, i.e. tiny).  Callers that keep the session alive
+should release it via ``unpersist_ocr_cache(merged)`` after
+materializing; ``pipeline.run_extraction_job`` does.  Phase-1
+(``extracted``) likewise feeds three branches — production jobs write
+phase 1 to the output table first and read it back (pipeline.py), or
+cache it.
 """
 
 from __future__ import annotations
@@ -28,16 +37,10 @@ from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.operators.partitioning import repartition_for_extraction
 
-__all__ = ["HAS_OCR", "needs_ocr", "with_ocr_fallback"]
+__all__ = ["HAS_OCR", "needs_ocr", "with_ocr_fallback", "unpersist_ocr_cache"]
 
-try:  # optional heavy deps (absent in this sandbox, like tesseract in the ref)
-    import fitz  # type: ignore # noqa: F401
-    import pytesseract  # type: ignore # noqa: F401
-    from PIL import Image  # type: ignore # noqa: F401
-
-    HAS_OCR = True
-except Exception:  # pragma: no cover
-    HAS_OCR = False
+# re-exported gate (kept for API compat; the engine lives in ocr_stage)
+from khl_pdf_ocr_spark.operators.ocr_stage import HAS_OCR_ENGINE as HAS_OCR  # noqa: E402
 
 
 def needs_ocr(extracted: DataFrame) -> DataFrame:
@@ -56,31 +59,39 @@ def needs_ocr(extracted: DataFrame) -> DataFrame:
 def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
                       ocr_stage: Callable[[DataFrame], DataFrame] | None = None
                       ) -> DataFrame:
-    """Apply the second pass and merge.
+    """Apply the second pass and merge — fully lazily (zero jobs here).
 
     ``ocr_stage`` maps a (url, html) DataFrame of failed docs to rows in
-    the extraction schema; defaults to a no-op when OCR deps are absent
-    (mirroring app.py:76-77).  The merged result keeps phase-1 rows for
-    every url the second pass did not improve.
+    the extraction schema.  CONTRACT: it must emit rows ONLY for
+    documents the second pass actually improved — the reference's own
+    acceptance rule (>= 4 referee names, app.py:258-260; any goalie
+    found, app.py:330-334), implemented by ``ocr_stage.make_ocr_stage``.
+    Phase-1 rows are kept for every url the stage stayed silent on.
+
+    Defaults to a no-op when no stage is given (mirroring app.py:76-77's
+    graceful degradation without tesseract).
     """
-    if ocr_stage is None:  # no engine → pass-through, BEFORE any job runs
+    if ocr_stage is None:  # no engine → pass-through
         return extracted
 
-    extracted = extracted.persist()  # probed once, merged once
     failed_urls = needs_ocr(extracted).select("url")
-    if failed_urls.limit(1).count() == 0:
-        extracted.unpersist()
-        return extracted
-    # NOTE: on the two-pass path the cache stays pinned until the caller
-    # materializes the merged result; unpersist it afterwards in
-    # long-lived sessions
-
-    failed_docs = documents.join(F.broadcast(failed_urls), "url", "left_semi") \
+    failed_docs = documents.join(failed_urls, "url", "left_semi") \
                            .select("url", "html")
     # OCR cost is uniform-high → salt-spread the (small) subset wide
     failed_docs = repartition_for_extraction(
         failed_docs, failed_docs.sparkSession.sparkContext.defaultParallelism)
-    ocr_rows = ocr_stage(failed_docs)
+    # lazy persist: first action computes the OCR pass once; the second
+    # branch (union) reuses the cache instead of re-running tesseract
+    ocr_rows = ocr_stage(failed_docs).persist()
 
     keep = extracted.join(F.broadcast(ocr_rows.select("url")), "url", "left_anti")
-    return keep.unionByName(ocr_rows)
+    merged = keep.unionByName(ocr_rows)
+    merged._ocr_cache = ocr_rows  # type: ignore[attr-defined]
+    return merged
+
+
+def unpersist_ocr_cache(merged: DataFrame) -> None:
+    """Release the lazily-persisted OCR subset after materializing."""
+    cache = getattr(merged, "_ocr_cache", None)
+    if cache is not None:
+        cache.unpersist()

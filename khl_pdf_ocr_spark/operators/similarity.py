@@ -114,17 +114,21 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10
     column needed; recall is tunable via nbits (fewer bits → bigger
     buckets → higher recall, more verification work).  The self-join
     shuffles on the bucket id only.
+
+    ``dim`` (the embedding width) is resolved WITHOUT running a job:
+    explicit argument → column metadata key ``"dim"`` → error.  A hidden
+    ``df.first()`` probe here would execute the upstream plan at
+    composition time — at 100 TB that is a full-scan surprise.
     """
     if dim is None:
-        # dimension probe = one tiny job; pass dim explicitly to keep
-        # plan construction fully lazy
-        row = df.select(F.size(vec_col)).first()
-        if row is None:
-            return df.sparkSession.createDataFrame(
-                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
-                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
-                    "cos_sim double")
-        dim = row[0]
+        md = df.schema[vec_col].metadata or {}
+        dim = md.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"embedding dimension unknown: pass dim= explicitly or attach "
+            f"metadata {{'dim': N}} to column {vec_col!r} (plan construction "
+            "must stay lazy — no probe job is run)")
+    dim = int(dim)
     planes = hyperplanes(dim, nbits, seed)
     b = with_lsh_bucket(df.select(F.col(id_col).alias("id"),
                                   F.col(vec_col).alias("v")), planes, "v")

@@ -80,7 +80,8 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
 def run_extraction(spark: SparkSession, input_path: str, output_path: str | None = None,
                    *, mode: str = "all", num_partitions: int | None = None,
                    salt: bool = False, input_format: str = "parquet",
-                   run_id: str | None = None, write_metrics: bool = True):
+                   run_id: str | None = None, write_metrics: bool = True,
+                   ocr_stage=None):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -90,7 +91,13 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     task cost for text-layer extraction; pay the payload shuffle only
     for heavy-tailed per-byte cost (OCR pass, pathological corpora) —
     measured rationale in BENCH.md §4.1.
+
+    ``ocr_stage`` (optional): phase-2 callable per ``with_ocr_fallback``;
+    the lazily-persisted OCR subset is released after the write.
     """
+    from khl_pdf_ocr_spark.operators.ocr_fallback import (unpersist_ocr_cache,
+                                                          with_ocr_fallback)
+
     run_id = run_id or uuid.uuid4().hex[:12]
     docs = read_documents(spark, input_path, input_format)
     if salt:
@@ -100,6 +107,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         # explicit width without salting = plain round-robin rebalance
         docs = docs.repartition(num_partitions)
     out = extract_documents(docs, mode=mode)
+    if ocr_stage is not None:
+        out = with_ocr_fallback(out, docs, ocr_stage=ocr_stage)
 
     stats: dict = {"run_id": run_id}
     if output_path:
@@ -117,6 +126,7 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         stats.update(n_docs=agg[0] or 0, n_ok=agg[1] or 0, n_bytes=agg[2] or 0,
                      elapsed_s=round(elapsed, 3),
                      docs_per_sec=round((agg[0] or 0) / elapsed, 2) if elapsed else None)
+        unpersist_ocr_cache(out)  # deterministic release of the phase-2 cache
     return out, stats
 
 

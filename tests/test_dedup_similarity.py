@@ -116,9 +116,25 @@ def test_lsh_near_dup_pairs(planted_vecs):
     from khl_pdf_ocr_spark.operators.similarity import lsh_near_dup_pairs
 
     pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
-             lsh_near_dup_pairs(planted_vecs, threshold=0.9, nbits=3).collect()}
+             lsh_near_dup_pairs(planted_vecs, threshold=0.9, nbits=3, dim=4).collect()}
     assert (0, 1) in pairs          # cos ≈ 0.994, same half-space w.h.p.
     assert all(v >= 0.9 for v in pairs.values())
+
+
+def test_lsh_near_dup_composition_runs_zero_jobs(spark, planted_vecs):
+    """Plan construction must stay lazy (no hidden dimension-probe job)."""
+    from khl_pdf_ocr_spark.operators.similarity import lsh_near_dup_pairs
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = lsh_near_dup_pairs(planted_vecs, threshold=0.9, nbits=3, dim=4)
+    _ = df.schema  # analysis only — still no job
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dimension unknown"):
+        lsh_near_dup_pairs(planted_vecs, threshold=0.9, nbits=3)
 
 
 def test_ivf_ann_topk(spark):
