@@ -22,7 +22,18 @@ from khl_pdf_ocr_spark.functions import text as X
 from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
 __all__ = ["exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures",
-           "minhash_lsh_pairs", "simhash", "simhash_pairs"]
+           "minhash_lsh_pairs", "simhash", "simhash_pairs", "hot_band_buckets",
+           "DEFAULT_MAX_BUCKET"]
+
+# Hot-bucket bound for banded LSH self-joins: a band bucket of k rows
+# yields k(k-1)/2 candidates in ONE shuffle partition — k identical
+# boilerplate docs at 100 TB would make that stage quadratic.  Buckets
+# above this size fall back to adjacent-chain candidates (sorted by id:
+# k-1 pairs), which keeps CONNECTED-COMPONENT near-dup clusters intact
+# (every member still links to the cluster) while bounding work; the
+# complete pair list within a hot bucket is the documented trade-off.
+# Audit what got chained with ``hot_band_buckets`` (no-silent-caps rule).
+DEFAULT_MAX_BUCKET = 256
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -85,24 +96,106 @@ def shingles(text_col: str, n: int = 3):
 
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str = "source",
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        max_block: int | None = 10_000) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard within a blocking key.
 
     |A∩B|/|A∪B| ≥ threshold; the self-join is keyed on the block column
     so the shuffle is by block, never all-pairs. Emits
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    Blocks larger than ``max_block`` would make the stage quadratic (one
+    hot domain at 100 TB); they are routed through the MinHash-LSH path
+    instead (same exact-Jaccard verification, same output schema and
+    threshold — only candidate *generation* switches from all-pairs to
+    banding, trading provable completeness for bounded work on exactly
+    the blocks where all-pairs is unpayable).  ``max_block=None``
+    disables the guard.
     """
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
         shingles(text_col, n).alias("sh"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        sized = df.withColumn(
+            "_blk_n", F.count(F.lit(1)).over(
+                Window.partitionBy(F.col(block_col))))
+        big_docs = sized.filter(F.col("_blk_n") > max_block).drop("_blk_n")
+        small_ids = sized.filter(F.col("_blk_n") <= max_block) \
+                         .select(F.col(id_col).alias("id"))
+        base = base.join(small_ids, "id", "left_semi")
+        big_pairs = minhash_lsh_pairs(
+            big_docs, text_col=text_col, id_col=id_col, shingle_n=n,
+            verify_threshold=threshold, block_col=block_col)
     a = base.alias("a")
     b = base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    round_half_up(inter / union, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    small_pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                round_half_up(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold))
+    if max_block is not None:
+        return small_pairs.unionByName(big_pairs)
+    return small_pairs
+
+
+# ---------------------------------------------------------------------------
+# banded-LSH candidate generation with a hot-bucket bound
+# ---------------------------------------------------------------------------
+
+
+def _band_candidates(banded: DataFrame, *, keys: tuple[str, ...] = ("band", "bh"),
+                     extra: tuple[str, ...] = (),
+                     max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Candidate id pairs from a banded frame (id, *keys, *extra).
+
+    Buckets (groups sharing ``keys``) of size <= ``max_bucket`` emit all
+    C(k,2) pairs via the band self-join; larger buckets emit the
+    adjacent chain of their id-sorted members (k-1 pairs) so one hot
+    bucket can never make the stage quadratic.  ``extra`` columns are
+    carried through as ``<c>_a``/``<c>_b`` (e.g. the simhash value for
+    hamming verification).  ``max_bucket=None`` disables the bound.
+    """
+    from pyspark.sql import Window
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("la"), frame.alias("lb")
+        cond = F.col("la.id") < F.col("lb.id")
+        for k in keys:
+            cond = (F.col(f"la.{k}") == F.col(f"lb.{k}")) & cond
+        return (a.join(b, cond)
+                .select(F.col("la.id").alias("id_a"), F.col("lb.id").alias("id_b"),
+                        *[F.col(f"la.{c}").alias(f"{c}_a") for c in extra],
+                        *[F.col(f"lb.{c}").alias(f"{c}_b") for c in extra]))
+
+    if max_bucket is None:
+        return _pairs(banded)
+
+    sized = banded.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    small_pairs = _pairs(sized.filter(F.col("_n") <= max_bucket).drop("_n"))
+    w = Window.partitionBy(*keys).orderBy("id")
+    chained = (sized.filter(F.col("_n") > max_bucket)
+               .select("id", *keys, *extra,
+                       F.lag("id").over(w).alias("_prev"),
+                       *[F.lag(c).over(w).alias(f"_prev_{c}") for c in extra])
+               .filter(F.col("_prev").isNotNull())
+               .select(F.col("_prev").alias("id_a"), F.col("id").alias("id_b"),
+                       *[F.col(f"_prev_{c}").alias(f"{c}_a") for c in extra],
+                       *[F.col(c).alias(f"{c}_b") for c in extra]))
+    return small_pairs.unionByName(chained)
+
+
+def hot_band_buckets(banded: DataFrame, *, keys: tuple[str, ...] = ("band", "bh"),
+                     max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Audit helper (the no-silent-caps rule): the buckets whose
+    candidate generation was chain-bounded, with their sizes."""
+    return (banded.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket))
 
 
 # ---------------------------------------------------------------------------
@@ -141,13 +234,19 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_n: int = 3,
-                      verify_threshold: float = 0.5) -> DataFrame:
+                      verify_threshold: float = 0.5,
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                      block_col: str | None = None) -> DataFrame:
     """Banded-LSH candidate pairs verified by exact shingle Jaccard.
 
     num_perm/bands rows per band; a pair is a candidate iff some band's
     sub-signature matches exactly (classic banding from MMDS ch.3).
     Candidates are then verified exactly, so the output has no false
     positives w.r.t. ``verify_threshold``.
+
+    ``max_bucket`` bounds hot band buckets (see ``DEFAULT_MAX_BUCKET``);
+    ``block_col`` additionally restricts pairs to the same blocking key
+    (used by the ``ngram_jaccard_pairs`` big-block fallback).
     """
     if num_perm % bands:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm}); "
@@ -164,12 +263,12 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     banded = sigs.select("id", F.explode(band_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    la, lb = banded.alias("la"), banded.alias("lb")
-    cand = (la.join(lb, (F.col("la.band") == F.col("lb.band"))
-                    & (F.col("la.bh") == F.col("lb.bh"))
-                    & (F.col("la.id") < F.col("lb.id")))
-            .select(F.col("la.id").alias("id_a"), F.col("lb.id").alias("id_b"))
-            .distinct())
+    keys = ("band", "bh")
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+        banded = banded.join(blocks, "id")
+        keys = ("band", "bh", "blk")
+    cand = _band_candidates(banded, keys=keys, max_bucket=max_bucket).distinct()
 
     sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"),
                                         shingles(text_col, shingle_n).alias("sh"))
@@ -209,12 +308,14 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any
     pair within distance k agrees exactly on ≥1 band → join per band,
-    verify with bit_count(xor)."""
+    verify with bit_count(xor).  Hot band buckets are chain-bounded via
+    ``max_bucket`` (see ``DEFAULT_MAX_BUCKET``)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sh = simhash(df, text_col=text_col, id_col=id_col)
@@ -228,11 +329,8 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
             F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("bh")))
     banded = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")) \
         .select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a, b_ = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    ham.alias("hamming"))
+    cand = _band_candidates(banded, extra=("simhash",), max_bucket=max_bucket)
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
