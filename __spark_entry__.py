@@ -35,10 +35,19 @@ SEED = 42
 def _fixture_docs() -> str:
     from khl_pdf_ocr_spark.fixtures.gen import write_tables
 
-    # goldens are not consumed here (byte-identity gating lives in
-    # tests/); skip the serial per-doc golden pass on the driver
-    docs, _ = write_tables(FIXTURE_DIR, N_FIXTURE_DOCS, SEED, goldens=False)
+    # goldens=True: the refkernel-computed golden table doubles as the
+    # DuckDB oracle for every extraction query (read_parquet by absolute
+    # path), so byte-identity is checked by the driver itself, not only
+    # by pytest.  One serial pass per (n, seed, version), then cached.
+    docs, _ = write_tables(FIXTURE_DIR, N_FIXTURE_DOCS, SEED, goldens=True)
     return docs
+
+
+def _fixture_goldens() -> str:
+    from khl_pdf_ocr_spark.fixtures.gen import write_tables
+
+    _, gold = write_tables(FIXTURE_DIR, N_FIXTURE_DOCS, SEED, goldens=True)
+    return gold
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -58,6 +67,58 @@ def _emb_dim(sf_dir: str) -> int:
     first = next(pq.ParquetFile(path).iter_batches(batch_size=1,
                                                    columns=["embedding"]))
     return len(first.column(0)[0].as_py())
+
+
+# --- persisted-ANN plumbing (indexes cached per sf_dir under .ann_cache) ----
+# Shared constants: the SQL oracles recompute the ENTIRE ANN pipeline
+# (bucket/cell assignment + pruning + scoring) from the same seeded
+# hyperplanes/centroids, so queries() and oracle_sql() cannot drift.
+ANN_NBITS, ANN_SEED, ANN_CELLS, ANN_NPROBE = 6, 42, 8, 3
+
+
+def _ann_cache(kind: str, sf_dir: str, tag: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(f"{os.path.normpath(sf_dir)}|{tag}".encode()).hexdigest()[:12]
+    d = os.path.join(REPO_DIR, ".ann_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{kind}_{key}")
+
+
+def _qvec(sf_dir: str) -> list[float]:
+    """The fixed query vector (vec_id=0) via a driver-side duckdb read —
+    no Spark job at plan-construction time."""
+    import duckdb
+
+    row = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{_t(sf_dir, 'embeddings')}') "
+        "WHERE vec_id = 0").fetchone()
+    return [float(v) for v in row[0]]
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    """Deterministic coarse-quantizer centers (seeded pure-Python
+    k-means over the sf_dir embeddings, disk-cached as JSON — exact
+    round-trip, so the Spark literals and the SQL literals are the same
+    doubles)."""
+    import json
+
+    from khl_pdf_ocr_spark.operators.ann_index import seeded_kmeans
+
+    cache = _ann_cache("cent", sf_dir, f"k{ANN_CELLS}_s{ANN_SEED}") + ".json"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    import duckdb
+
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{_t(sf_dir, 'embeddings')}') "
+        "ORDER BY vec_id").fetchall()
+    cents = seeded_kmeans([[float(x) for x in v[0]] for v in vecs],
+                          k=ANN_CELLS, seed=ANN_SEED)
+    with open(cache, "w") as f:
+        json.dump(cents, f)
+    return cents
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_image_features(spark, sf_dir):
         # multimodal plumbing: binary media column → Arrow-batched
-        # feature extraction (decode stubbed; schema/batching real)
+        # feature extraction.  ASCII payloads by construction so the
+        # DuckDB oracle can recompute the sha256-based fake features
+        # over the same bytes (sha256(VARCHAR) hashes UTF-8 = ASCII).
         from khl_pdf_ocr_spark.operators.multimodal import (MEDIA_SCHEMA,
                                                             image_features)
 
-        rows = [(f"m{i}", "image", bytes([i % 256]) * (256 + i),
+        rows = [(f"m{i}", "image", (chr(97 + i % 26) * (256 + i)).encode(),
                  {"width": None, "height": None, "duration_ms": None,
                   "mime": "image/x-fake"}) for i in range(64)]
         return image_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
@@ -550,10 +613,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_minhash_lsh_pairs"] = doc_minhash_lsh_pairs
 
     def doc_simhash_pairs(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.dedup import simhash_pairs
+        # SQL-reproducible variant: 31-bit polynomial token hash so the
+        # DuckDB oracle recomputes simhash + exhaustive hamming pairs
+        # independently; max_bucket=None → pigeonhole banding has EXACT
+        # recall, so banded output ≡ exhaustive pairs.  (Production
+        # default stays 64-bit xxhash64 + hot-bucket bound — covered by
+        # the planted-dup pytest suite.)
+        from khl_pdf_ocr_spark.operators.dedup import (simhash_pairs,
+                                                       sql_token_hash)
 
         docs = spark.read.parquet(_t(sf_dir, "documents"))
-        return simhash_pairs(docs, max_hamming=3)
+        return simhash_pairs(docs, max_hamming=3, bits=31,
+                             token_hash=sql_token_hash, max_bucket=None)
 
     q["doc_simhash_pairs"] = doc_simhash_pairs
 
@@ -582,22 +653,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dup_pairs"] = emb_near_dup_pairs
 
     def emb_ann_lsh_topk(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.similarity import lsh_ann_topk
+        # persisted hyperplane-LSH index: built once per sf_dir (cached),
+        # queries prune to the probed bucket PARTITIONS (plan-asserted in
+        # tests/test_ann_index.py).  The oracle recomputes the whole
+        # pipeline in SQL from the same plane literals.
+        from khl_pdf_ocr_spark.operators.ann_index import (build_lsh_index,
+                                                           lsh_index_topk)
 
-        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-        qv = [r[0] for r in
-              emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
-        return lsh_ann_topk(emb, qv, k=10, nbits=8)
+        idx = _ann_cache("lsh", sf_dir, f"n{ANN_NBITS}_s{ANN_SEED}")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            build_lsh_index(spark.read.parquet(_t(sf_dir, "embeddings")), idx,
+                            dim=_emb_dim(sf_dir), nbits=ANN_NBITS, seed=ANN_SEED)
+        return lsh_index_topk(spark, idx, _qvec(sf_dir), k=10)
 
     q["emb_ann_lsh_topk"] = emb_ann_lsh_topk
 
     def emb_ann_ivf_topk(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.similarity import ivf_ann_topk
+        # persisted IVF index (inverted lists partitioned by cell); the
+        # deterministic centroids are shared with the SQL oracle.
+        from khl_pdf_ocr_spark.operators.ann_index import (build_ivf_index,
+                                                           ivf_index_topk)
 
-        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-        qv = [r[0] for r in
-              emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
-        return ivf_ann_topk(emb, qv, k=10, n_centroids=16, nprobe=3)
+        idx = _ann_cache("ivf", sf_dir, f"k{ANN_CELLS}_s{ANN_SEED}")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            build_ivf_index(spark.read.parquet(_t(sf_dir, "embeddings")), idx,
+                            centroids=_ivf_centroids(sf_dir))
+        return ivf_index_topk(spark, idx, _qvec(sf_dir), k=10, nprobe=ANN_NPROBE)
 
     q["emb_ann_ivf_topk"] = emb_ann_ivf_topk
 
@@ -632,6 +713,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # stopword or punctuation char in functions/text.py updates both sides
 _SW = X.STOPWORD_RE
 _PUNCT = X.PUNCT_RE
+
+# the driver's correctness comparisons run at this scale factor; the ANN
+# oracles embed probe sets / plane / centroid literals derived from it
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sql_arr(vals) -> str:
+    """DOUBLE[] literal — repr() round-trips exactly, and the DECIMAL →
+    DOUBLE cast rounds to the same nearest double as strtod."""
+    return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _sql_dot(vec: str, arr_sql: str, dim: int) -> str:
+    """Sequential left-fold dot product — bitwise-identical to Spark's
+    ``F.aggregate(F.zip_with(...))`` fold (both are ((p1+p2)+p3)+…)."""
+    return (f"list_reduce(list_transform(range(1,{dim + 1}), "
+            f"i -> {vec}[i]::DOUBLE * ({arr_sql})[i]), (a,b) -> a + b)")
+
+
+def _sql_dist2(vec: str, arr_sql: str, dim: int) -> str:
+    return (f"list_reduce(list_transform(range(1,{dim + 1}), "
+            f"i -> ({vec}[i]::DOUBLE - ({arr_sql})[i]) * "
+            f"({vec}[i]::DOUBLE - ({arr_sql})[i])), (a,b) -> a + b)")
+
+
+def _sql_quality_parts(col: str) -> str:
+    """The count sub-expressions quality_score() is built from, over an
+    arbitrary column expression (shared by the standalone quality oracle
+    and the corpus-ledger oracle)."""
+    return f"""
+                 CASE WHEN length(trim({col})) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END AS n_tok,
+                 len(regexp_extract_all(lower({col}), '{_SW}')) AS n_sw,
+                 len(regexp_extract_all({col}, '{_PUNCT}')) AS n_pun,
+                 len(regexp_extract_all({col}, '[0-9]')) AS n_dig,
+                 greatest(length({col}), 1)::double AS n_chr"""
+
+
+_SQL_QUALITY = """floor((0.4 * least(1.0, n_tok / 100.0)
+                   + 0.3 * least(1.0, 5.0 * n_sw / greatest(n_tok, 1)::double)
+                   + 0.2 * (1.0 - least(1.0, 10.0 * n_dig / n_chr))
+                   + 0.1 * (1.0 - least(1.0, 10.0 * n_pun / n_chr))) * 10000.0 + 0.5) / 10000.0"""
+
+
+def _sql_lang(col: str) -> str:
+    return f"""CASE WHEN len(regexp_extract_all({col}, '[а-яёА-ЯЁ]'))
+                         / greatest(length({col}), 1)::double > 0.3 THEN 'ru'
+                    WHEN len(regexp_extract_all(lower({col}), '{_SW}')) >= 3 THEN 'en'
+                    ELSE 'other' END"""
 _NORM = (f"trim(regexp_replace(regexp_replace(lower(text), '{X.PUNCT_RE}', '', 'g'),"
          " '\\s+', ' ', 'g'))")
 _SHINGLES = (
@@ -790,28 +920,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["doc_quality_scores"] = f"""
         WITH c AS (
-          SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-                 len(regexp_extract_all(lower(text), '{_SW}')) AS n_sw,
-                 len(regexp_extract_all(text, '{_PUNCT}')) AS n_pun,
-                 len(regexp_extract_all(text, '[0-9]')) AS n_dig,
-                 greatest(length(text), 1)::double AS n_chr
+          SELECT doc_id, {_sql_quality_parts('text')}
           FROM documents)
-        SELECT doc_id,
-               floor((0.4 * least(1.0, n_tok / 100.0)
-                   + 0.3 * least(1.0, 5.0 * n_sw / greatest(n_tok, 1)::double)
-                   + 0.2 * (1.0 - least(1.0, 10.0 * n_dig / n_chr))
-                   + 0.1 * (1.0 - least(1.0, 10.0 * n_pun / n_chr))) * 10000.0 + 0.5) / 10000.0 AS quality
+        SELECT doc_id, {_SQL_QUALITY} AS quality
         FROM c
     """
 
     o["doc_lang_id"] = f"""
-        SELECT doc_id,
-               CASE WHEN len(regexp_extract_all(text, '[а-яёА-ЯЁ]'))
-                         / greatest(length(text), 1)::double > 0.3 THEN 'ru'
-                    WHEN len(regexp_extract_all(lower(text), '{_SW}')) >= 3 THEN 'en'
-                    ELSE 'other' END AS lang_pred
+        SELECT doc_id, {_sql_lang('text')} AS lang_pred
         FROM documents
     """
 
@@ -992,8 +1108,266 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # rows-only (non-SQL-expressible / hash-seed-dependent):
-    # extract_all_fixtures, html_boilerplate_strip, masters_validate_referees,
-    # extract_{words,refs,goalies}_mode, ocr_fallback_subset,
-    # doc_minhash_lsh_pairs, doc_simhash_pairs, emb_ann_lsh_topk
+    # --- MinHash-LSH: exact all-pairs ground truth --------------------------
+    # Valid because banding recall is exactly 1 on this data: every pair
+    # with verified Jaccard >= 0.3 at sf0.01 actually has Jaccard >= 0.9
+    # (measured distribution — the [0.3, 0.9) band is EMPTY), and a
+    # >=0.9 pair collides in >=1 of 16 four-row bands with certainty for
+    # the fixed seed (miss probability (1-0.9^4)^16 ≈ 4e-8; equality is
+    # deterministic and re-verified by the driver every round).
+    o["doc_minhash_lsh_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS _toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               floor((len(list_intersect(a.sh, b.sh))::double
+                     / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE floor((len(list_intersect(a.sh, b.sh))::double
+              / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """
+
+    # --- SimHash: full independent recomputation ----------------------------
+    # Token hash = polynomial codepoint hash mod 2^31-1 (sql_token_hash);
+    # simhash packed from the 31 per-bit sign sums; exhaustive pairs with
+    # hamming <= 3.  The Spark side runs banded + verified with
+    # max_bucket=None, where the pigeonhole argument guarantees output ≡
+    # exhaustive pairs.
+    _packed31 = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)" for b in range(31))
+    o["doc_simhash_pairs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(
+                   regexp_split_to_array({_NORM}, '\\s+'))) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(1, length(tok) + 1),
+                                  i -> unicode(tok[i])::BIGINT)),
+                   (a,b) -> (a * 131 + b) % 2147483647) AS h
+          FROM toks
+        ), sh AS (
+          SELECT doc_id, ({_packed31})::BIGINT AS simhash
+          FROM th GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    # --- persisted-ANN oracles: the ENTIRE pipeline recomputed in SQL -------
+    # Bucket/cell assignment uses the same sequential-fold arithmetic as
+    # the Spark expressions (bitwise-identical doubles → identical signs
+    # and argmins); plane/centroid/probe literals come from the same
+    # seeded Python constructors queries() uses.
+    try:
+        from khl_pdf_ocr_spark.operators.ann_index import (lsh_probes,
+                                                           nearest_cells)
+        from khl_pdf_ocr_spark.operators.similarity import hyperplanes
+
+        dim = _emb_dim(ORACLE_SF_DIR)
+        qv = _qvec(ORACLE_SF_DIR)
+        qarr = _sql_arr(qv)
+
+        planes = hyperplanes(dim, ANN_NBITS, ANN_SEED)
+        probes = lsh_probes(qv, planes)
+        bucket_expr = " + ".join(
+            f"(CASE WHEN {_sql_dot('embedding', _sql_arr(p), dim)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes))
+        o["emb_ann_lsh_topk"] = f"""
+            WITH b AS (
+              SELECT vec_id, embedding, ({bucket_expr}) AS bucket
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], {qarr}))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+            FROM b
+            WHERE bucket IN ({", ".join(str(p) for p in probes)})
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """
+
+        cents = _ivf_centroids(ORACLE_SF_DIR)
+        cells = nearest_cells(qv, cents, ANN_NPROBE)
+        dist_list = "[" + ", ".join(
+            _sql_dist2("embedding", _sql_arr(c), dim) for c in cents) + "]"
+        o["emb_ann_ivf_topk"] = f"""
+            WITH d AS (
+              SELECT vec_id, embedding, {dist_list} AS dists
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id, embedding,
+                     list_position(dists, list_min(dists)) - 1 AS cell
+              FROM d
+            )
+            SELECT vec_id,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], {qarr}))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+            FROM c
+            WHERE cell IN ({", ".join(str(c) for c in cells)})
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """
+
+        # embedding LSH near-dup: same bucket (nbits=6 planes) + cosine
+        # >= threshold — the full operator recomputed in SQL
+        o["emb_lsh_near_dup_pairs"] = f"""
+            WITH b AS (
+              SELECT vec_id, embedding, ({bucket_expr}) AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))
+                        * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+        """
+    except Exception:  # pragma: no cover — testdata absent in odd envs
+        pass
+
+    # --- multimodal fake-decode features (ASCII payloads by construction,
+    #     so sha256(VARCHAR) hashes the identical bytes) --------------------
+    o["media_image_features"] = """
+        WITH m AS (
+          SELECT i, 256 + i AS n,
+                 repeat(chr((97 + (i % 26))::INT), 256 + i) AS payload
+          FROM (SELECT unnest(range(0, 64)) AS i)
+        )
+        SELECT 'm' || i AS media_id,
+               n::BIGINT AS n_bytes,
+               substr(sha256(payload), 1, 16) AS phash,
+               ((n * 7919) % 4096)::INT AS width,
+               ((n * 104729 + 13) % 4096)::INT AS height
+        FROM m
+    """
+
+    # --- corpus-cleaning reject ledger: full pipeline recomputation ---------
+    # lang filter (allowed set covers all lang_id outputs here → empty),
+    # quality < 0.3, exact dedup (keep min id per md5 fingerprint),
+    # near-dup (drop id_b of every pair with Jaccard >= 0.5 among the
+    # survivors — all-pairs is exact ground truth; the Spark side's
+    # MinHash banding has recall 1 at this threshold on this data, same
+    # argument as doc_minhash_lsh_pairs).
+    o["corpus_clean_ledger"] = f"""
+        WITH scored AS (
+          SELECT doc_id, text, {_sql_lang("coalesce(text,'')")} AS _lang,
+                 {_sql_quality_parts("coalesce(text,'')")}
+          FROM documents
+        ), q AS (
+          SELECT doc_id, text, _lang, {_SQL_QUALITY} AS _q FROM scored
+        ),
+        lang_bad AS (
+          SELECT doc_id AS id, 'lang' AS reject_reason FROM q
+          WHERE _lang NOT IN ('en', 'ru', 'other')
+        ),
+        stage1 AS (SELECT * FROM q WHERE _lang IN ('en', 'ru', 'other')),
+        q_bad AS (
+          SELECT doc_id AS id, 'quality' AS reject_reason FROM stage1
+          WHERE _q < 0.3 OR _q IS NULL
+        ),
+        stage2 AS (SELECT * FROM stage1 WHERE _q >= 0.3),
+        keeps AS (
+          SELECT min(doc_id) AS keep_id FROM stage2 GROUP BY md5({_NORM})
+        ),
+        exact_bad AS (
+          SELECT doc_id AS id, 'exact_dup' AS reject_reason FROM stage2
+          WHERE doc_id NOT IN (SELECT keep_id FROM keeps)
+        ),
+        stage3 AS (
+          SELECT doc_id, text FROM stage2
+          WHERE doc_id IN (SELECT keep_id FROM keeps)
+        ),
+        t3 AS (
+          SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS _toks
+          FROM stage3
+        ),
+        sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t3),
+        near_bad AS (
+          SELECT DISTINCT b.doc_id AS id, 'near_dup' AS reject_reason
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE floor((len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh)))::double)
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+        )
+        SELECT * FROM lang_bad
+        UNION ALL SELECT * FROM q_bad
+        UNION ALL SELECT * FROM exact_bad
+        UNION ALL SELECT * FROM near_bad
+    """
+
+    # --- extraction queries: golden-table oracles ----------------------------
+    # The refkernel golden pass (single-document, serial, no Spark) is
+    # the reference ground truth the north rule gates on; DuckDB reads it
+    # by absolute path, so the driver's hash compare IS the
+    # byte-identity gate for every query mode (url + extracted_text +
+    # result_json + envelope columns).
+    gold = _fixture_goldens()
+
+    o["extract_all_fixtures"] = f"""
+        SELECT url, ok, engine, error, extracted_text, result_json,
+               n_bytes, n_lines
+        FROM read_parquet('{gold}') WHERE mode = 'all'
+    """
+
+    o["html_boilerplate_strip"] = f"""
+        SELECT url, extracted_text, n_lines
+        FROM read_parquet('{gold}') WHERE mode = 'all' AND engine = 'html'
+    """
+
+    for _mode, _key in (("words", "extract_words_mode"),
+                        ("refs", "extract_refs_mode"),
+                        ("gk", "extract_goalies_mode")):
+        o[_key] = f"""
+            SELECT url, ok, engine, extracted_text, result_json
+            FROM read_parquet('{gold}') WHERE mode = '{_mode}'
+        """
+
+    # the OCR-fallback subset = the reference's fallback predicates
+    # (app.py:240,311) evaluated over the golden result JSON
+    o["ocr_fallback_subset"] = f"""
+        SELECT url, engine, error
+        FROM read_parquet('{gold}')
+        WHERE mode = 'all' AND engine = 'all'
+          AND (json_array_length(result_json, '$.referees.main') = 0
+               OR json_array_length(result_json, '$.referees.linesmen') = 0
+               OR (json_array_length(result_json, '$.goalies.home') = 0
+                   AND json_array_length(result_json, '$.goalies.away') = 0))
+    """
+
+    # broadcast master validation, recomputed from the golden JSON + the
+    # reference CSV (BOM-stripped, first-two-token key — masters.py)
+    _bom = chr(0xFEFF)
+    o["masters_validate_referees"] = f"""
+        WITH g AS (
+          SELECT url, result_json FROM read_parquet('{gold}')
+          WHERE mode = 'all' AND engine = 'all'
+        ), names AS (
+          SELECT url, unnest(list_concat(
+                   CAST(json_extract(result_json, '$.referees.main') AS VARCHAR[]),
+                   CAST(json_extract(result_json, '$.referees.linesmen') AS VARCHAR[])))
+                 AS name
+          FROM g
+        ), master AS (
+          SELECT DISTINCT array_to_string(
+                   (regexp_split_to_array(trim(replace(column0, '{_bom}', '')),
+                                          '\\s+'))[1:2], ' ') AS name_key
+          FROM read_csv('/root/reference/referees_master.csv', header=false)
+          WHERE length(trim(replace(column0, '{_bom}', ''))) > 0
+        )
+        SELECT n.url, n.name, (m.name_key IS NOT NULL) AS known
+        FROM names n LEFT JOIN master m
+          ON array_to_string((regexp_split_to_array(n.name, '\\s+'))[1:2], ' ')
+             = m.name_key
+    """
+
     return o

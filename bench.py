@@ -155,16 +155,21 @@ def main() -> None:
     qmap = entrymod.queries()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         df = qmap[name](spark, SF_DIR)
-        df.count()  # warm (plan compile, scans cached by OS)
-        t0 = time.time()
-        df.collect() if name not in ("doc_fingerprint_dedup", "scan_filter_project") \
-            else df.count()
+        action = (df.count if name in ("doc_fingerprint_dedup",
+                                       "scan_filter_project") else df.collect)
+        t0 = time.time()  # cold: first execution (plan compile + scan)
+        action()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()  # warm: repeat on hot JVM/OS caches
+        action()
         timings[name] = round(time.time() - t0, 3)
 
     ext_out = os.path.join(REPO, ".bench_cache", "out_main")
-    run_extraction_job(spark, docs_path, ext_out + "_warm")
+    ext_cold = run_extraction_job(spark, docs_path, ext_out + "_cold")
+    cold["extract_pipeline"] = ext_cold["elapsed_s"]
     ext = median_extraction(spark, docs_path, ext_out)
     timings["extract_pipeline"] = ext["elapsed_s"]
 
@@ -175,8 +180,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
         "sf": sf,
         "extraction": ext,
+        "extraction_cold": ext_cold,
         "cpus": args.cpus,
     }))
     spark.stop()

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from khl_pdf_ocr_spark.refkernel import minipdf
 from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
 
-GEN_VERSION = 5  # bump to invalidate cached fixture dirs
+GEN_VERSION = 7  # bump to invalidate cached fixture dirs
 
 REFERENCE_DIR = os.environ.get("KHL_REFERENCE_DIR", "/root/reference")
 
@@ -323,12 +323,20 @@ DOCS_SCHEMA = pa.schema([
 
 GOLDEN_SCHEMA = pa.schema([
     ("url", pa.string()),
+    ("mode", pa.string()),
     ("extracted_text", pa.string()),
     ("result_json", pa.string()),
     ("ok", pa.bool_()),
     ("engine", pa.string()),
     ("error", pa.string()),
+    ("detail", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("n_lines", pa.int64()),
 ])
+
+# every query mode of the reference API (app.py:405-412) gets golden rows,
+# so the driver's DuckDB oracles can gate each mode on byte identity
+GOLDEN_MODES = ("all", "words", "refs", "gk")
 
 
 def write_tables(out_dir: str, n_docs: int, seed: int = 42, force: bool = False,
@@ -336,8 +344,12 @@ def write_tables(out_dir: str, n_docs: int, seed: int = 42, force: bool = False,
     """Write documents.parquet (+ goldens.parquet); cached by meta.json."""
     os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "meta.json")
+    # the parsing backend is part of the cache key: installing PyMuPDF
+    # later must invalidate goldens generated with the minipdf backend
+    from khl_pdf_ocr_spark.refkernel.kernel import HAS_FITZ
+
     meta = {"n_docs": n_docs, "seed": seed, "version": GEN_VERSION,
-            "goldens": goldens}
+            "goldens": goldens, "fitz": HAS_FITZ}
     docs_path = os.path.join(out_dir, "documents.parquet")
     gold_path = os.path.join(out_dir, "goldens.parquet") if goldens else None
     if not force and os.path.exists(meta_path):
@@ -358,15 +370,21 @@ def write_tables(out_dir: str, n_docs: int, seed: int = 42, force: bool = False,
     if goldens:
         out = []
         for r in rows:
-            res = extract_document(r["url"], r["html"], mode="all")
-            out.append({
-                "url": r["url"],
-                "extracted_text": res["extracted_text"],
-                "result_json": result_to_json(res),
-                "ok": res["ok"],
-                "engine": res["engine"],
-                "error": res["error"],
-            })
+            for mode in GOLDEN_MODES:
+                res = extract_document(r["url"], r["html"], mode=mode)
+                text = res["extracted_text"]
+                out.append({
+                    "url": r["url"],
+                    "mode": mode,
+                    "extracted_text": text,
+                    "result_json": result_to_json(res),
+                    "ok": res["ok"],
+                    "engine": res["engine"],
+                    "error": res["error"],
+                    "detail": res["detail"],
+                    "n_bytes": len(r["html"]) if r["html"] is not None else 0,
+                    "n_lines": (text.count("\n") + 1) if text else 0,
+                })
         pq.write_table(pa.Table.from_pylist(out, schema=GOLDEN_SCHEMA),
                        gold_path, compression="snappy")
     with open(meta_path, "w") as f:

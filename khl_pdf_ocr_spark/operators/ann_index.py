@@ -1,0 +1,205 @@
+"""Persisted ANN indexes: build once, prune partitions per query.
+
+The round-1 ANN operators recomputed their structure per query —
+``lsh_ann_topk`` re-hashed every vector against the hyperplanes on each
+call and ``ivf_ann_topk`` re-trained KMeans — correct output, but a
+query that scans 100 % of a 100 TB embedding table is not a scale path.
+This module makes the index a separate, persisted step:
+
+    build_lsh_index(df, dir)  →  parquet partitioned by lsh_bucket
+    build_ivf_index(df, dir)  →  parquet partitioned by ivf_cell
+                                 (+ meta.json: planes / centroids / params)
+
+    lsh_index_topk(spark, dir, q)  →  reads ONLY the probed buckets
+    ivf_index_topk(spark, dir, q)  →  reads ONLY the nprobe nearest cells
+
+The probe set is computed driver-side from the persisted metadata (pure
+Python — no job, no refit); the query's bucket filter lands in the scan
+as a PARTITION filter, so at 100 TB the storage layer skips every
+unprobed bucket's files entirely (plan-asserted in tests/test_plans.py).
+
+Determinism discipline (this is what makes the DuckDB oracles possible):
+all bucket/cell assignment arithmetic is a SEQUENTIAL left fold over the
+vector elements (Spark ``aggregate``; DuckDB ``list_reduce``), so both
+engines produce bitwise-identical doubles and therefore identical sign
+bits / argmins.  Centroids come from ``seeded_kmeans`` — a deterministic
+pure-Python Lloyd's — passed in as literals on both sides; production
+builds may instead pass MLlib-trained centers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions.rounding import round_half_up
+from khl_pdf_ocr_spark.operators.similarity import (_query_lit, _to_double,
+                                                    cosine, hyperplanes,
+                                                    with_lsh_bucket)
+
+__all__ = ["seeded_kmeans", "build_lsh_index", "lsh_index_topk",
+           "build_ivf_index", "ivf_index_topk", "lsh_probes",
+           "nearest_cells", "ivf_cell_expr"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic coarse quantizer (pure Python — identical on both oracle sides)
+# ---------------------------------------------------------------------------
+
+
+def seeded_kmeans(vectors: list[list[float]], k: int, seed: int = 42,
+                  iters: int = 20) -> list[list[float]]:
+    """Deterministic Lloyd's k-means (seeded init, fixed iterations,
+    first-index tie-breaks).  Runs driver-side on a sample/full read of
+    the (small relative to the corpus) vector set; at 100 TB swap in
+    MLlib-trained centers — the index format is identical."""
+    import random
+
+    n = len(vectors)
+    if n == 0:
+        raise ValueError("cannot train on an empty vector set")
+    k = min(k, n)
+    rng = random.Random(seed)
+    centers = [list(map(float, vectors[i])) for i in rng.sample(range(n), k)]
+    for _ in range(iters):
+        sums = [[0.0] * len(centers[0]) for _ in range(k)]
+        counts = [0] * k
+        for v in vectors:
+            best, best_d = 0, float("inf")
+            for ci, c in enumerate(centers):
+                d = 0.0
+                for a, b in zip(v, c):
+                    d += (float(a) - b) ** 2
+                if d < best_d:  # strict < → first index wins ties
+                    best, best_d = ci, d
+            counts[best] += 1
+            for j, a in enumerate(v):
+                sums[best][j] += float(a)
+        centers = [[s / c for s in sums[i]] if (c := counts[i]) else centers[i]
+                   for i in range(k)]
+    return centers
+
+
+def ivf_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """argmin-of-squared-distance cell id, as a pure JVM expression.
+
+    Sequential left-fold sums (``F.aggregate``) keep the arithmetic
+    bitwise-reproducible in any engine that folds left (DuckDB
+    ``list_reduce``) — the oracle contract."""
+    v = _to_double(vec_col)
+    dists = []
+    for c in centroids:
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(F.zip_with(v, cl, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        dists.append(d)
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# LSH index
+# ---------------------------------------------------------------------------
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "meta.json")
+
+
+def _data_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "data")
+
+
+def build_lsh_index(df: DataFrame, index_dir: str, *, dim: int,
+                    nbits: int = 8, seed: int = 42,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Hash every vector once and persist, partitioned by bucket."""
+    planes = hyperplanes(dim, nbits, seed)
+    bucketed = with_lsh_bucket(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        planes, "embedding")
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket") \
+        .parquet(_data_path(index_dir))
+    meta = {"kind": "lsh", "dim": dim, "nbits": nbits, "seed": seed,
+            "planes": planes}
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_probes(query_vec, planes, *, multiprobe: bool = True) -> list[int]:
+    """Query bucket + hamming-1 neighbors (sequential-fold dots)."""
+    qbits = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for a, b in zip(query_vec, p):
+            acc += float(a) * b
+        if acc >= 0:
+            qbits |= 1 << i
+    probes = [qbits]
+    if multiprobe:
+        probes += [qbits ^ (1 << i) for i in range(len(planes))]
+    return probes
+
+
+def lsh_index_topk(spark: SparkSession, index_dir: str, query_vec, k: int = 10,
+                   *, multiprobe: bool = True) -> DataFrame:
+    """Top-k over the probed buckets only — a partition-pruned scan."""
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    probes = lsh_probes(query_vec, meta["planes"], multiprobe=multiprobe)
+    cand = (spark.read.parquet(_data_path(index_dir))
+            .filter(F.col("lsh_bucket").isin(probes)))
+    sim = round_half_up(cosine(F.col("embedding"), _query_lit(query_vec)), 6)
+    return (cand.select("vec_id", sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# IVF index
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(df: DataFrame, index_dir: str, *,
+                    centroids: list[list[float]],
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Assign every vector to its nearest centroid once and persist,
+    partitioned by cell (the inverted lists)."""
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        ivf_cell_expr(F.col(vec_col), centroids).alias("ivf_cell"))
+    assigned.write.mode("overwrite").partitionBy("ivf_cell") \
+        .parquet(_data_path(index_dir))
+    meta = {"kind": "ivf", "centroids": centroids}
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def nearest_cells(query_vec, centroids, nprobe: int) -> list[int]:
+    """The nprobe nearest centroid ids (deterministic index tie-break)."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(query_vec, c):
+            d += (float(a) - b) ** 2
+        dists.append((d, ci))
+    return [ci for _, ci in sorted(dists)[:nprobe]]
+
+
+def ivf_index_topk(spark: SparkSession, index_dir: str, query_vec, k: int = 10,
+                   *, nprobe: int = 2) -> DataFrame:
+    """Top-k over the nprobe nearest inverted lists only."""
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    cells = nearest_cells(query_vec, meta["centroids"], nprobe)
+    cand = (spark.read.parquet(_data_path(index_dir))
+            .filter(F.col("ivf_cell").isin(cells)))
+    sim = round_half_up(cosine(F.col("embedding"), _query_lit(query_vec)), 6)
+    return (cand.select("vec_id", sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(k))

@@ -285,18 +285,34 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def sql_token_hash(col):
+    """Polynomial codepoint hash mod 2^31-1 — chosen because it is
+    computable IDENTICALLY in ANSI SQL (DuckDB ``list_reduce`` over
+    ``unicode(t[i])``), which lets the driver oracle recompute the whole
+    simhash pipeline independently.  Weaker than xxhash64 (31 bits);
+    production keeps the xxhash64 default."""
+    cps = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(cps, F.lit(0).cast("long"),
+                       lambda acc, c: (acc * F.lit(131) + c) % F.lit(2147483647))
+
+
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash of the token set: per bit, sign of Σ±1 over token
-    hashes. One explode + one aggregate (64 conditional sums)."""
+            bits: int = 64, token_hash=None) -> DataFrame:
+    """SimHash of the token set: per bit, sign of Σ±1 over token
+    hashes. One explode + one aggregate (``bits`` conditional sums).
+
+    ``token_hash`` (Column → Column) defaults to ``xxhash64`` (64-bit);
+    pass ``sql_token_hash`` with ``bits=31`` for the SQL-reproducible
+    variant the driver oracle checks."""
     def _bit_lit(b: int):
         # bit 63 is the sign bit of a JVM long — two's complement literal
         return F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
 
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     toks = (_ensure_parallelism(df).select(F.col(id_col).alias("id"),
                       F.explode(F.array_distinct(
                           F.split(X.normalized_text(F.col(text_col)), r"\s+"))).alias("tok"))
-            .withColumn("h", F.xxhash64("tok")))
+            .withColumn("h", hash_fn(F.col("tok"))))
     sums = [F.sum(F.when(F.col("h").bitwiseAND(_bit_lit(b)) != 0, 1)
                   .otherwise(-1)).alias(f"b{b}") for b in range(bits)]
     agg = toks.groupBy("id").agg(*sums)
@@ -309,20 +325,24 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3,
-                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                  bits: int = 64, token_hash=None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) bands; any
-    pair within distance k agrees exactly on ≥1 band → join per band,
-    verify with bit_count(xor).  Hot band buckets are chain-bounded via
-    ``max_bucket`` (see ``DEFAULT_MAX_BUCKET``)."""
+    Pigeonhole banding: split ``bits`` bits into (max_hamming+1) bands;
+    any pair within distance k agrees exactly on ≥1 band → join per
+    band, verify with bit_count(xor).  Hot band buckets are
+    chain-bounded via ``max_bucket`` (see ``DEFAULT_MAX_BUCKET``);
+    with ``max_bucket=None`` the pigeonhole guarantees EXACT recall,
+    which is what the driver oracle checks against exhaustive pairs."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    width = bits // n_bands
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
+                 token_hash=token_hash)
     bands = []
     for b in range(n_bands):
         shift = b * width
-        w = width if b < n_bands - 1 else 64 - shift
+        w = width if b < n_bands - 1 else bits - shift
         mask = (1 << w) - 1
         bands.append(F.struct(
             F.lit(b).alias("band"),

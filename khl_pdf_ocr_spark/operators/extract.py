@@ -25,13 +25,17 @@ from typing import Any
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from khl_pdf_ocr_spark.schemas import EXTRACT_PA, EXTRACT_SCHEMA
+from khl_pdf_ocr_spark.schemas import (EXTRACT_PA, EXTRACT_PA_DEBUG,
+                                       EXTRACT_SCHEMA,
+                                       EXTRACT_SCHEMA_DEBUG)
 
 __all__ = ["extract_documents", "extract_batches", "make_extract_fn"]
 
 
-def _extract_rows(urls, payloads, mode: str) -> list[dict[str, Any]]:
+def _extract_rows(urls, payloads, mode: str, debug: bool = False
+                  ) -> list[dict[str, Any]]:
     # import inside the task (executor-side) — refkernel is pure stdlib
+    import json
     import time
 
     from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
@@ -39,9 +43,23 @@ def _extract_rows(urls, payloads, mode: str) -> list[dict[str, Any]]:
     rows = []
     for url, payload in zip(urls, payloads):
         t0 = time.perf_counter()
-        res = extract_document(url, payload, mode=mode)
+        res = extract_document(url, payload, mode=mode, debug=debug)
         kernel_us = int((time.perf_counter() - t0) * 1e6)
         text = res["extracted_text"]
+        if debug:
+            rows.append({
+                "url": url, "ok": res["ok"], "engine": res["engine"],
+                "error": res["error"], "detail": res["detail"],
+                "extracted_text": text, "result_json": result_to_json(res),
+                "match": res["match"], "referees": res["referees"],
+                "goalies": res["goalies"],
+                "n_bytes": len(payload) if payload is not None else 0,
+                "n_lines": (text.count("\n") + 1) if text else 0,
+                "kernel_us": kernel_us,
+                "debug_json": json.dumps(res.get("_debug", {}),
+                                         ensure_ascii=False),
+            })
+            continue
         rows.append({
             "url": url,
             "ok": res["ok"],
@@ -60,28 +78,37 @@ def _extract_rows(urls, payloads, mode: str) -> list[dict[str, Any]]:
     return rows
 
 
-def extract_batches(batches: Iterator[pa.RecordBatch], mode: str = "all"
-                    ) -> Iterator[pa.RecordBatch]:
+def extract_batches(batches: Iterator[pa.RecordBatch], mode: str = "all",
+                    debug: bool = False) -> Iterator[pa.RecordBatch]:
     """Iterator[RecordBatch] → Iterator[RecordBatch] extraction kernel."""
+    schema = EXTRACT_PA_DEBUG if debug else EXTRACT_PA
     for batch in batches:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
-        rows = _extract_rows(urls, payloads, mode)
-        yield pa.RecordBatch.from_pylist(rows, schema=EXTRACT_PA)
+        rows = _extract_rows(urls, payloads, mode, debug)
+        yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
 
-def make_extract_fn(mode: str = "all"):
+def make_extract_fn(mode: str = "all", debug: bool = False):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        return extract_batches(batches, mode=mode)
+        return extract_batches(batches, mode=mode, debug=debug)
 
     return fn
 
 
-def extract_documents(df: DataFrame, mode: str = "all") -> DataFrame:
+def extract_documents(df: DataFrame, mode: str = "all",
+                      debug: bool = False) -> DataFrame:
     """documents(url, …, html binary, …) → extraction results.
 
     Column-prunes to (url, html) before the Arrow boundary so the
     parquet/Iceberg scan reads exactly two columns.
+
+    ``debug=True`` threads the reference's ``debug=1`` flag through the
+    kernel (raw_ref_line / fallback notes / capability flags, per mode —
+    see ``refkernel.kernel.extract_document``) and adds a ``debug_json``
+    column; the debug dict also appears as ``_debug`` in result_json,
+    mirroring the JSON response shape (app.py:364-365).
     """
     return df.select("url", "html").mapInArrow(
-        make_extract_fn(mode), EXTRACT_SCHEMA)
+        make_extract_fn(mode, debug),
+        EXTRACT_SCHEMA_DEBUG if debug else EXTRACT_SCHEMA)

@@ -143,29 +143,37 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10
 
 def ivf_ann_topk(df: DataFrame, query_vec, k: int = 10, *, n_centroids: int = 16,
                  nprobe: int = 2, seed: int = 42, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (MLlib, seeded) → assign
-    each vector to its nearest centroid ("inverted list") → the query
-    scores only the ``nprobe`` nearest lists.
+                 id_col: str = "vec_id", centroids=None) -> DataFrame:
+    """IVF-style ANN over an UN-indexed frame: coarse-quantize → score
+    only the ``nprobe`` nearest inverted lists.
 
-    At 100 TB the assignment is computed once and the table is written
-    partitioned by ``ivf_cell``, so a query prunes to nprobe/(n_centroids)
-    of the data at the storage layer.  Same output schema as
-    ``cosine_topk``.
+    ``centroids`` (list of vectors) skips the MLlib KMeans fit — pass
+    pre-trained centers (``ann_index.seeded_kmeans`` or a saved MLlib
+    model) so repeated calls never refit.  Without an argument this
+    trains per call, which is only acceptable for ad-hoc exploration;
+    the scale path is ``ann_index.build_ivf_index`` +
+    ``ann_index.ivf_index_topk`` (persisted inverted lists, partition-
+    pruned scans).  Same output schema as ``cosine_topk``.
     """
     import math as _math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = df.select(F.col(id_col), F.col(vec_col),
-                     array_to_vector(_to_double(F.col(vec_col))).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
-                   predictionCol="ivf_cell").fit(feat)
-    assigned = model.transform(feat)
-
-    centers = model.clusterCenters()
     q = [float(v) for v in query_vec]
+    if centroids is not None:
+        from khl_pdf_ocr_spark.operators.ann_index import ivf_cell_expr
+
+        assigned = df.select(F.col(id_col), F.col(vec_col),
+                             ivf_cell_expr(F.col(vec_col), centroids).alias("ivf_cell"))
+        centers = centroids
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.select(F.col(id_col), F.col(vec_col),
+                         array_to_vector(_to_double(F.col(vec_col))).alias("features"))
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                       predictionCol="ivf_cell").fit(feat)
+        assigned = model.transform(feat)
+        centers = model.clusterCenters()
 
     def _dist(c):
         return _math.sqrt(sum((a - b) ** 2 for a, b in zip(c, q)))

@@ -48,5 +48,14 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]\n]*)", physical_plan(df))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters of every file scan — non-empty means the scan
+    prunes whole partition directories at planning time (the persisted
+    ANN index contract: a query must read only its probed buckets)."""
+    return [s for s in
+            re.findall(r"PartitionFilters: \[([^\]\n]*)", physical_plan(df))
+            if s.strip()]
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     return physical_plan(df).count("*(")

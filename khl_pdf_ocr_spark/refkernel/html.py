@@ -82,8 +82,18 @@ class _BlockParser(HTMLParser):
         self._cur: _Block | None = None
         self._drop_stack: list[str] = []
         self._nav_stack: list[str] = []
-        self._anchor_depth = 0
+        # open anchors, each tracking how many BLOCK opens happened after
+        # it opened: a valid HTML5 block-level link (<a><div>card</div></a>)
+        # keeps attributing its children's text to the link, while an
+        # anchor whose ENCLOSING block closes (count would go negative)
+        # is stale/unclosed and is dropped — it must not swallow the rest
+        # of the document as link text
+        self._anchors: list[int] = []
         self._tag_stack: list[str] = []
+
+    @property
+    def _anchor_depth(self) -> int:
+        return len(self._anchors)
 
     @property
     def _drop_depth(self) -> int:
@@ -114,23 +124,22 @@ class _BlockParser(HTMLParser):
         if self._drop_depth:
             return
         if tag == "a":
-            self._anchor_depth += 1
+            self._anchors.append(0)
         if tag in NAV_TAGS:
             self._nav_stack.append(tag)
         if tag in ("main", "article"):
             # a content landmark implicitly closes dangling boilerplate
-            # containers (sloppy HTML with a missing </nav>/</form> must
-            # not swallow the article body)
+            # containers (sloppy HTML with a missing </nav>/</form>/</a>
+            # must not swallow the article body)
             self._nav_stack.clear()
-            self._anchor_depth = 0
+            self._anchors.clear()
         if tag == "br":
             return
         if tag in BLOCK_TAGS or tag in HEADING_TAGS:
-            # anchors do not straddle block boundaries in rendered
-            # reality — an unclosed <a> must not mark every following
-            # block as pure link text
-            if tag not in ("li",):
-                self._anchor_depth = 0
+            # child blocks INHERIT open anchors (HTML5 block-level links:
+            # <a><div>card text</div></a> is link text); staleness is
+            # resolved at block CLOSE, not at every block boundary
+            self._anchors = [d + 1 for d in self._anchors]
             self._tag_stack.append(tag)
             self._open_block(tag)
 
@@ -147,7 +156,8 @@ class _BlockParser(HTMLParser):
         if self._drop_depth:
             return
         if tag == "a":
-            self._anchor_depth = max(0, self._anchor_depth - 1)
+            if self._anchors:
+                self._anchors.pop()
         if tag in NAV_TAGS and tag in self._nav_stack:
             while self._nav_stack:  # pop to the nearest matching open tag
                 if self._nav_stack.pop() == tag:
@@ -155,6 +165,9 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS or tag in HEADING_TAGS:
             if self._tag_stack and self._tag_stack[-1] == tag:
                 self._tag_stack.pop()
+            # an anchor whose enclosing block just closed never closed
+            # itself → stale; drop it (count would go negative)
+            self._anchors = [d - 1 for d in self._anchors if d > 0]
             self._close_block()
 
     def handle_data(self, data):

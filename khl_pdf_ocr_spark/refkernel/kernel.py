@@ -39,6 +39,15 @@ except Exception:  # pragma: no cover - environment without PyMuPDF
     fitz = None  # type: ignore
     HAS_FITZ = False
 
+try:  # the reference's tesseract gate (app.py:17-22), for debug parity
+    import shutil as _shutil
+
+    import pytesseract  # type: ignore # noqa: F401
+
+    HAS_TESSERACT = _shutil.which("tesseract") is not None
+except Exception:  # pragma: no cover
+    HAS_TESSERACT = False
+
 
 def parse_season_uid(url: str) -> tuple[str, str]:
     m = RE_GAME_URL.search(url or "")
@@ -93,12 +102,22 @@ def _error_result(error: str, detail: str) -> dict:
     return res
 
 
-def extract_document(url: str, payload: bytes, mode: str = "all") -> dict:
+def extract_document(url: str, payload: bytes, mode: str = "all",
+                     debug: bool = False) -> dict:
     """The flagship per-document operator.
 
     mode ∈ {all, words, refs, gk, goalies} mirrors the reference's query
     API (app.py:381-412); every mode also emits ``extracted_text`` (the
     byte-identity gate field applies to every document type).
+
+    ``debug=True`` threads the reference's ``debug=1`` flag
+    (app.py:384): refs mode carries ``raw_ref_line`` / header-miss notes
+    (app.py:263-267), gk mode the (empty, text-layer) fallback dict
+    (app.py:336-341), and mode=all the tesseract capability flag
+    (app.py:364-365) — the reference drops sub-extractor debug in
+    mode=all, a quirk kept for parity.  The dict lands in the result as
+    ``_debug`` and therefore inside ``result_json``, like the JSON
+    response.
     """
     if payload is None:
         return _error_result("download_error", "null payload")
@@ -109,7 +128,7 @@ def extract_document(url: str, payload: bytes, mode: str = "all") -> dict:
             words8 = pdf_words(payload)
         except Exception as e:  # corrupt PDF → envelope (app.py:399-401)
             return _error_result("pdf_open_error", str(e))
-        return _extract_pdf(url, words8, mode)
+        return _extract_pdf(url, words8, mode, debug)
 
     # markup must announce itself at the START of the payload — a
     # plain-text document that merely MENTIONS "<body" or "<html"
@@ -130,7 +149,7 @@ def extract_document(url: str, payload: bytes, mode: str = "all") -> dict:
     return res
 
 
-def _extract_pdf(url: str, words8, mode: str) -> dict:
+def _extract_pdf(url: str, words8, mode: str, debug: bool = False) -> dict:
     # layout reconstruction happens ONCE per document; all sub-extractors
     # fan out from the same parts (fixes the reference's 3× recompute,
     # SURVEY.md §3.1; both steps are pure so semantics are unchanged)
@@ -142,22 +161,30 @@ def _extract_pdf(url: str, words8, mode: str) -> dict:
     if mode == "words":
         res["engine"] = "words"
         res["match"].update(pdfops.find_match_meta(lines_all, cols))
-        res["match"]["season"], res["match"]["uid"] = season, uid
+        # season/uid stay EMPTY here: the reference's extract_words
+        # response carries only date/time/teams (app.py:182-186);
+        # season/uid appear only in mode=all (app.py:359)
     elif mode == "refs":
-        main, linesmen, _ = pdfops.find_ref_lines(lines_all)
+        main, linesmen, dbg = pdfops.find_ref_lines(lines_all)
         res["engine"] = "ocr-refs"
         res["referees"] = {"main": main, "linesmen": linesmen}
+        if debug:  # app.py:265-267
+            res["_debug"] = dbg
     elif mode in ("gk", "goalies"):
         res["engine"] = "gk"
         res["goalies"] = {
             "home": pdfops.collect_goalies_from_column(cols["left"]),
             "away": pdfops.collect_goalies_from_column(cols["right"])}
+        if debug:  # app.py:340-341 (text path: empty fallback dict)
+            res["_debug"] = {}
     else:  # all (default, app.py:411-412)
         sub = pdfops.extract_all_from_parts(lines_all, cols, season, uid)
         res["engine"] = sub["engine"]
         res["match"] = sub["match"]
         res["referees"] = sub["referees"]
         res["goalies"] = sub["goalies"]
+        if debug:  # app.py:364-365: capability flag only (quirk kept)
+            res["_debug"] = {"has_tesseract": HAS_TESSERACT}
 
     res["extracted_text"] = "\n".join(lines_all)
     return res

@@ -217,6 +217,42 @@ _PAGE_OBJ_RE = re.compile(
 _CONTENTS_VAL_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _OBJ_STREAM_RE_TMPL = rb"%d\s+0\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+
+
+def _obj_region(data: bytes, num: int) -> bytes | None:
+    m = re.search(rb"(?<![0-9])%d\s+0\s+obj\b(.*?)endobj" % num, data, re.S)
+    return m.group(1) if m else None
+
+
+def _first_page_obj(data: bytes) -> bytes | None:
+    """'Page 0' = Kids[0] of the /Root → /Pages tree — NOT the first
+    /Type /Page object in file byte order (objects may be serialized in
+    any order).  Descends intermediate /Pages nodes by their first kid.
+    Returns the page object's region, or None when unresolvable."""
+    rm = _ROOT_RE.search(data)
+    if not rm:
+        return None
+    cat = _obj_region(data, int(rm.group(1)))
+    if not cat:
+        return None
+    pm = _PAGES_REF_RE.search(cat)
+    if not pm:
+        return None
+    node = _obj_region(data, int(pm.group(1)))
+    for _ in range(32):  # depth guard against reference cycles
+        if node is None:
+            return None
+        km = _KIDS_RE.search(node)
+        if not km:  # leaf — must be an actual /Page
+            return node if re.search(rb"/Type\s*/Page\b", node) else None
+        refs = _REF_RE.findall(km.group(1))
+        if not refs:
+            return None
+        node = _obj_region(data, int(refs[0]))
+    return None
 
 
 def _first_page_stream(data: bytes) -> bytes | None:
@@ -224,15 +260,19 @@ def _first_page_stream(data: bytes) -> bytes | None:
 
     The reference processes page 0 only (``pno=0`` at app.py:67,86 and
     every call site) — a multipage document must NOT leak later pages'
-    words into the layout.  Handles both the single-ref and the array
-    form of /Contents (multiple streams are concatenated in order).
-    Returns None when the page tree cannot be resolved (malformed or
-    exotic PDFs → caller falls back to scanning all text streams,
-    best-effort)."""
-    page = _PAGE_OBJ_RE.search(data)
-    if not page:
+    words into the layout.  Page 0 is resolved through /Root → /Pages →
+    Kids[0]; the first-/Page-in-file-order heuristic is only the
+    fallback when the tree is unresolvable.  Handles both the single-ref
+    and the array form of /Contents (multiple streams are concatenated
+    in order).  Returns None when neither resolves (malformed or exotic
+    PDFs → caller falls back to scanning all text streams, best-effort)."""
+    page = _first_page_obj(data)
+    if page is None:
+        pm = _PAGE_OBJ_RE.search(data)
+        page = pm.group(0) if pm else None
+    if page is None:
         return None
-    cval = _CONTENTS_VAL_RE.search(page.group(0))
+    cval = _CONTENTS_VAL_RE.search(page)
     if not cval:
         return None
     parts = []

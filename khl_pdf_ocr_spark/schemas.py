@@ -83,6 +83,13 @@ EXTRACT_PA = pa.schema([
     ("kernel_us", pa.int64()),
 ])
 
+# debug variants: + debug_json (the reference's debug=1 payload rendered
+# as raw-UTF-8 JSON, app.py:364-365)
+EXTRACT_SCHEMA_DEBUG = T.StructType(
+    EXTRACT_SCHEMA.fields + [T.StructField("debug_json", T.StringType(), True)])
+EXTRACT_PA_DEBUG = pa.schema(
+    list(EXTRACT_PA) + [pa.field("debug_json", pa.string())])
+
 METRICS_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
     T.StructField("partition_id", T.IntegerType(), False),

@@ -119,3 +119,29 @@ def test_unclosed_anchor_does_not_poison_following_blocks():
             '</p><p>совершенно обычный длинный абзац основного текста который '
             'не должен считаться ссылочным мусором из-за чужой ошибки</p>')
     assert "обычный длинный абзац" in strip_boilerplate(html)
+
+
+def test_block_level_link_counts_as_link_text():
+    """HTML5 block-in-anchor (<a><div>…</div></a>, link-farm cards) must
+    score with full link ratio — NOT pass the density cut as content
+    (ADVICE: anchor depth was zeroed at every block open)."""
+    card = ("<a href='/promo'><div>"
+            "amazing promotional card text with plenty of words to pass "
+            "the density and length thresholds easily here today friends"
+            "</div></a>")
+    body = ("<p>genuine article paragraph with plenty of ordinary prose "
+            "words to keep it well above every density threshold used</p>")
+    out = strip_boilerplate(f"<html><body>{card}{body}</body></html>")
+    assert "genuine article paragraph" in out
+    assert "promotional card" not in out
+
+
+def test_stale_unclosed_anchor_does_not_swallow_following_blocks():
+    """An anchor left unclosed inside a closed block must not mark the
+    next sibling block as link text."""
+    html = ("<div><a href='/x'>home link"  # no </a>
+            "</div>"
+            "<p>real article text with plenty of ordinary prose words to "
+            "stay above the density threshold in this paragraph today</p>")
+    out = strip_boilerplate(f"<html><body>{html}</body></html>")
+    assert "real article text" in out

@@ -106,3 +106,45 @@ def test_plain_text_mentioning_html_markup_stays_text():
     res = extract_document("u", body)
     assert res["engine"] == "text"
     assert "третья строка" in res["extracted_text"]
+
+
+def _pdf_payloads(n=40, seed=42):
+    from khl_pdf_ocr_spark.fixtures.gen import generate_rows
+
+    return [(r["url"], r["html"]) for r in generate_rows(n, seed)
+            if r["html"][:5] == b"%PDF-" and "/pdf/" in r["url"]]
+
+
+def test_debug_threading_refs_mode():
+    """debug=1 parity (app.py:263-267): refs mode surfaces the raw
+    referee names line on a fixture where the header IS on the page;
+    header-miss fixtures surface the note instead."""
+    import json as _json
+
+    from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
+
+    seen_raw = seen_note = False
+    for url, payload in _pdf_payloads():
+        res = extract_document(url, payload, mode="refs", debug=True)
+        dbg = res["_debug"]
+        if res["referees"]["main"]:
+            assert dbg["raw_ref_line"]  # the names line, verbatim
+            # golden-style check: the raw line contains the first name
+            assert res["referees"]["main"][0].split()[0] in dbg["raw_ref_line"]
+            seen_raw = True
+        elif "note" in dbg:
+            assert dbg["note"] == "ref header not found"
+            seen_note = True
+        # the debug dict rides inside result_json like the JSON response
+        assert _json.loads(result_to_json(res))["_debug"] == dbg
+        # debug off → key absent (golden shape unchanged)
+        assert "_debug" not in extract_document(url, payload, mode="refs")
+    assert seen_raw and seen_note  # both fixture classes exercised
+
+
+def test_debug_threading_all_mode_capability_flag():
+    from khl_pdf_ocr_spark.refkernel.kernel import HAS_TESSERACT, extract_document
+
+    url, payload = _pdf_payloads(5)[0]
+    res = extract_document(url, payload, mode="all", debug=True)
+    assert res["_debug"] == {"has_tesseract": HAS_TESSERACT}

@@ -155,3 +155,47 @@ def test_backslash_newline_is_line_continuation():
            b" >>\nstream\n" + content + b"endstream\nendobj\n%%EOF\n")
     out = minipdf.extract_words(pdf)
     assert out[0][4] == "Glavny"
+
+
+def _obj(num, body):
+    return f"{num} 0 obj ".encode() + body + b" endobj\n"
+
+
+def _stream_obj(num, content):
+    return (f"{num} 0 obj << /Length {len(content)} >> stream\n".encode()
+            + content + b"\nendstream endobj\n")
+
+
+def test_page0_resolved_via_kids_not_file_order():
+    """A wild PDF serialized out of page order: the /Type /Page object
+    that appears FIRST in the file is page 2; Kids[0] is page 1.  'Page
+    0' must follow the tree (ADVICE: minipdf page-0 resolution)."""
+    parts = [b"%PDF-1.4\n"]
+    parts.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(_obj(2, b"<< /Type /Pages /Kids [4 0 R 3 0 R] /Count 2 >>"))
+    # object 3 (the SECOND page) serialized before object 4 (the FIRST)
+    parts.append(_obj(3, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] /Contents 5 0 R >>"))
+    parts.append(_obj(4, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] /Contents 6 0 R >>"))
+    parts.append(_stream_obj(5, b"BT /F1 10 Tf 72 700 Td (WRONGPAGE) Tj ET"))
+    parts.append(_stream_obj(6, b"BT /F1 10 Tf 72 700 Td (RIGHTPAGE) Tj ET"))
+    parts.append(b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    data = b"".join(parts)
+
+    words = minipdf.extract_words(data)
+    texts = {w[4] for w in words}
+    assert "RIGHTPAGE" in texts
+    assert "WRONGPAGE" not in texts
+
+
+def test_page0_file_order_fallback_without_tree():
+    """No /Root catalog → fall back to the first /Type /Page in file
+    order (best-effort for malformed PDFs)."""
+    parts = [b"%PDF-1.4\n"]
+    parts.append(_obj(3, b"<< /Type /Page /MediaBox [0 0 612 792] "
+                         b"/Contents 5 0 R >>"))
+    parts.append(_stream_obj(5, b"BT /F1 10 Tf 72 700 Td (ONLYPAGE) Tj ET"))
+    parts.append(b"%%EOF\n")
+    words = minipdf.extract_words(b"".join(parts))
+    assert {w[4] for w in words} == {"ONLYPAGE"}

@@ -26,7 +26,7 @@ def extracted(spark, fixture_tables):
 
 def test_byte_identical_vs_goldens(spark, fixture_tables, extracted):
     _, gold_path = fixture_tables
-    g = spark.read.parquet(gold_path)
+    g = spark.read.parquet(gold_path).filter(F.col("mode") == "all")
     joined = extracted.alias("r").join(g.alias("g"), "url", "full_outer")
     n_total = joined.count()
     assert n_total == g.count() == extracted.count()
@@ -149,3 +149,17 @@ def test_salting_bounds_byte_skew(spark, fixture_tables):
     mx_salt, avg_salt = max_partition_bytes(salted)
     assert mx_salt < mx_skew * 0.6
     assert mx_salt < 4 * avg_salt
+
+
+def test_debug_column_through_spark(spark, fixture_tables):
+    docs_path, _ = fixture_tables
+    df = spark.read.parquet(docs_path).limit(40)
+    out = extract_documents(df, mode="refs", debug=True)
+    assert "debug_json" in out.columns
+    rows = out.filter(F.col("engine") == "ocr-refs").collect()
+    assert rows
+    import json
+    payloads = [json.loads(r["debug_json"]) for r in rows]
+    assert any("raw_ref_line" in p for p in payloads)
+    # default path keeps the original schema (no debug column)
+    assert "debug_json" not in extract_documents(df).columns

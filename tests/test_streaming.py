@@ -18,7 +18,7 @@ def test_streaming_drains_and_matches_goldens(spark, fixture_tables, tmp_path):
     run_streaming_extraction(spark, in_dir, out_dir, max_files_per_trigger=4)
 
     res = spark.read.parquet(os.path.join(out_dir, "data"))
-    g = spark.read.parquet(gold_path)
+    g = spark.read.parquet(gold_path).filter(F.col("mode") == "all")
     assert res.count() == g.count()
     joined = res.alias("r").join(g.alias("g"), "url")
     n_match = joined.filter(

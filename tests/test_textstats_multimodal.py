@@ -70,3 +70,56 @@ def test_frame_sample_plan():
     assert frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
     assert frame_sample_plan(0, 1000) == []
     assert frame_sample_plan(-5, 1000) == []
+
+
+def _make_ppm(width, height):
+    """Gradient P6 image, pure bytes."""
+    header = f"P6\n# test fixture\n{width} {height}\n255\n".encode()
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes([(x * 255) // max(width - 1, 1),
+                         (y * 255) // max(height - 1, 1), 128])
+    return header + bytes(px)
+
+
+def test_decode_ppm_real_pixels():
+    from khl_pdf_ocr_spark.operators.multimodal import decode_ppm
+
+    w, h, pixels = decode_ppm(_make_ppm(16, 9))
+    assert (w, h) == (16, 9)
+    assert len(pixels) == 16 * 9 * 3
+    # corner pixels of the gradient
+    assert pixels[0:3] == bytes([0, 0, 128])
+    assert pixels[-3:] == bytes([255, 255, 128])
+    with pytest.raises(ValueError):
+        decode_ppm(b"not a ppm")
+    with pytest.raises(ValueError):
+        decode_ppm(_make_ppm(4, 4)[:-5])  # truncated
+
+
+def test_image_features_real_decode_path(spark):
+    """The swap-one-function contract, proven with real pixels: the
+    real_decode path parses PPM and produces a true average-hash."""
+    from khl_pdf_ocr_spark.operators.multimodal import MEDIA_SCHEMA, image_features
+
+    rows = [(f"p{i}", "image", _make_ppm(32 + i, 24),
+             {"width": None, "height": None, "duration_ms": None,
+              "mime": "image/x-portable-pixmap"}) for i in range(4)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_features(df, real_decode=True).collect()}
+    assert out["p0"]["width"] == 32 and out["p0"]["height"] == 24
+    assert out["p3"]["width"] == 35
+    assert len(out["p0"]["phash"]) == 16
+    # a left-right gradient's ahash differs from a solid image's
+    solid = b"P6\n2 2\n255\n" + bytes([10, 10, 10]) * 4
+    from khl_pdf_ocr_spark.operators.multimodal import _decode_image_stub
+    s = _decode_image_stub(solid, real_decode=True)
+    assert s["width"] == 2 and s["phash"] != out["p0"]["phash"]
+
+
+def test_real_decode_non_ppm_still_explicitly_stubbed():
+    from khl_pdf_ocr_spark.operators.multimodal import _decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_stub(b"\x89PNG\r\n", real_decode=True)
