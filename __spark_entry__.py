@@ -612,6 +612,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_minhash_lsh_pairs"] = doc_minhash_lsh_pairs
 
+    def doc_near_dup_components(spark, sf_dir):
+        # transitive near-dup clusters: connected components (min-label
+        # propagation with pointer doubling) over the verified MinHash
+        # pair graph; oracle = recursive-CTE transitive closure over the
+        # exact all-pairs edges (same recall-1 argument as the pair query)
+        from khl_pdf_ocr_spark.operators.dedup import (connected_components,
+                                                       minhash_lsh_pairs)
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        pairs = minhash_lsh_pairs(docs, verify_threshold=0.3)
+        return connected_components(pairs)
+
+    q["doc_near_dup_components"] = doc_near_dup_components
+
     def doc_simhash_pairs(spark, sf_dir):
         # SQL-reproducible variant: 31-bit polynomial token hash so the
         # DuckDB oracle recomputes simhash + exhaustive hamming pairs
@@ -1128,6 +1142,31 @@ def oracle_sql() -> dict[str, str]:
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE floor((len(list_intersect(a.sh, b.sh))::double
               / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """
+
+    # --- near-dup components: recursive-CTE transitive closure --------------
+    o["doc_near_dup_components"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS _toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {_SHINGLES} AS sh FROM t
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE floor((len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh)))::double)
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+        ), e AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p
+        ), reach(id, lbl) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+        )
+        SELECT id, min(lbl) AS component
+        FROM reach GROUP BY id
     """
 
     # --- SimHash: full independent recomputation ----------------------------

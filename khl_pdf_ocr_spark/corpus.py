@@ -28,12 +28,23 @@ __all__ = ["clean_corpus"]
 def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
                  allowed_langs: tuple[str, ...] = ("en", "ru"),
                  min_quality: float = 0.4,
-                 near_dup_threshold: float = 0.8) -> tuple[DataFrame, DataFrame]:
+                 near_dup_threshold: float = 0.8,
+                 near_dup_policy: str = "pairs") -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept, ledger)``.
 
     ``kept``   — surviving rows of ``df`` (original columns).
     ``ledger`` — (id, reject_reason) for every dropped row:
                  lang | quality | exact_dup | near_dup.
+
+    ``near_dup_policy``:
+    - ``"pairs"`` (default): drop ``id_b`` of every confirmed pair.
+      For pair sets like (A,C),(B,C) this keeps both A and B even though
+      they are transitively near-dups — cheap, and correct when clusters
+      are cliques (the common case for boilerplate dups).
+    - ``"components"``: connected components over the pair graph, keep
+      the min id per component — exactly one representative per
+      transitive cluster (iterative label propagation; a few extra tiny
+      shuffles over the pair set only).
     """
     # score on coalesce(text,'') — NULL text propagates oddly through
     # SQL null semantics (size(split(NULL)) = -1); empty text scores a
@@ -62,10 +73,19 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                          F.lit("exact_dup").alias("reject_reason")))
     stage3 = stage2.join(keep_ids, id_col, "left_semi")
 
-    # near-dup: drop the higher id of every confirmed pair
     pairs = minhash_lsh_pairs(stage3, text_col=text_col, id_col=id_col,
                               verify_threshold=near_dup_threshold)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if near_dup_policy == "components":
+        from khl_pdf_ocr_spark.operators.dedup import connected_components
+
+        comp = connected_components(pairs)
+        drop = (comp.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias(id_col)).distinct())
+    elif near_dup_policy == "pairs":
+        # drop the higher id of every confirmed pair
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
     near_bad = drop.select(F.col(id_col).alias("id"),
                            F.lit("near_dup").alias("reject_reason"))
     kept = stage3.join(F.broadcast(drop), id_col, "left_anti") \

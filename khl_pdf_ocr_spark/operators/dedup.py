@@ -23,7 +23,7 @@ from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
 __all__ = ["exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures",
            "minhash_lsh_pairs", "simhash", "simhash_pairs", "hot_band_buckets",
-           "DEFAULT_MAX_BUCKET"]
+           "connected_components", "DEFAULT_MAX_BUCKET"]
 
 # Hot-bucket bound for banded LSH self-joins: a band bucket of k rows
 # yields k(k-1)/2 candidates in ONE shuffle partition — k identical
@@ -278,6 +278,66 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (cand.select("id_a", "id_b", round_half_up(inter / union, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= verify_threshold))
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 15) -> DataFrame:
+    """(id_a, id_b) edges → (id, component); component = min id reachable.
+
+    keep-one-per-COMPONENT dedup semantics: for pair sets like
+    (A,C),(B,C) the per-pair drop-id_b policy keeps both A and B even
+    though they are transitively duplicates; components keep exactly one
+    representative per cluster.
+
+    Distributed min-label propagation with POINTER DOUBLING
+    (label ← label(label) each round), so convergence is
+    O(log diameter) — the chain-bounded hot buckets (``DEFAULT_MAX_BUCKET``)
+    produce path-shaped clusters whose diameter is the bucket size, and
+    one-hop-only propagation would need that many rounds.  Each round is
+    two small shuffles over the PAIR set (failure-rate-sized, not
+    corpus-sized); an early-exit check runs one tiny action per round —
+    inherent to any iterate-to-fixpoint algorithm.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).persist())
+    try:
+        for _ in range(max_iter):
+            # hop: min label among neighbors
+            neigh = (edges.join(labels, edges["src"] == labels["id"])
+                     .groupBy("dst").agg(F.min("label").alias("nlabel")))
+            hopped = (labels.join(neigh, labels["id"] == neigh["dst"], "left")
+                      .select(labels["id"],
+                              F.least("label", F.coalesce("nlabel", "label")
+                                      ).alias("label")))
+            # shortcut (pointer doubling): label ← label(label)
+            x, y = hopped.alias("x"), hopped.alias("y")
+            doubled = (x.join(y, F.col("x.label") == F.col("y.id"), "left")
+                       .select(F.col("x.id").alias("id"),
+                               F.least(F.col("x.label"),
+                                       F.coalesce(F.col("y.label"),
+                                                  F.col("x.label"))
+                                       ).alias("label"))
+                       .persist())
+            changed = (doubled.alias("n")
+                       .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .limit(1).count())
+            labels.unpersist()
+            labels = doubled
+            if changed == 0:
+                break
+        return labels.select(F.col("id"), F.col("label").alias("component"))
+    finally:
+        edges.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,47 @@ def test_ivf_ann_topk(spark):
     assert approx[0]["vec_id"] == 0 and approx[0]["cos_sim"] == 1.0
     # decent recall vs exact top-5
     assert len(set(exact) & {r["vec_id"] for r in approx}) >= 2
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Pointer-doubling label propagation: a long chain (the shape the
+    hot-bucket chain bound produces) and a separate clique both resolve
+    to min-id components within O(log n) rounds."""
+    from khl_pdf_ocr_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]            # 0-1-2-…-30
+    clique = [(100, 101), (100, 102), (101, 102)]      # triangle
+    pairs = spark.createDataFrame(chain + clique, ["id_a", "id_b"])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs, max_iter=8).collect()}
+    assert all(comp[i] == 0 for i in range(31))
+    assert all(comp[i] == 100 for i in (100, 101, 102))
+
+
+def test_clean_corpus_components_policy(spark):
+    """(A,C),(B,C) transitive cluster: pair policy keeps A and B;
+    component policy keeps only the min id."""
+    from khl_pdf_ocr_spark.corpus import clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest with all of its friends today "
+            "for a very long walk in the woods and the meadows of the land")
+    rows = [(0, base + " alpha tail", "s"),
+            (1, base + " bravo tail", "s"),
+            (2, base, "s"),
+            (9, "a completely different quite long document about the "
+                "history of steam engines and the railways of the early "
+                "nineteenth century with plenty of ordinary prose words", "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    kept_p, _ = clean_corpus(df, allowed_langs=("en", "ru", "other"),
+                             min_quality=0.0, near_dup_threshold=0.5)
+    kept_c, ledger_c = clean_corpus(df, allowed_langs=("en", "ru", "other"),
+                                    min_quality=0.0, near_dup_threshold=0.5,
+                                    near_dup_policy="components")
+    ids_c = {r["doc_id"] for r in kept_c.select("doc_id").collect()}
+    assert ids_c == {0, 9}  # one representative per transitive cluster
+    assert {r["id"] for r in ledger_c.filter("reject_reason = 'near_dup'")
+            .collect()} == {1, 2}
+    # pair policy keeps at least as many rows as component policy
+    assert kept_p.count() >= kept_c.count()
