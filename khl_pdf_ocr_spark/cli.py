@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", action="store_true",
                     help="explicit size-bucket salted repartition before the "
                          "extract map (for heavy-tailed per-byte cost)")
+    ap.add_argument("--ocr", action="store_true",
+                    help="run the two-phase OCR fallback on the failed subset "
+                         "(requires PyMuPDF + Pillow + tesseract; the batch "
+                         "twin of the reference's fallback, app.py:240,311)")
+    ap.add_argument("--debug", action="store_true",
+                    help="thread the reference's debug=1 flag: adds a "
+                         "debug_json column and _debug in result_json")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -54,6 +61,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if res["ok"] else 1
         if not (args.input and args.output):
             ap.error("--input and --output are required unless --preflight")
+        ocr_stage = None
+        if args.ocr:
+            from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
+                                                               make_ocr_stage)
+
+            if HAS_OCR_ENGINE:
+                ocr_stage = make_ocr_stage()
+            else:  # graceful degradation, like the reference (app.py:76-77)
+                print(json.dumps({"warning": "ocr_engine_missing",
+                                  "detail": "PyMuPDF/Pillow/tesseract not "
+                                            "installed; running text-layer "
+                                            "only"}), file=sys.stderr)
         if args.resume:
             stats = run_resumable(spark, args.input, args.output,
                                   n_buckets=args.buckets, mode=args.mode,
@@ -62,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
             _, stats = run_extraction(spark, args.input, args.output,
                                       mode=args.mode, salt=args.salt,
                                       num_partitions=args.partitions,
-                                      input_format=args.format)
+                                      input_format=args.format,
+                                      debug=args.debug, ocr_stage=ocr_stage)
         print(json.dumps(stats))
         return 0
     finally:

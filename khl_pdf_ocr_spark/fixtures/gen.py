@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from khl_pdf_ocr_spark.refkernel import minipdf
 from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
 
-GEN_VERSION = 7  # bump to invalidate cached fixture dirs
+GEN_VERSION = 8  # bump to invalidate cached fixture dirs
 
 REFERENCE_DIR = os.environ.get("KHL_REFERENCE_DIR", "/root/reference")
 
@@ -331,7 +331,7 @@ GOLDEN_SCHEMA = pa.schema([
     ("error", pa.string()),
     ("detail", pa.string()),
     ("n_bytes", pa.int64()),
-    ("n_lines", pa.int64()),
+    ("n_lines", pa.int32()),  # matches EXTRACT_SCHEMA IntegerType
 ])
 
 # every query mode of the reference API (app.py:405-412) gets golden rows,

@@ -81,7 +81,7 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    *, mode: str = "all", num_partitions: int | None = None,
                    salt: bool = False, input_format: str = "parquet",
                    run_id: str | None = None, write_metrics: bool = True,
-                   ocr_stage=None):
+                   ocr_stage=None, debug: bool = False):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -106,8 +106,11 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     elif num_partitions:
         # explicit width without salting = plain round-robin rebalance
         docs = docs.repartition(num_partitions)
-    out = extract_documents(docs, mode=mode)
+    out = extract_documents(docs, mode=mode, debug=debug)
     if ocr_stage is not None:
+        if debug:
+            raise ValueError("debug + ocr_stage: the OCR stage emits the "
+                             "non-debug schema; run them separately")
         out = with_ocr_fallback(out, docs, ocr_stage=ocr_stage)
 
     stats: dict = {"run_id": run_id}

@@ -74,3 +74,21 @@ def test_preflight(spark):
     assert res["engine"] == "ready"
     assert res["ocr"] is False  # no tesseract/PyMuPDF in this sandbox
     assert res["parallelism"] >= 1
+
+
+def test_cli_debug_and_ocr_flags(fixture_tables, tmp_path):
+    docs_path, _ = fixture_tables
+    out_dir = str(tmp_path / "cliout_dbg")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.cli",
+         "--input", docs_path, "--output", out_dir,
+         "--mode", "refs", "--cpus", "4", "--debug", "--ocr"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert p.returncode == 0, p.stderr[-2000:]
+    # no engine in this sandbox → graceful degradation warning on stderr
+    assert "ocr_engine_missing" in p.stderr
+    import pyarrow.parquet as pq
+    import glob
+    files = glob.glob(out_dir + "/data/*.parquet")
+    cols = pq.ParquetFile(files[0]).schema_arrow.names
+    assert "debug_json" in cols
