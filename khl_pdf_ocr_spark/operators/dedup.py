@@ -309,6 +309,7 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     edges = edges.persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
+    prev_sum = None
     try:
         for _ in range(max_iter):
             # hop: min label among neighbors
@@ -317,7 +318,8 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
             hopped = (labels.join(neigh, labels["id"] == neigh["dst"], "left")
                       .select(labels["id"],
                               F.least("label", F.coalesce("nlabel", "label")
-                                      ).alias("label")))
+                                      ).alias("label"))
+                      .persist())
             # shortcut (pointer doubling): label ← label(label)
             x, y = hopped.alias("x"), hopped.alias("y")
             doubled = (x.join(y, F.col("x.label") == F.col("y.id"), "left")
@@ -326,15 +328,21 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                                        F.coalesce(F.col("y.label"),
                                                   F.col("x.label"))
                                        ).alias("label"))
-                       .persist())
-            changed = (doubled.alias("n")
-                       .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                       .filter(F.col("n.label") != F.col("o.label"))
-                       .limit(1).count())
+                       # TRUNCATE LINEAGE each round: without this the
+                       # logical plan doubles per iteration (self-joins of
+                       # self-joins) and Catalyst analysis time explodes
+                       # even though caches shortcut execution
+                       .localCheckpoint(eager=True))
+            # labels only DECREASE (min-propagation is monotone), so the
+            # label sum is a strictly-decreasing convergence witness —
+            # one cheap aggregate per round, no join-based diff
+            cur_sum = doubled.agg(F.sum("label")).first()[0]
+            hopped.unpersist()
             labels.unpersist()
             labels = doubled
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels.select(F.col("id"), F.col("label").alias("component"))
     finally:
         edges.unpersist()

@@ -3,11 +3,14 @@
 - ``cosine_topk``      — exact brute-force top-k against a query vector:
   the correctness baseline.  Pure built-in higher-order functions
   (zip_with/aggregate) → whole-stage codegen, no Python in the loop.
-- ``lsh_ann_topk``     — the scale path: random-hyperplane (sign) LSH.
-  Buckets come from deterministic seeded hyperplanes; the query probes
-  its own bucket plus all hamming-1 neighbors.  At 100 TB the bucketed
-  table is written once (partitioned by bucket) and each query prunes
-  to ~nbits+1 buckets instead of scanning every vector.
+- ``lsh_ann_topk``     — random-hyperplane (sign) LSH over an
+  UN-indexed frame: buckets come from deterministic seeded hyperplanes;
+  the query probes its own bucket plus all hamming-1 neighbors.  This
+  recomputes the bucket expression per call — ad-hoc use only.  The
+  scale path is ``operators.ann_index``: ``build_lsh_index`` writes the
+  bucketed table once (partitioned by bucket) and ``lsh_index_topk``
+  prunes to ~nbits+1 bucket PARTITIONS instead of scanning every
+  vector (plan-asserted in tests/test_ann_index.py).
 - ``embedding_near_dup_pairs`` — pairwise cosine near-dups within a
   blocking key (label), for embedding-level corpus dedup.
 """

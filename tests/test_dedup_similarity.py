@@ -194,3 +194,34 @@ def test_clean_corpus_components_policy(spark):
             .collect()} == {1, 2}
     # pair policy keeps at least as many rows as component policy
     assert kept_p.count() >= kept_c.count()
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized cross-check against a plain union-find."""
+    import random as _random
+
+    from khl_pdf_ocr_spark.operators.dedup import connected_components
+
+    for seed in (3, 17, 99):
+        rng = _random.Random(seed)
+        ids = list(range(40))
+        edges = [(min(a, b), max(a, b))
+                 for a, b in (rng.sample(ids, 2) for _ in range(25))]
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {i for e in edges for i in e}
+        want = {i: min(j for j in touched if find(j) == find(i))
+                for i in touched}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["component"]
+               for r in connected_components(pairs).collect()}
+        assert got == want, f"seed {seed}"

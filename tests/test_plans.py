@@ -85,3 +85,21 @@ def test_cosine_topk_whole_stage_codegen(spark):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
         "similarity math must stay JVM-side"
+
+
+def test_dedup_plans_never_go_quadratic(spark):
+    """The banded self-joins must plan as hash joins on the band key —
+    a CartesianProduct / broadcast nested loop in any of these plans is
+    the 100 TB quadratic failure mode."""
+    from khl_pdf_ocr_spark.operators.dedup import (minhash_lsh_pairs,
+                                                   ngram_jaccard_pairs,
+                                                   simhash_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words", "s")
+         for i in range(8)], ["doc_id", "text", "source"])
+    for df in (minhash_lsh_pairs(docs), simhash_pairs(docs),
+               ngram_jaccard_pairs(docs, max_block=5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
