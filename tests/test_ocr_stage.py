@@ -176,3 +176,26 @@ def test_with_ocr_fallback_composes_lazily(spark, phase1):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     unpersist_ocr_cache(merged)
+
+
+def test_ocr_engine_runs_once_per_failed_doc(spark, phase1):
+    """The OCR rows feed BOTH merge branches (anti-join build + union);
+    the lazy persist must make tesseract run ONCE per failed document,
+    not once per branch."""
+    docs, out = phase1
+    n_failed = needs_ocr(out).count()
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting_engine(payload, kind):
+        if kind == "refs":
+            calls.add(1)
+            return ["Главный судья Линейный судья",
+                    "Иванов Петр Сидоров Алексей Кузнецов Дмитрий Смирнов Олег"]
+        return ["30 Вратарев Лев С"] if kind == "gk_left" else ["1 Страж Прав Р"]
+
+    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(counting_engine))
+    merged.count()          # materializes anti-join side AND union side
+    first = calls.value
+    # every failed doc needing refs OCR'd at most once across both branches
+    assert 0 < first <= n_failed
+    unpersist_ocr_cache(merged)
