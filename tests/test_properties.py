@@ -76,3 +76,52 @@ def test_cluster_members_within_tolerance_of_key(words, tol):
     # by the greedy loop (a later key can fall within tol of an earlier
     # one if scanned in non-monotonic order) — documents the reference's
     # order dependence rather than an idealized property.
+
+
+@given(st.lists(st.tuples(
+    st.floats(min_value=0, max_value=900, allow_nan=False),
+    st.floats(min_value=0, max_value=600, allow_nan=False),
+    st.sampled_from(["ab", "cd", "xy", "Пр", "z"])), max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_lines_from_words_matches_naive_reference_loop(words):
+    """The bisect-pruned clustering must be byte-identical to the naive
+    reference loop (app.py:97-117) on arbitrary word clouds."""
+    def naive(ws, tolerance=3.0):
+        rows = {}
+        for y, x, t in ws:
+            key = None
+            for ky in rows.keys():
+                if abs(ky - y) <= tolerance:
+                    key = ky
+                    break
+            if key is None:
+                key = y
+                rows[key] = []
+            rows[key].append((x, t))
+        lines = []
+        for ky in sorted(rows.keys()):
+            items = sorted(rows[ky], key=lambda r: r[0])
+            line = pdfops.RE_WS.sub(" ", " ".join(t for _, t in items).strip())
+            if line:
+                lines.append(line)
+        return lines
+
+    assert pdfops.lines_from_words(words) == naive(words)
+
+
+@given(st.lists(st.tuples(
+    st.floats(min_value=0, max_value=900, allow_nan=False),
+    st.floats(min_value=0, max_value=600, allow_nan=False),
+    st.sampled_from(["ab", "cd", "xy", "Пр", "z"])), max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_lines_from_words_bisect_path_matches(words):
+    """Force the bisect path (switch=0) — must still be byte-identical."""
+    import khl_pdf_ocr_spark.refkernel.pdfops as P
+
+    old = P._BISECT_SWITCH
+    try:
+        P._BISECT_SWITCH = 0
+        forced = P.lines_from_words(words)
+    finally:
+        P._BISECT_SWITCH = old
+    assert forced == P.lines_from_words(words)
