@@ -43,6 +43,10 @@ HEADLINE = [
     "scan_filter_project", "top_spenders_window", "events_sessionize",
     "events_hourly_rollup", "doc_fingerprint_dedup", "doc_quality_scores",
     "doc_minhash_lsh_pairs", "emb_cosine_topk",
+    # persisted-ANN path: cold includes the one-time index build (first
+    # call writes the bucketed table), warm shows the partition-pruned
+    # query alone
+    "emb_ann_lsh_topk",
 ]
 
 
