@@ -556,6 +556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lang_id"] = doc_lang_id
 
+    def doc_winnow_fingerprints(spark, sf_dir):
+        # winnowing rolling-hash fingerprints (k-gram hash window minima)
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        return X.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
+
+    q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
+
     def doc_fingerprint_dedup(spark, sf_dir):
         from khl_pdf_ocr_spark.operators.dedup import exact_dedup
 
@@ -1142,6 +1149,30 @@ def oracle_sql() -> dict[str, str]:
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE floor((len(list_intersect(a.sh, b.sh))::double
               / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """
+
+    # --- winnowing fingerprints: full recomputation (k=7, w=4) --------------
+    o["doc_winnow_fingerprints"] = f"""
+        WITH n AS (
+          SELECT doc_id, {_NORM} AS t FROM documents
+        ), g AS (
+          SELECT doc_id, list_transform(
+                   range(1, greatest(length(t) - 6, 1) + 1),
+                   i -> substr(t, i, 7)) AS grams
+          FROM n
+        ), h AS (
+          SELECT doc_id, list_transform(grams, g2 ->
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(range(1, length(g2) + 1),
+                                    ci -> unicode(g2[ci])::BIGINT)),
+                     (a,b) -> (a * 131 + b) % 2147483647)) AS hs
+          FROM g
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                 range(0, greatest(len(hs) - 4, 0) + 1),
+                 j -> list_min(hs[j + 1 : j + 4])))) AS winnow_fp
+        FROM h
     """
 
     # --- near-dup components: recursive-CTE transitive closure --------------

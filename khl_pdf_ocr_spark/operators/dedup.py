@@ -358,10 +358,11 @@ def sql_token_hash(col):
     computable IDENTICALLY in ANSI SQL (DuckDB ``list_reduce`` over
     ``unicode(t[i])``), which lets the driver oracle recompute the whole
     simhash pipeline independently.  Weaker than xxhash64 (31 bits);
-    production keeps the xxhash64 default."""
-    cps = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
-    return F.aggregate(cps, F.lit(0).cast("long"),
-                       lambda acc, c: (acc * F.lit(131) + c) % F.lit(2147483647))
+    production keeps the xxhash64 default.  One shared implementation
+    with the winnowing fingerprint (functions.text)."""
+    from khl_pdf_ocr_spark.functions.text import _poly_hash
+
+    return _poly_hash(col)
 
 
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",

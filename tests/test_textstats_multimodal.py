@@ -123,3 +123,32 @@ def test_real_decode_non_ppm_still_explicitly_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_image_stub(b"\x89PNG\r\n", real_decode=True)
+
+
+def test_winnow_fingerprint_edit_robustness(spark):
+    """Winnowing property: a local edit changes only the fingerprints
+    near the edit; a position shift (prefix insertion) preserves most of
+    the selected hash set — unlike the md5 whole-document fingerprint."""
+    from khl_pdf_ocr_spark.functions.text import with_winnow_fingerprint
+
+    base = ("the quick brown fox jumps over the lazy dog while autumn "
+            "leaves drift across the quiet river valley at dawn today")
+    rows = [(0, base, "s"),
+            (1, "PREFIX INSERTED " + base, "s"),          # shifted
+            (2, base.replace("river", "creek"), "s"),      # local edit
+            (3, "completely different text on another topic entirely with "
+                "no shared phrasing at all anywhere in this string", "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    fp = {r["doc_id"]: set(r["winnow_fp"])
+          for r in with_winnow_fingerprint(df).collect()}
+
+    def jac(a, b):
+        return len(fp[a] & fp[b]) / len(fp[a] | fp[b])
+
+    assert jac(0, 1) > 0.7     # shift-robust
+    assert jac(0, 2) > 0.6     # local edit → most fingerprints survive
+    assert jac(0, 3) < 0.05    # unrelated text shares ~nothing
+    # deterministic across runs
+    again = {r["doc_id"]: set(r["winnow_fp"])
+             for r in with_winnow_fingerprint(df).collect()}
+    assert again == fp
