@@ -202,7 +202,7 @@ def test_connected_components_random_graphs_vs_union_find(spark):
 
     from khl_pdf_ocr_spark.operators.dedup import connected_components
 
-    for seed in (3, 17, 99):
+    for seed in (3, 17):
         rng = _random.Random(seed)
         ids = list(range(40))
         edges = [(min(a, b), max(a, b))
