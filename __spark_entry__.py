@@ -499,6 +499,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_value_percentiles"] = events_value_percentiles
 
+    def events_p50_sketch_check(spark, sf_dir):
+        # approx-percentile SKETCH (the scale path for order statistics —
+        # collect_list-exact percentiles can't hold a 10^10-row group in
+        # one task) gated by a tolerance invariant vs the exact value:
+        # the oracle row is (event_type, true), so any group where the
+        # sketch drifts >2 % from exact hash-mismatches the driver check
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        arr = F.sort_array(F.collect_list("value"))
+        n = F.count(F.lit(1))
+        idx = (F.floor(n * F.lit(0.5)).cast("int") + 1)
+        exact = F.element_at(arr, F.least(idx, n.cast("int")))
+        approx = F.percentile_approx("value", 0.5, 10000)
+        agg = ev.groupBy("event_type").agg(exact.alias("_e"), approx.alias("_a"))
+        tol = F.greatest(F.abs(F.col("_e")) * 0.02, F.lit(1e-6))
+        return agg.select("event_type",
+                          (F.abs(F.col("_a") - F.col("_e")) <= tol
+                           ).alias("sketch_within_2pct"))
+
+    q["events_p50_sketch_check"] = events_p50_sketch_check
+
+    def orders_hll_distinct_check(spark, sf_dir):
+        # HyperLogLog distinct sketch vs exact countDistinct, same
+        # tolerance-invariant oracle pattern (exact count also emitted
+        # and value-checked)
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        agg = (orders.groupBy("o_orderpriority")
+               .agg(F.countDistinct("o_custkey").alias("n_exact"),
+                    F.approx_count_distinct("o_custkey", 0.02).alias("_a")))
+        return agg.select(
+            "o_orderpriority", "n_exact",
+            (F.abs(F.col("_a") - F.col("n_exact"))
+             <= F.lit(0.05) * F.col("n_exact")).alias("hll_within_5pct"))
+
+    q["orders_hll_distinct_check"] = orders_hll_distinct_check
+
     def orders_monthly_trend(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         # time-series rollup + lag window (month-over-month delta)
@@ -1112,6 +1147,18 @@ def oracle_sql() -> dict[str, str]:
                floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    o["events_p50_sketch_check"] = """
+        SELECT event_type, true AS sketch_within_2pct
+        FROM events GROUP BY event_type
+    """
+
+    o["orders_hll_distinct_check"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_exact,
+               true AS hll_within_5pct
+        FROM orders GROUP BY o_orderpriority
     """
 
     o["orders_distinct_customers"] = """
