@@ -592,8 +592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_lang_id"] = doc_lang_id
 
     def doc_winnow_fingerprints(spark, sf_dir):
-        # winnowing rolling-hash fingerprints (k-gram hash window minima)
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        # winnowing rolling-hash fingerprints (k-gram hash window minima);
+        # per-char hashing is CPU-bound → same parallelism floor as the
+        # shingling stages (single-file local scans serialize otherwise)
+        from khl_pdf_ocr_spark.operators.dedup import _ensure_parallelism
+
+        docs = _ensure_parallelism(spark.read.parquet(_t(sf_dir, "documents")))
         return X.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
 
     q["doc_winnow_fingerprints"] = doc_winnow_fingerprints

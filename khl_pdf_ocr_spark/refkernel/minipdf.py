@@ -227,21 +227,75 @@ def _obj_region(data: bytes, num: int) -> bytes | None:
     return m.group(1) if m else None
 
 
+# object streams (/Type /ObjStm): modern writers pack the catalog/page
+# DICTIONARIES inside a compressed stream — header = /N pairs of
+# "objnum offset", bodies start at /First.  Content STREAMS can never
+# live inside one (PDF 32000-1 §7.5.7), so this only matters for the
+# page-tree resolution, never for the text-stream scan.
+_OBJSTM_RE = re.compile(
+    rb"<<((?:(?!stream).)*?/Type\s*/ObjStm(?:(?!stream).)*?)>>\s*stream\r?\n"
+    rb"(.*?)endstream", re.S)
+
+
+def _objstm_objects(data: bytes) -> dict[int, bytes]:
+    """num → body for every object packed in /ObjStm streams."""
+    out: dict[int, bytes] = {}
+    for m in _OBJSTM_RE.finditer(data):
+        sdict, body = m.group(1), m.group(2)
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        if b"/FlateDecode" in sdict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        nm = re.search(rb"/N\s+(\d+)", sdict)
+        fm = re.search(rb"/First\s+(\d+)", sdict)
+        if not (nm and fm):
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = body[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                     for i in range(n)]
+        except ValueError:
+            continue
+        for i, (num, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(body)
+            out[num] = body[first + off:end]
+    return out
+
+
 def _first_page_obj(data: bytes) -> bytes | None:
     """'Page 0' = Kids[0] of the /Root → /Pages tree — NOT the first
     /Type /Page object in file byte order (objects may be serialized in
     any order).  Descends intermediate /Pages nodes by their first kid.
-    Returns the page object's region, or None when unresolvable."""
+    Tree nodes may live in /ObjStm streams (parsed lazily, only when a
+    direct object lookup misses).  Returns the page object's region, or
+    None when unresolvable."""
+    objstm: dict[int, bytes] | None = None
+
+    def resolve(num: int) -> bytes | None:
+        nonlocal objstm
+        r = _obj_region(data, num)
+        if r is not None:
+            return r
+        if objstm is None:
+            objstm = _objstm_objects(data)
+        return objstm.get(num)
+
     rm = _ROOT_RE.search(data)
     if not rm:
         return None
-    cat = _obj_region(data, int(rm.group(1)))
+    cat = resolve(int(rm.group(1)))
     if not cat:
         return None
     pm = _PAGES_REF_RE.search(cat)
     if not pm:
         return None
-    node = _obj_region(data, int(pm.group(1)))
+    node = resolve(int(pm.group(1)))
     for _ in range(32):  # depth guard against reference cycles
         if node is None:
             return None
@@ -251,7 +305,7 @@ def _first_page_obj(data: bytes) -> bytes | None:
         refs = _REF_RE.findall(km.group(1))
         if not refs:
             return None
-        node = _obj_region(data, int(refs[0]))
+        node = resolve(int(refs[0]))
     return None
 
 

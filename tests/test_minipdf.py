@@ -199,3 +199,37 @@ def test_page0_file_order_fallback_without_tree():
     parts.append(b"%%EOF\n")
     words = minipdf.extract_words(b"".join(parts))
     assert {w[4] for w in words} == {"ONLYPAGE"}
+
+
+def test_page_tree_inside_objstm():
+    """Modern wild PDFs pack catalog/page dicts in compressed object
+    streams; page-0 resolution must follow the tree through them."""
+    import zlib
+
+    # objects 1 (catalog), 2 (pages), 3+4 (page dicts) packed in one ObjStm;
+    # page dict 4 (Kids[0]) appears AFTER 3 inside the stream
+    bodies = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R 3 0 R] /Count 2 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 6 0 R >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 7 0 R >>"),
+    ]
+    offsets, blob = [], b""
+    for num, b in bodies:
+        offsets.append((num, len(blob)))
+        blob += b + b" "
+    header = b" ".join(b"%d %d" % p for p in offsets) + b" "
+    payload = zlib.compress(header + blob)
+    parts = [b"%PDF-1.6\n"]
+    parts.append(b"5 0 obj << /Type /ObjStm /N 4 /First %d /Length %d "
+                 b"/Filter /FlateDecode >> stream\n" % (len(header), len(payload))
+                 + payload + b"\nendstream endobj\n")
+    parts.append(_stream_obj(6, b"BT /F1 10 Tf 72 700 Td (WRONGPAGE) Tj ET"))
+    parts.append(_stream_obj(7, b"BT /F1 10 Tf 72 700 Td (RIGHTPAGE) Tj ET"))
+    parts.append(b"trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    words = minipdf.extract_words(b"".join(parts))
+    texts = {w[4] for w in words}
+    assert "RIGHTPAGE" in texts
+    assert "WRONGPAGE" not in texts

@@ -28,3 +28,40 @@ def test_streaming_drains_and_matches_goldens(spark, fixture_tables, tmp_path):
     # second drain: checkpoint knows the file was processed → no dupes
     run_streaming_extraction(spark, in_dir, out_dir, max_files_per_trigger=4)
     assert spark.read.parquet(os.path.join(out_dir, "data")).count() == g.count()
+
+
+def test_streaming_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate text landing within the
+    horizon is dropped; the first arrival survives; checkpointed restart
+    processes nothing twice."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_spark.streaming.dedup_stream import run_streaming_dedup
+
+    def ts(minute):
+        return datetime(2026, 1, 1, 12, minute, tzinfo=timezone.utc)
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "out")
+    rows = [
+        {"url": "u1", "warc_ts": ts(0), "html": b"x", "text": "same text body", "lang": "en"},
+        {"url": "u2", "warc_ts": ts(5), "html": b"x", "text": "same text body", "lang": "en"},  # dup
+        {"url": "u3", "warc_ts": ts(7), "html": b"x", "text": "Different Text?", "lang": "en"},
+        {"url": "u4", "warc_ts": ts(9), "html": b"x", "text": "different text", "lang": "en"},  # dup after normalize
+    ]
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(in_dir, "part-0.parquet"))
+
+    run_streaming_dedup(spark, in_dir, out_dir, dedup_horizon="30 minutes")
+    got = spark.read.parquet(os.path.join(out_dir, "data"))
+    urls = {r["url"] for r in got.select("url").collect()}
+    assert urls == {"u1", "u3"}
+
+    # second drain: checkpoint knows the file → no dupes, no new rows
+    run_streaming_dedup(spark, in_dir, out_dir, dedup_horizon="30 minutes")
+    assert spark.read.parquet(os.path.join(out_dir, "data")).count() == 2
