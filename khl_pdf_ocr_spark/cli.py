@@ -61,13 +61,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if res["ok"] else 1
         if not (args.input and args.output):
             ap.error("--input and --output are required unless --preflight")
+        if args.resume and (args.ocr or args.debug):
+            # never silently drop a correctness-relevant flag
+            ap.error("--resume does not support --ocr/--debug; run the "
+                     "resumable text-layer pass first, then a plain run "
+                     "with --ocr/--debug over the failed subset")
         ocr_stage = None
         if args.ocr:
             from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
                                                                make_ocr_stage)
 
             if HAS_OCR_ENGINE:
-                ocr_stage = make_ocr_stage()
+                ocr_stage = make_ocr_stage(mode=args.mode)
             else:  # graceful degradation, like the reference (app.py:76-77)
                 print(json.dumps({"warning": "ocr_engine_missing",
                                   "detail": "PyMuPDF/Pillow/tesseract not "

@@ -308,8 +308,7 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")).persist())
-    prev_sum = None
+              .withColumn("label", F.col("id")).localCheckpoint(eager=True))
     try:
         for _ in range(max_iter):
             # hop: min label among neighbors
@@ -333,16 +332,21 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                        # self-joins) and Catalyst analysis time explodes
                        # even though caches shortcut execution
                        .localCheckpoint(eager=True))
-            # labels only DECREASE (min-propagation is monotone), so the
-            # label sum is a strictly-decreasing convergence witness —
-            # one cheap aggregate per round, no join-based diff
-            cur_sum = doubled.agg(F.sum("label")).first()[0]
+            # convergence = no row changed its label this round.  The
+            # diff join is type-agnostic (ids may be strings/longs/...)
+            # and cheap: both sides are flat localCheckpoint'd frames of
+            # the pair-node set.  (A sum-of-labels witness would break on
+            # non-numeric ids: ANSI cast error, or NULL-sum false
+            # convergence with ANSI off.)
+            changed = (doubled.alias("n")
+                       .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .limit(1).count())
             hopped.unpersist()
             labels.unpersist()
             labels = doubled
-            if cur_sum == prev_sum:
+            if changed == 0:
                 break
-            prev_sum = cur_sum
         return labels.select(F.col("id"), F.col("label").alias("component"))
     finally:
         edges.unpersist()

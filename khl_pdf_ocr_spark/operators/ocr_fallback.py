@@ -22,10 +22,13 @@ merge (anti-join build + union), so it is persisted LAZILY (populated
 by the caller's first action, reused by the second branch — the subset
 is failure-rate-sized, i.e. tiny).  Callers that keep the session alive
 should release it via ``unpersist_ocr_cache(merged)`` after
-materializing; ``pipeline.run_extraction_job`` does.  Phase-1
-(``extracted``) likewise feeds three branches — production jobs write
-phase 1 to the output table first and read it back (pipeline.py), or
-cache it.
+materializing; ``pipeline.run_extraction`` does.  Phase-1
+(``extracted``) likewise feeds THREE branches (failed-subset selection,
+anti-join keep side, and — through needs_ocr — the url broadcast), so
+pass a CHEAP frame: ``pipeline.run_extraction`` writes phase 1 to
+``<output>/_phase1`` first and composes the merge over the parquet
+read-back, which turns every reference into a column-pruned scan
+instead of a repeated run of the extraction kernel.
 """
 
 from __future__ import annotations
@@ -74,7 +77,9 @@ def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
     if ocr_stage is None:  # no engine → pass-through
         return extracted
 
-    failed_urls = needs_ocr(extracted).select("url")
+    # the failed subset is failure-rate-sized → broadcast the url list so
+    # the documents table is filtered in place, never shuffled
+    failed_urls = F.broadcast(needs_ocr(extracted).select("url"))
     failed_docs = documents.join(failed_urls, "url", "left_semi") \
                            .select("url", "html")
     # OCR cost is uniform-high → salt-spread the (small) subset wide

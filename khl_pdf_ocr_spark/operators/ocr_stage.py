@@ -119,16 +119,17 @@ def goalies_from_ocr_lines(lines: list[str]) -> list[dict]:
     return out
 
 
-def default_engine(payload: bytes, kind: str) -> list[str]:
-    """Real raster+OCR engine (requires PyMuPDF + Pillow + tesseract).
+# one-slot raster memo: _ocr_document calls the engine up to three times
+# per document (refs + both goalie halves, app.py:242,313) but the 300 dpi
+# render is the dominant cost — rasterize ONCE per payload and crop per
+# kind, like the reference's single pdf_to_pix reuse within each fallback
+_raster_memo: tuple[bytes, object] | None = None
 
-    Reproduces pdf_to_pix (app.py:67-71: 300 dpi matrix, RGB, no alpha)
-    + the crop + _ocr_image_lines (app.py:74-83: grayscale → contrast
-    ×1.4 → sharpen → tesseract --psm 6 rus+eng → per-line whitespace
-    collapse → drop empties).
-    """
-    if not HAS_OCR_ENGINE:  # pragma: no cover — env gate (app.py:76-77)
-        return []
+
+def _rasterize(payload: bytes):  # pragma: no cover — needs PyMuPDF/Pillow
+    global _raster_memo
+    if _raster_memo is not None and _raster_memo[0] is payload:
+        return _raster_memo[1]
     doc = fitz.open(stream=payload, filetype="pdf")
     try:
         mat = fitz.Matrix(OCR_DPI / 72, OCR_DPI / 72)
@@ -136,6 +137,22 @@ def default_engine(payload: bytes, kind: str) -> list[str]:
         img = Image.frombytes("RGB", [pix.width, pix.height], pix.samples)
     finally:
         doc.close()
+    _raster_memo = (payload, img)
+    return img
+
+
+def default_engine(payload: bytes, kind: str) -> list[str]:
+    """Real raster+OCR engine (requires PyMuPDF + Pillow + tesseract).
+
+    Reproduces pdf_to_pix (app.py:67-71: 300 dpi matrix, RGB, no alpha)
+    + the crop + _ocr_image_lines (app.py:74-83: grayscale → contrast
+    ×1.4 → sharpen → tesseract --psm 6 rus+eng → per-line whitespace
+    collapse → drop empties).  The raster is memoized per payload — the
+    three region calls of one document render the page once.
+    """
+    if not HAS_OCR_ENGINE:  # pragma: no cover — env gate (app.py:76-77)
+        return []
+    img = _rasterize(payload)
     img = img.crop(crop_box(kind, img.width, img.height))
     gray = img.convert("L")
     gray = ImageEnhance.Contrast(gray).enhance(1.4)
@@ -146,7 +163,8 @@ def default_engine(payload: bytes, kind: str) -> list[str]:
 
 
 def _ocr_document(url: str, payload: bytes,
-                  engine: Callable[[bytes, str], list[str]]) -> dict | None:
+                  engine: Callable[[bytes, str], list[str]],
+                  mode: str = "all") -> dict | None:
     """Text-layer re-extract + OCR fallbacks for one failed document.
 
     Returns the improved result dict, or None when OCR did not improve
@@ -154,18 +172,23 @@ def _ocr_document(url: str, payload: bytes,
     Re-running the cheap text layer on the tiny failed subset costs
     ~1 ms/doc vs ~1-10 s/doc for OCR — it keeps phase 1 and phase 2
     decoupled (no struct plumbing through the join).
+
+    ``mode`` must match the phase-1 job mode so replacement rows carry
+    the same engine tag / result shape as every other row: refs OCR runs
+    for modes all|refs (app.py:240), goalie OCR for all|gk|goalies
+    (app.py:311).
     """
     from khl_pdf_ocr_spark.refkernel.kernel import extract_document
 
-    res = extract_document(url, payload)
+    res = extract_document(url, payload, mode=mode)
     if not res["ok"]:
         return None
     improved = False
     dbg: dict = {}
 
     refs = res["referees"]
-    if not refs["main"] or not refs["linesmen"]:  # app.py:240
-        try:
+    if mode in ("all", "refs") and (not refs["main"] or not refs["linesmen"]):
+        try:  # app.py:240
             main, linesmen, rdbg = refs_from_ocr_lines(engine(payload, "refs"))
             dbg.update(rdbg)
             if main and linesmen:  # >= 4 names found (app.py:258-260)
@@ -175,8 +198,8 @@ def _ocr_document(url: str, payload: bytes,
             dbg["ocr_error"] = str(e)
 
     gk = res["goalies"]
-    if not gk["home"] and not gk["away"]:  # app.py:311 — only if BOTH empty
-        try:
+    if mode in ("all", "gk", "goalies") and not gk["home"] and not gk["away"]:
+        try:  # app.py:311 — only if BOTH columns empty
             home = goalies_from_ocr_lines(engine(payload, "gk_left"))
             away = goalies_from_ocr_lines(engine(payload, "gk_right"))
             if home or away:
@@ -192,14 +215,15 @@ def _ocr_document(url: str, payload: bytes,
     return res
 
 
-def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None
-                   ) -> Callable[[DataFrame], DataFrame]:
+def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
+                   mode: str = "all") -> Callable[[DataFrame], DataFrame]:
     """Build the phase-2 stage: (url, html) of failed docs → improved
     rows in the extraction schema (``with_ocr_fallback``-compatible).
 
     ``engine(payload, kind) -> list[str]`` rasterizes page 0, crops the
     named region (``crop_box``) and OCRs it; defaults to the real
-    tesseract engine when the optional deps exist.
+    tesseract engine when the optional deps exist.  ``mode`` must match
+    the phase-1 job mode (engine tag / result-shape consistency).
     """
     eng = engine if engine is not None else default_engine
 
@@ -212,7 +236,7 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None
             rows: list[dict[str, Any]] = []
             for url, payload in zip(urls, payloads):
                 res = _ocr_document(url, bytes(payload) if payload is not None
-                                    else b"", eng)
+                                    else b"", eng, mode=mode)
                 if res is None:
                     continue
                 text = res["extracted_text"]

@@ -107,10 +107,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         # explicit width without salting = plain round-robin rebalance
         docs = docs.repartition(num_partitions)
     out = extract_documents(docs, mode=mode, debug=debug)
-    if ocr_stage is not None:
-        if debug:
-            raise ValueError("debug + ocr_stage: the OCR stage emits the "
-                             "non-debug schema; run them separately")
+    if ocr_stage is not None and debug:
+        raise ValueError("debug + ocr_stage: the OCR stage emits the "
+                         "non-debug schema; run them separately")
+    if ocr_stage is not None and not output_path:
+        # un-materialized composition: the caller is responsible for
+        # caching phase 1 (its lineage feeds three merge branches)
         out = with_ocr_fallback(out, docs, ocr_stage=ocr_stage)
 
     stats: dict = {"run_id": run_id}
@@ -119,17 +121,35 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         # metrics attribute docs/sec to the task that computed them
         out = out.withColumn("partition_id", F.spark_partition_id())
         t0 = time.time()
-        out.write.mode("overwrite").parquet(os.path.join(output_path, "data"))
+        data_path = os.path.join(output_path, "data")
+        if ocr_stage is not None:
+            # WRITE PHASE 1 FIRST, then merge from the read-back: the
+            # merged plan references phase 1 in three branches, and a
+            # read-back makes each reference a cheap parquet scan instead
+            # of re-running the extraction kernel over the whole corpus
+            phase1_path = os.path.join(output_path, "_phase1")
+            out.write.mode("overwrite").parquet(phase1_path)
+            phase1 = spark.read.parquet(phase1_path)
+            merged = with_ocr_fallback(phase1.drop("partition_id"), docs,
+                                       ocr_stage=ocr_stage)
+            cache_handle = merged
+            merged.withColumn("partition_id", F.spark_partition_id()) \
+                  .write.mode("overwrite").parquet(data_path)
+            unpersist_ocr_cache(cache_handle)  # deterministic release
+            out = spark.read.parquet(data_path)  # detach from _phase1
+            import shutil
+
+            shutil.rmtree(phase1_path, ignore_errors=True)
+        else:
+            out.write.mode("overwrite").parquet(data_path)
         elapsed = time.time() - t0
-        metrics = partition_metrics(
-            spark.read.parquet(os.path.join(output_path, "data")), run_id)
+        metrics = partition_metrics(spark.read.parquet(data_path), run_id)
         if write_metrics:
             metrics.write.mode("overwrite").parquet(os.path.join(output_path, "_metrics"))
         agg = metrics.agg(F.sum("n_docs"), F.sum("n_ok"), F.sum("n_bytes")).first()
         stats.update(n_docs=agg[0] or 0, n_ok=agg[1] or 0, n_bytes=agg[2] or 0,
                      elapsed_s=round(elapsed, 3),
                      docs_per_sec=round((agg[0] or 0) / elapsed, 2) if elapsed else None)
-        unpersist_ocr_cache(out)  # deterministic release of the phase-2 cache
     return out, stats
 
 

@@ -318,22 +318,34 @@ def _first_page_stream(data: bytes) -> bytes | None:
     Kids[0]; the first-/Page-in-file-order heuristic is only the
     fallback when the tree is unresolvable.  Handles both the single-ref
     and the array form of /Contents (multiple streams are concatenated
-    in order).  Returns None when neither resolves (malformed or exotic
-    PDFs → caller falls back to scanning all text streams, best-effort)."""
+    in order).
+
+    Return contract: a TREE-resolved page is AUTHORITATIVE — a blank
+    first page (no /Contents, legal per spec) or an unreadable content
+    ref returns b"" (zero words), NEVER None; falling through to the
+    all-streams scan there would leak later pages' text into page 0.
+    None means the page truly could not be identified (no tree AND no
+    /Page object) → caller's best-effort scan."""
+    from_tree = True
     page = _first_page_obj(data)
     if page is None:
+        from_tree = False
         pm = _PAGE_OBJ_RE.search(data)
         page = pm.group(0) if pm else None
     if page is None:
         return None
+
+    def _unresolved():
+        return b"" if from_tree else None
+
     cval = _CONTENTS_VAL_RE.search(page)
     if not cval:
-        return None
+        return _unresolved()
     parts = []
     for ref in _REF_RE.findall(cval.group(1)):
         sm = re.search(_OBJ_STREAM_RE_TMPL % int(ref), data, re.S)
         if not sm:
-            return None
+            return _unresolved()
         sdict, body = sm.group(1), sm.group(2)
         if body.endswith(b"\n"):
             body = body[:-1]
@@ -341,9 +353,11 @@ def _first_page_stream(data: bytes) -> bytes | None:
             try:
                 body = zlib.decompress(body)
             except zlib.error:
-                return None
+                return _unresolved()
         parts.append(body)
-    return b"\n".join(parts) if parts else None
+    if not parts:
+        return _unresolved()
+    return b"\n".join(parts)
 
 
 def extract_words(pdf_bytes: bytes):

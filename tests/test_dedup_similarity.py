@@ -225,3 +225,16 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r["id"]: r["component"]
                for r in connected_components(pairs).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_connected_components_string_ids(spark):
+    """Convergence must be type-agnostic — string ids (e.g. urls) are
+    the pipeline's natural near-dup key."""
+    from khl_pdf_ocr_spark.operators.dedup import connected_components
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]  # n0-…-n8 path
+    pairs = spark.createDataFrame(chain + [("z1", "z2")], ["id_a", "id_b"])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert all(comp[f"n{i}"] == "n0" for i in range(9))
+    assert comp["z1"] == comp["z2"] == "z1"

@@ -233,3 +233,19 @@ def test_page_tree_inside_objstm():
     texts = {w[4] for w in words}
     assert "RIGHTPAGE" in texts
     assert "WRONGPAGE" not in texts
+
+
+def test_tree_resolved_blank_page0_is_authoritative_empty():
+    """A tree-resolved first page with NO /Contents (legal blank cover)
+    must yield zero words — never fall through to the all-streams scan,
+    which would leak page 1's text into page 0."""
+    parts = [b"%PDF-1.4\n"]
+    parts.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(_obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"))
+    parts.append(_obj(3, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] >>"))  # blank cover
+    parts.append(_obj(4, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] /Contents 5 0 R >>"))
+    parts.append(_stream_obj(5, b"BT /F1 10 Tf 72 700 Td (PAGETWO) Tj ET"))
+    parts.append(b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    assert minipdf.extract_words(b"".join(parts)) == []

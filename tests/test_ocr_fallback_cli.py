@@ -92,3 +92,14 @@ def test_cli_debug_and_ocr_flags(fixture_tables, tmp_path):
     files = glob.glob(out_dir + "/data/*.parquet")
     cols = pq.ParquetFile(files[0]).schema_arrow.names
     assert "debug_json" in cols
+
+
+def test_cli_resume_rejects_ocr_and_debug(fixture_tables, tmp_path):
+    docs_path, _ = fixture_tables
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.cli",
+         "--input", docs_path, "--output", str(tmp_path / "x"),
+         "--resume", "--ocr", "--cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180)
+    assert p.returncode != 0
+    assert "does not support --ocr/--debug" in p.stderr

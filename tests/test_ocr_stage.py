@@ -199,3 +199,45 @@ def test_ocr_engine_runs_once_per_failed_doc(spark, phase1):
     # every failed doc needing refs OCR'd at most once across both branches
     assert 0 < first <= n_failed
     unpersist_ocr_cache(merged)
+
+
+def test_ocr_stage_mode_threading(spark, fixture_tables):
+    """mode='refs' phase 2 must return refs-shaped rows (engine
+    'ocr-refs'), never mode-all payloads (review finding)."""
+    docs_path, _ = fixture_tables
+    docs = spark.read.parquet(docs_path)
+    out = extract_documents(docs, mode="refs")
+    merged = with_ocr_fallback(
+        out, docs, ocr_stage=make_ocr_stage(_make_fake_engine(), mode="refs"))
+    merged.cache()
+    try:
+        improved = merged.filter(F.col("detail") == "ocr_improved")
+        n = improved.count()
+        assert n > 0
+        # engine tag consistent with every other row of a refs job
+        assert improved.filter(F.col("engine") != "ocr-refs").count() == 0
+        # and no goalie payload was grafted on (refs mode never fills it)
+        assert improved.filter(F.size("goalies.home") > 0).count() == 0
+    finally:
+        merged.unpersist()
+        unpersist_ocr_cache(merged)
+
+
+def test_run_extraction_ocr_write_first(spark, fixture_tables, tmp_path):
+    """The OCR-integrated job writes phase 1 first and merges from the
+    read-back (no double extraction), releases the phase-2 cache, and
+    cleans up the staging dir."""
+    import os
+
+    from khl_pdf_ocr_spark.pipeline import run_extraction
+
+    docs_path, _ = fixture_tables
+    out_dir = str(tmp_path / "ocrjob")
+    _, stats = run_extraction(
+        spark, docs_path, out_dir,
+        ocr_stage=make_ocr_stage(_make_fake_engine()))
+    assert stats["n_docs"] == 200
+    res = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert res.count() == 200
+    assert res.filter(F.col("detail") == "ocr_improved").count() > 0
+    assert not os.path.exists(os.path.join(out_dir, "_phase1"))
