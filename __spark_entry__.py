@@ -1434,8 +1434,16 @@ def oracle_sql() -> dict[str, str]:
     # result_json + envelope columns).
     try:
         gold = _fixture_goldens()
-    except Exception:  # pragma: no cover — read-only/odd environments:
-        return o       # degrade to the SQL-only oracle set above
+    except (OSError, PermissionError) as e:  # pragma: no cover
+        # read-only environment: degrade to the SQL-only oracle set,
+        # LOUDLY (a silent shrink would weaken the correctness gate
+        # without anyone noticing); any other failure mode propagates
+        import sys
+
+        print(f"WARNING: golden-table oracles unavailable ({e}); "
+              "extraction queries fall back to rows-only checks",
+              file=sys.stderr)
+        return o
 
     o["extract_all_fixtures"] = f"""
         SELECT url, ok, engine, error, extracted_text, result_json,

@@ -77,9 +77,11 @@ def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
     if ocr_stage is None:  # no engine → pass-through
         return extracted
 
-    # the failed subset is failure-rate-sized → broadcast the url list so
-    # the documents table is filtered in place, never shuffled
-    failed_urls = F.broadcast(needs_ocr(extracted).select("url"))
+    # the failed subset is usually failure-rate-sized, but a layout
+    # change can make it corpus-sized — no explicit broadcast hint (it
+    # would bypass the 8 GB guard and risk driver OOM); AQE converts the
+    # semi-join to a broadcast at runtime when the list is actually small
+    failed_urls = needs_ocr(extracted).select("url")
     failed_docs = documents.join(failed_urls, "url", "left_semi") \
                            .select("url", "html")
     # OCR cost is uniform-high → salt-spread the (small) subset wide

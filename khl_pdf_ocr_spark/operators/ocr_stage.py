@@ -228,6 +228,8 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
     eng = engine if engine is not None else default_engine
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        global _raster_memo
+
         from khl_pdf_ocr_spark.refkernel.kernel import result_to_json
 
         for batch in batches:
@@ -251,6 +253,10 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
                     "n_lines": (text.count("\n") + 1) if text else 0,
                     "kernel_us": 0,
                 })
+            # release the one-slot raster memo (payload + ~26 MB 300 dpi
+            # RGB raster) so long-lived workers don't pin dead memory
+            # between OCR batches
+            _raster_memo = None
             yield pa.RecordBatch.from_pylist(rows, schema=EXTRACT_PA)
 
     def stage(failed_docs: DataFrame) -> DataFrame:

@@ -137,9 +137,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                   .write.mode("overwrite").parquet(data_path)
             unpersist_ocr_cache(cache_handle)  # deterministic release
             out = spark.read.parquet(data_path)  # detach from _phase1
-            import shutil
+            if "://" not in output_path:  # local fs only — shutil can't
+                import shutil             # delete hdfs://-s3a:// URIs
 
-            shutil.rmtree(phase1_path, ignore_errors=True)
+                shutil.rmtree(phase1_path, ignore_errors=True)
+            else:
+                stats["phase1_staging"] = phase1_path  # caller cleans up
         else:
             out.write.mode("overwrite").parquet(data_path)
         elapsed = time.time() - t0

@@ -212,19 +212,30 @@ def _decode_hex(tok: bytes) -> bytes:
 
 
 _PAGE_OBJ_RE = re.compile(
-    rb"(\d+)\s+0\s+obj\s*<<(?:(?!endobj).)*?/Type\s*/Page\b(?:(?!endobj).)*?>>", re.S)
+    rb"(\d+)\s+\d+\s+obj\s*<<(?:(?!endobj).)*?/Type\s*/Page\b(?:(?!endobj).)*?>>", re.S)
 # /Contents may be a single indirect ref or an ARRAY of refs
-_CONTENTS_VAL_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)")
-_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_OBJ_STREAM_RE_TMPL = rb"%d\s+0\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
-_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
-_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_CONTENTS_VAL_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_OBJ_STREAM_RE_TMPL = rb"%d\s+\d+\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 
 
 def _obj_region(data: bytes, num: int) -> bytes | None:
-    m = re.search(rb"(?<![0-9])%d\s+0\s+obj\b(.*?)endobj" % num, data, re.S)
+    m = re.search(rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj" % num, data, re.S)
     return m.group(1) if m else None
+
+
+def _inflate(body: bytes) -> bytes:
+    """Flate-decompress a stream body robustly: ``decompressobj`` stops
+    at the end of the deflate stream and ignores any trailing EOL bytes,
+    so the 1-in-256 streams whose compressed data itself ends in 0x0A
+    survive the endstream-EOL ambiguity (PDF writers may or may not emit
+    an EOL before ``endstream``)."""
+    d = zlib.decompressobj()
+    out = d.decompress(body)
+    return out + d.flush()
 
 
 # object streams (/Type /ObjStm): modern writers pack the catalog/page
@@ -246,7 +257,7 @@ def _objstm_objects(data: bytes) -> dict[int, bytes]:
             body = body[:-1]
         if b"/FlateDecode" in sdict:
             try:
-                body = zlib.decompress(body)
+                body = _inflate(body)
             except zlib.error:
                 continue
         nm = re.search(rb"/N\s+(\d+)", sdict)
@@ -351,7 +362,7 @@ def _first_page_stream(data: bytes) -> bytes | None:
             body = body[:-1]
         if b"/FlateDecode" in sdict:
             try:
-                body = zlib.decompress(body)
+                body = _inflate(body)
             except zlib.error:
                 return _unresolved()
         parts.append(body)
@@ -394,7 +405,7 @@ def extract_words(pdf_bytes: bytes):
                 body = body[:-1]
             if b"/FlateDecode" in sdict:
                 try:
-                    body = zlib.decompress(body)
+                    body = _inflate(body)
                 except zlib.error:
                     continue  # non-content stream (e.g. padding); skip
             if b"BT" in body:

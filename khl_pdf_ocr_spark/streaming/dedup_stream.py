@@ -39,15 +39,29 @@ def run_streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
                         max_files_per_trigger: int = 8,
                         await_termination: bool = True):
     """Drain ``input_dir`` into ``output_dir`` keeping the FIRST arrival
-    per text fingerprint within the watermark horizon."""
+    per text fingerprint within the watermark horizon.
+
+    Only rows with NON-EMPTY normalized text AND a valid ``warc_ts`` are
+    dedup-eligible; everything else passes through untouched
+    (fingerprint NULL).  Without the guard, every null/empty-text row in
+    a horizon would collide on md5("") and all but the first would be
+    silently dropped, and NULL event times give the state operator
+    undefined expiry — both silent-data-loss modes.
+    """
     stream = (spark.readStream.schema(INPUT_SCHEMA)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_dir))
-    keyed = (stream
-             .withColumn("fingerprint",
-                         X.fingerprint(F.coalesce(F.col(text_col), F.lit(""))))
-             .withWatermark("warc_ts", dedup_horizon)
-             .dropDuplicatesWithinWatermark(["fingerprint"]))
+    eligible_cond = (F.col(text_col).isNotNull()
+                     & (F.length(X.normalized_text(F.col(text_col))) > 0)
+                     & F.col("warc_ts").isNotNull())
+    deduped = (stream.filter(eligible_cond)
+               .withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+               .withWatermark("warc_ts", dedup_horizon)
+               .dropDuplicatesWithinWatermark(["fingerprint"]))
+    passthrough = (stream.filter(~eligible_cond)
+                   .withColumn("fingerprint",
+                               F.lit(None).cast("string")))
+    keyed = deduped.unionByName(passthrough)
     query = (keyed.writeStream
              .format("parquet")
              .option("path", os.path.join(output_dir, "data"))

@@ -249,3 +249,45 @@ def test_tree_resolved_blank_page0_is_authoritative_empty():
     parts.append(_stream_obj(5, b"BT /F1 10 Tf 72 700 Td (PAGETWO) Tj ET"))
     parts.append(b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
     assert minipdf.extract_words(b"".join(parts)) == []
+
+
+def test_generation_nonzero_contents_ref():
+    """Incrementally-updated PDFs use generation != 0 refs — the tree
+    walk must still resolve them (review finding)."""
+    parts = [b"%PDF-1.4\n"]
+    parts.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    parts.append(_obj(3, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] /Contents 5 1 R >>"))
+    parts.append(b"5 1 obj << /Length 40 >> stream\n"
+                 b"BT /F1 10 Tf 72 700 Td (GENONE) Tj ET\nendstream endobj\n")
+    parts.append(b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    words = minipdf.extract_words(b"".join(parts))
+    assert {w[4] for w in words} == {"GENONE"}
+
+
+def test_inflate_survives_trailing_newline_ambiguity():
+    """A Flate stream whose compressed bytes END in 0x0A, written with
+    no EOL before endstream: decompressobj must still inflate it."""
+    import zlib
+
+    # craft a payload whose compressed form ends with 0x0A
+    content = None
+    for i in range(5000):
+        cand = b"BT /F1 10 Tf 72 700 Td (X%d word%d) Tj ET" % (i, i * 7)
+        if zlib.compress(cand, 6).endswith(b"\n"):
+            content = cand
+            break
+    assert content is not None, "no 0x0A-tailed compressed sample found"
+    comp = zlib.compress(content, 6)
+    parts = [b"%PDF-1.4\n"]
+    parts.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    parts.append(_obj(3, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] /Contents 5 0 R >>"))
+    # NO EOL between the compressed bytes and 'endstream' — legal PDF
+    parts.append(b"5 0 obj << /Length %d /Filter /FlateDecode >> stream\n" % len(comp)
+                 + comp + b"endstream endobj\n")
+    parts.append(b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    words = minipdf.extract_words(b"".join(parts))
+    assert len(words) >= 1 and words[0][4].startswith("X")

@@ -65,3 +65,35 @@ def test_streaming_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     # second drain: checkpoint knows the file → no dupes, no new rows
     run_streaming_dedup(spark, in_dir, out_dir, dedup_horizon="30 minutes")
     assert spark.read.parquet(os.path.join(out_dir, "data")).count() == 2
+
+
+def test_streaming_dedup_passthrough_null_and_empty(spark, tmp_path):
+    """NULL/empty-text and NULL-ts rows must pass through un-deduped —
+    never collide on md5('') (review finding)."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_spark.streaming.dedup_stream import run_streaming_dedup
+
+    t0 = datetime(2026, 1, 1, 12, 0, tzinfo=timezone.utc)
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "out")
+    rows = [
+        {"url": "n1", "warc_ts": t0, "html": b"x", "text": None, "lang": ""},
+        {"url": "n2", "warc_ts": t0, "html": b"x", "text": None, "lang": ""},
+        {"url": "e1", "warc_ts": t0, "html": b"x", "text": "  ...  ", "lang": ""},
+        {"url": "t1", "warc_ts": None, "html": b"x", "text": "real text here", "lang": "en"},
+        {"url": "t2", "warc_ts": t0, "html": b"x", "text": "real text here", "lang": "en"},
+    ]
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(in_dir, "part-0.parquet"))
+    run_streaming_dedup(spark, in_dir, out_dir)
+    urls = {r["url"] for r in
+            spark.read.parquet(os.path.join(out_dir, "data")).collect()}
+    # n1/n2 (null text), e1 (empty after normalize) and t1 (null ts) all
+    # survive; t2 is the only dedup-eligible row and also survives
+    assert urls == {"n1", "n2", "e1", "t1", "t2"}
