@@ -1434,7 +1434,7 @@ def oracle_sql() -> dict[str, str]:
     # result_json + envelope columns).
     try:
         gold = _fixture_goldens()
-    except (OSError, PermissionError) as e:  # pragma: no cover
+    except OSError as e:  # pragma: no cover
         # read-only environment: degrade to the SQL-only oracle set,
         # LOUDLY (a silent shrink would weaken the correctness gate
         # without anyone noticing); any other failure mode propagates

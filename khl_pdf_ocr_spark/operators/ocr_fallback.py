@@ -23,8 +23,8 @@ by the caller's first action, reused by the second branch — the subset
 is failure-rate-sized, i.e. tiny).  Callers that keep the session alive
 should release it via ``unpersist_ocr_cache(merged)`` after
 materializing; ``pipeline.run_extraction`` does.  Phase-1
-(``extracted``) likewise feeds THREE branches (failed-subset selection,
-anti-join keep side, and — through needs_ocr — the url broadcast), so
+(``extracted``) likewise feeds multiple branches (failed-subset
+selection via needs_ocr and the anti-join keep side), so
 pass a CHEAP frame: ``pipeline.run_extraction`` writes phase 1 to
 ``<output>/_phase1`` first and composes the merge over the parquet
 read-back, which turns every reference into a column-pruned scan

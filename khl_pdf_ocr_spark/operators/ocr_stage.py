@@ -126,6 +126,16 @@ def goalies_from_ocr_lines(lines: list[str]) -> list[dict]:
 _raster_memo: tuple[bytes, object] | None = None
 
 
+def release_raster_memo() -> None:
+    """Clear the one-slot raster memo.  Module-level on purpose: the
+    mapInArrow kernel closure is rebuilt by cloudpickle with a DETACHED
+    globals dict on executors, so assigning the global from inside the
+    closure would never touch the real module state — this function is
+    pickled by reference and mutates the actual module."""
+    global _raster_memo
+    _raster_memo = None
+
+
 def _rasterize(payload: bytes):  # pragma: no cover — needs PyMuPDF/Pillow
     global _raster_memo
     if _raster_memo is not None and _raster_memo[0] is payload:
@@ -228,8 +238,7 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
     eng = engine if engine is not None else default_engine
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        global _raster_memo
-
+        from khl_pdf_ocr_spark.operators.ocr_stage import release_raster_memo
         from khl_pdf_ocr_spark.refkernel.kernel import result_to_json
 
         for batch in batches:
@@ -256,7 +265,7 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
             # release the one-slot raster memo (payload + ~26 MB 300 dpi
             # RGB raster) so long-lived workers don't pin dead memory
             # between OCR batches
-            _raster_memo = None
+            release_raster_memo()
             yield pa.RecordBatch.from_pylist(rows, schema=EXTRACT_PA)
 
     def stage(failed_docs: DataFrame) -> DataFrame:

@@ -216,7 +216,7 @@ _PAGE_OBJ_RE = re.compile(
 # /Contents may be a single indirect ref or an ARRAY of refs
 _CONTENTS_VAL_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
-_OBJ_STREAM_RE_TMPL = rb"%d\s+\d+\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
+_OBJ_STREAM_RE_TMPL = rb"(?<![0-9])%d\s+\d+\s+obj\s*<<(.*?)>>\s*stream\r?\n(.*?)endstream"
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")

@@ -50,18 +50,21 @@ def run_streaming_dedup(spark: SparkSession, input_dir: str, output_dir: str,
     """
     stream = (spark.readStream.schema(INPUT_SCHEMA)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
-              .parquet(input_dir))
-    eligible_cond = (F.col(text_col).isNotNull()
-                     & (F.length(X.normalized_text(F.col(text_col))) > 0)
-                     & F.col("warc_ts").isNotNull())
+              .parquet(input_dir)
+              # normalize ONCE: the lower+regex pipeline is the dominant
+              # per-row cost and feeds both the eligibility check and the
+              # fingerprint
+              .withColumn("_norm", X.normalized_text(
+                  F.coalesce(F.col(text_col), F.lit("")))))
+    eligible_cond = (F.length("_norm") > 0) & F.col("warc_ts").isNotNull()
     deduped = (stream.filter(eligible_cond)
-               .withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+               .withColumn("fingerprint", F.md5("_norm"))
                .withWatermark("warc_ts", dedup_horizon)
                .dropDuplicatesWithinWatermark(["fingerprint"]))
     passthrough = (stream.filter(~eligible_cond)
                    .withColumn("fingerprint",
                                F.lit(None).cast("string")))
-    keyed = deduped.unionByName(passthrough)
+    keyed = deduped.unionByName(passthrough).drop("_norm")
     query = (keyed.writeStream
              .format("parquet")
              .option("path", os.path.join(output_dir, "data"))

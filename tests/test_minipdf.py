@@ -291,3 +291,20 @@ def test_inflate_survives_trailing_newline_ambiguity():
     parts.append(b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
     words = minipdf.extract_words(b"".join(parts))
     assert len(words) >= 1 and words[0][4].startswith("X")
+
+
+def test_contents_ref_not_matched_by_suffix_object():
+    """Resolving /Contents '5 0 R' must not match object 15's stream
+    (review finding: missing number anchor in the stream template)."""
+    parts = [b"%PDF-1.4\n"]
+    parts.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    # decoy object 15 appears BEFORE object 5 in the file
+    parts.append(_stream_obj(15, b"BT /F1 10 Tf 72 700 Td (DECOY) Tj ET"))
+    parts.append(_obj(3, b"<< /Type /Page /Parent 2 0 R "
+                         b"/MediaBox [0 0 612 792] /Contents 5 0 R >>"))
+    parts.append(_stream_obj(5, b"BT /F1 10 Tf 72 700 Td (TARGET) Tj ET"))
+    parts.append(b"trailer << /Size 16 /Root 1 0 R >>\n%%EOF\n")
+    words = minipdf.extract_words(b"".join(parts))
+    texts = {w[4] for w in words}
+    assert texts == {"TARGET"}
