@@ -182,6 +182,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["masters_validate_referees"] = masters_validate_referees
 
+    def masters_validate_players(spark, sf_dir):
+        # goalie-name validation against the players master CSV — the
+        # symmetric twin of the referee validator (same broadcast-join
+        # dimension pattern, players_master.csv 664 rows)
+        from khl_pdf_ocr_spark.operators.extract import extract_documents
+        from khl_pdf_ocr_spark.sources.masters import (load_masters,
+                                                       validate_goalie_names)
+
+        docs = spark.read.parquet(_fixture_docs())
+        out = extract_documents(docs).filter(F.col("engine") == "all")
+        players, _ = load_masters(spark)
+        return validate_goalie_names(out, players)
+
+    q["masters_validate_players"] = masters_validate_players
+
     def _mode_query(mode):
         def run(spark, sf_dir, _mode=mode):
             from khl_pdf_ocr_spark.operators.extract import extract_documents
@@ -401,23 +416,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_normalized_preview"] = doc_normalized_preview
 
-    def lineitem_rollup(spark, sf_dir):
-        # hierarchical totals: ROLLUP(returnflag, linestatus) incl. grand total
+    def lineitem_grouping_sets(spark, sf_dir):
+        # grouping-sets lattice — BOTH operators in one driver query
+        # (round-2 verdict: consolidate near-duplicate coverage to fit
+        # the driver's 50-query window): ROLLUP's hierarchical totals
+        # and CUBE's full lattice, tagged and unioned
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        return (li.rollup("l_returnflag", "l_linestatus")
-                .agg(F.count(F.lit(1)).alias("n_items"),
-                     _r(F.sum("l_quantity"), 2).alias("sum_qty")))
+        aggs = [F.count(F.lit(1)).alias("n_items"),
+                _r(F.sum("l_quantity"), 2).alias("sum_qty")]
+        rollup = (li.rollup("l_returnflag", "l_linestatus").agg(*aggs)
+                  .withColumn("lattice", F.lit("rollup")))
+        cube = (li.cube("l_returnflag", "l_linestatus").agg(*aggs)
+                .withColumn("lattice", F.lit("cube")))
+        return rollup.unionByName(cube)
 
-    q["lineitem_rollup"] = lineitem_rollup
-
-    def lineitem_cube(spark, sf_dir):
-        # full grouping-sets lattice: CUBE(returnflag, linestatus)
-        li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        return (li.cube("l_returnflag", "l_linestatus")
-                .agg(F.count(F.lit(1)).alias("n_items"),
-                     _r(F.avg("l_discount"), 4).alias("avg_disc")))
-
-    q["lineitem_cube"] = lineitem_cube
+    q["lineitem_grouping_sets"] = lineitem_grouping_sets
 
     def orders_distinct_customers(spark, sf_dir):
         orders = spark.read.parquet(_t(sf_dir, "orders"))
@@ -507,7 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch drifts >2 % from exact hash-mismatches the driver check
         ev = spark.read.parquet(_t(sf_dir, "events"))
         arr = F.sort_array(F.collect_list("value"))
-        n = F.count(F.lit(1))
+        # count NON-NULL values: collect_list drops NULLs, so a count(*)
+        # index could point past the array end (ADVICE r2)
+        n = F.count("value")
         idx = (F.floor(n * F.lit(0.5)).cast("int") + 1)
         exact = F.element_at(arr, F.least(idx, n.cast("int")))
         approx = F.percentile_approx("value", 0.5, 10000)
@@ -551,54 +566,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_monthly_trend"] = orders_monthly_trend
 
     def events_props_extract(spark, sf_dir):
-        # regex field extraction shadow (app.py:146-160)
-        ev = spark.read.parquet(_t(sf_dir, "events"))
-        return ev.select("event_id",
-                         F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
-                         .cast("int").alias("k_val"))
-
-    q["events_props_extract"] = events_props_extract
-
-    def events_json_extract(spark, sf_dir):
-        # JSON path extraction (vs the regex variant above)
+        # regex field extraction shadow (app.py:146-160) AND the JSON-path
+        # variant of the same field, in one query (consolidated per the
+        # round-2 verdict — both extraction operators stay hash-gated)
         ev = spark.read.parquet(_t(sf_dir, "events"))
         return ev.select(
             "event_id",
+            F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+            .cast("int").alias("k_val"),
             F.get_json_object("props", "$.k").cast("int").alias("k_json"))
 
-    q["events_json_extract"] = events_json_extract
+    q["events_props_extract"] = events_props_extract
 
     # --- documents: text analytics --------------------------------------
 
-    def doc_token_counts(spark, sf_dir):
+    def doc_text_analytics(spark, sf_dir):
+        # the full per-document text-analytics pass in one query
+        # (token counts + stopwords + quality score + language ID —
+        # consolidated from three round-2 queries per the verdict's
+        # 50-query-window budget; every column stays hash-gated)
         docs = spark.read.parquet(_t(sf_dir, "documents"))
         c = F.col("text")
         return docs.select("doc_id",
                            X.token_count(c).cast("long").alias("n_tokens"),
-                           X.stopword_count(c).cast("long").alias("n_stopwords"))
+                           X.stopword_count(c).cast("long").alias("n_stopwords"),
+                           X.quality_score(c).alias("quality"),
+                           X.lang_id(c).alias("lang_pred"))
 
-    q["doc_token_counts"] = doc_token_counts
-
-    def doc_quality_scores(spark, sf_dir):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
-        return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
-
-    q["doc_quality_scores"] = doc_quality_scores
-
-    def doc_lang_id(spark, sf_dir):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
-        return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
-
-    q["doc_lang_id"] = doc_lang_id
+    q["doc_text_analytics"] = doc_text_analytics
 
     def doc_winnow_fingerprints(spark, sf_dir):
         # winnowing rolling-hash fingerprints (k-gram hash window minima);
         # per-char hashing is CPU-bound → same parallelism floor as the
-        # shingling stages (single-file local scans serialize otherwise)
+        # shingling stages (single-file local scans serialize otherwise).
+        # The fingerprint SET is emitted as a comma-joined string, not
+        # array<long>: the driver's canonicalizer pandas-sorts raw column
+        # values before hashing and dies on list cells (round-2 failure);
+        # same scalar-ization as events_first3_types.
         from khl_pdf_ocr_spark.operators.dedup import _ensure_parallelism
 
         docs = _ensure_parallelism(spark.read.parquet(_t(sf_dir, "documents")))
-        return X.with_winnow_fingerprint(docs).select("doc_id", "winnow_fp")
+        fp = X.with_winnow_fingerprint(docs)
+        return fp.select(
+            "doc_id",
+            F.concat_ws(",", F.transform(F.col("winnow_fp"),
+                                         lambda x: x.cast("string"))
+                        ).alias("winnow_fp"))
 
     q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
 
@@ -707,8 +720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_near_dup_pairs(spark, sf_dir):
         from khl_pdf_ocr_spark.operators.similarity import embedding_near_dup_pairs
 
+        # dim feeds the hot-block LSH fallback guard (r2 verdict #3);
+        # no sf0.01 label block exceeds the bound, so the all-pairs
+        # oracle remains exact ground truth
         emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-        return embedding_near_dup_pairs(emb, threshold=0.3)
+        return embedding_near_dup_pairs(emb, threshold=0.3,
+                                        dim=_emb_dim(sf_dir))
 
     q["emb_near_dup_pairs"] = emb_near_dup_pairs
 
@@ -762,7 +779,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean_ledger"] = corpus_clean_ledger
 
-    return q
+    # ----- driver insertion order ---------------------------------------
+    # CORRECTNESS_r0{1,2} showed the driver verifies exactly the FIRST 50
+    # insertion-order keys; the round-2 tail (emb_ann_ivf_topk,
+    # emb_lsh_near_dup_pairs, corpus_clean_ledger) never got a row.  The
+    # set is now exactly 50 queries, with the least-driver-verified ones
+    # placed right after the flagship so a future budget cut can't
+    # silently skip them again.
+    order = [
+        "extract_all_fixtures",
+        "emb_ann_ivf_topk", "emb_lsh_near_dup_pairs", "corpus_clean_ledger",
+        "doc_winnow_fingerprints", "masters_validate_players",
+        "html_boilerplate_strip", "masters_validate_referees",
+        "extract_words_mode", "extract_refs_mode", "extract_goalies_mode",
+        "ocr_fallback_subset", "url_construction", "media_image_features",
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "scan_filter_project", "top_spenders_window", "q6_revenue_delta",
+        "q12_shipmode_priority", "q14_promo_ratio", "q18_large_orders",
+        "customers_without_orders", "suppliers_with_big_items_semi",
+        "events_first3_types", "doc_normalized_preview",
+        "lineitem_grouping_sets", "orders_distinct_customers",
+        "events_sessionize", "events_hourly_rollup", "events_band_filter",
+        "events_group_concat", "events_value_percentiles",
+        "events_p50_sketch_check", "orders_hll_distinct_check",
+        "orders_monthly_trend", "events_props_extract",
+        "doc_text_analytics", "doc_fingerprint_dedup",
+        "doc_median_chars_by_source", "doc_longest_per_lang",
+        "doc_top_terms_per_lang", "doc_ngram_jaccard_pairs",
+        "doc_minhash_lsh_pairs", "doc_near_dup_components",
+        "doc_simhash_pairs", "emb_cosine_topk", "emb_near_dup_pairs",
+        "emb_ann_lsh_topk",
+    ]
+    assert set(order) == set(q) and len(order) == 50, (
+        f"query/order drift: {sorted(set(order) ^ set(q))}; n={len(order)}")
+    return {k: q[k] for k in order}
 
 
 # ---------------------------------------------------------------------------
@@ -960,35 +1010,21 @@ def oracle_sql() -> dict[str, str]:
 
     o["events_props_extract"] = """
         SELECT event_id,
-               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS k_val
-        FROM events
-    """
-
-    o["events_json_extract"] = """
-        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS k_val,
                CAST(json_extract_string(props, '$.k') AS int) AS k_json
         FROM events
     """
 
-    o["doc_token_counts"] = f"""
-        SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-               len(regexp_extract_all(lower(text), '{_SW}')) AS n_stopwords
-        FROM documents
-    """
-
-    o["doc_quality_scores"] = f"""
+    o["doc_text_analytics"] = f"""
         WITH c AS (
-          SELECT doc_id, {_sql_quality_parts('text')}
+          SELECT doc_id, text, {_sql_quality_parts('text')}
           FROM documents)
-        SELECT doc_id, {_SQL_QUALITY} AS quality
+        SELECT doc_id,
+               n_tok AS n_tokens,
+               n_sw AS n_stopwords,
+               {_SQL_QUALITY} AS quality,
+               {_sql_lang('text')} AS lang_pred
         FROM c
-    """
-
-    o["doc_lang_id"] = f"""
-        SELECT doc_id, {_sql_lang('text')} AS lang_pred
-        FROM documents
     """
 
     o["doc_fingerprint_dedup"] = f"""
@@ -1137,18 +1173,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    o["lineitem_rollup"] = """
+    o["lineitem_grouping_sets"] = """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_items,
-               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               'rollup' AS lattice
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """
-
-    o["lineitem_cube"] = """
+        UNION ALL
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_items,
-               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               'cube' AS lattice
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """
@@ -1220,9 +1256,11 @@ def oracle_sql() -> dict[str, str]:
           FROM g
         )
         SELECT doc_id,
-               list_sort(list_distinct(list_transform(
-                 range(0, greatest(len(hs) - 4, 0) + 1),
-                 j -> list_min(hs[j + 1 : j + 4])))) AS winnow_fp
+               array_to_string(list_transform(
+                 list_sort(list_distinct(list_transform(
+                   range(0, greatest(len(hs) - 4, 0) + 1),
+                   j -> list_min(hs[j + 1 : j + 4])))),
+                 v -> v::VARCHAR), ',') AS winnow_fp
         FROM h
     """
 
@@ -1494,6 +1532,37 @@ def oracle_sql() -> dict[str, str]:
                    (regexp_split_to_array(trim(replace(column0, '{_bom}', '')),
                                           '\\s+'))[1:2], ' ') AS name_key
           FROM read_csv('/root/reference/referees_master.csv', header=false)
+          WHERE length(trim(replace(column0, '{_bom}', ''))) > 0
+        )
+        SELECT n.url, n.name, (m.name_key IS NOT NULL) AS known
+        FROM names n LEFT JOIN master m
+          ON array_to_string((regexp_split_to_array(n.name, '\\s+'))[1:2], ' ')
+             = m.name_key
+    """
+
+    # goalie-name validation against players_master.csv — same recompute
+    # from the golden JSON, but the names live in arrays of objects
+    # (goalies.home/.away [{name, flag}]), so extract the name field per
+    # element before the unnest
+    o["masters_validate_players"] = f"""
+        WITH g AS (
+          SELECT url, result_json FROM read_parquet('{gold}')
+          WHERE mode = 'all' AND engine = 'all'
+        ), names AS (
+          SELECT url, unnest(list_concat(
+                   list_transform(
+                     CAST(json_extract(result_json, '$.goalies.home') AS JSON[]),
+                     x -> json_extract_string(x, '$.name')),
+                   list_transform(
+                     CAST(json_extract(result_json, '$.goalies.away') AS JSON[]),
+                     x -> json_extract_string(x, '$.name'))))
+                 AS name
+          FROM g
+        ), master AS (
+          SELECT DISTINCT array_to_string(
+                   (regexp_split_to_array(trim(replace(column0, '{_bom}', '')),
+                                          '\\s+'))[1:2], ' ') AS name_key
+          FROM read_csv('/root/reference/players_master.csv', header=false)
           WHERE length(trim(replace(column0, '{_bom}', ''))) > 0
         )
         SELECT n.url, n.name, (m.name_key IS NOT NULL) AS known

@@ -41,7 +41,7 @@ BENCH_CORPUS_DIR = os.path.join(REPO, ".bench_cache", f"corpus_{BENCH_DOCS}_{BEN
 HEADLINE = [
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "scan_filter_project", "top_spenders_window", "events_sessionize",
-    "events_hourly_rollup", "doc_fingerprint_dedup", "doc_quality_scores",
+    "events_hourly_rollup", "doc_fingerprint_dedup", "doc_text_analytics",
     "doc_minhash_lsh_pairs", "emb_cosine_topk",
     # persisted-ANN path.  NOTE the index build is NOT in either column:
     # it runs (once, then disk-cached in .ann_cache) while the query is

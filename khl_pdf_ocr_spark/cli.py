@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
                                                                make_ocr_stage)
 
             if HAS_OCR_ENGINE:
-                ocr_stage = make_ocr_stage(mode=args.mode)
+                # debug threads through BOTH phases (matching schemas)
+                ocr_stage = make_ocr_stage(mode=args.mode, debug=args.debug)
             else:  # graceful degradation, like the reference (app.py:76-77)
                 print(json.dumps({"warning": "ocr_engine_missing",
                                   "detail": "PyMuPDF/Pillow/tesseract not "

@@ -40,9 +40,9 @@ from khl_pdf_ocr_spark.operators.similarity import (_query_lit, _to_double,
                                                     cosine, hyperplanes,
                                                     with_lsh_bucket)
 
-__all__ = ["seeded_kmeans", "build_lsh_index", "lsh_index_topk",
-           "build_ivf_index", "ivf_index_topk", "lsh_probes",
-           "nearest_cells", "ivf_cell_expr"]
+__all__ = ["seeded_kmeans", "mllib_centroids", "build_lsh_index",
+           "lsh_index_topk", "build_ivf_index", "ivf_index_topk",
+           "lsh_probes", "nearest_cells", "ivf_cell_expr"]
 
 
 # ---------------------------------------------------------------------------
@@ -54,8 +54,9 @@ def seeded_kmeans(vectors: list[list[float]], k: int, seed: int = 42,
                   iters: int = 20) -> list[list[float]]:
     """Deterministic Lloyd's k-means (seeded init, fixed iterations,
     first-index tie-breaks).  Runs driver-side on a sample/full read of
-    the (small relative to the corpus) vector set; at 100 TB swap in
-    MLlib-trained centers — the index format is identical."""
+    the (small relative to the corpus) vector set; at 100 TB use
+    ``mllib_centroids`` (distributed fit) — the index format is
+    identical."""
     import random
 
     n = len(vectors)
@@ -83,6 +84,31 @@ def seeded_kmeans(vectors: list[list[float]], k: int, seed: int = 42,
     return centers
 
 
+def mllib_centroids(df: DataFrame, k: int, *, seed: int = 42,
+                    max_iter: int = 20,
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Coarse-quantizer centers via DISTRIBUTED MLlib KMeans — the
+    actual 100 TB training path for ``build_ivf_index`` (the fit is a
+    Spark job over executors, never a driver-side list).
+
+    ``seeded_kmeans`` remains the deterministic pure-Python twin used
+    where the DuckDB oracle must replay the exact same centers; the two
+    are interchangeable as ``build_ivf_index(centroids=...)`` inputs —
+    the index format and the query path are identical.  Train on a
+    sample (``df.sample(...)``) when the corpus itself is 100 TB; the
+    quantizer only needs the density shape, not every vector.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(
+        F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    ).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter,
+                   featuresCol="features").fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
     """argmin-of-squared-distance cell id, as a pure JVM expression.
 
@@ -106,11 +132,53 @@ def ivf_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
 
 
 def _meta_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "meta.json")
+    return _join(index_dir, "meta.json")
 
 
 def _data_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "data")
+    return _join(index_dir, "data")
+
+
+def _join(base: str, leaf: str) -> str:
+    # URI-safe join: os.path.join would mangle hdfs://… on Windows and
+    # never normalizes scheme paths anyway
+    return base.rstrip("/") + "/" + leaf if "://" in base \
+        else os.path.join(base, leaf)
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write small metadata next to the Spark-written parquet.  The
+    parquet goes through Hadoop, so on hdfs://-s3a:// index dirs the
+    metadata must too (r2 ADVICE: local open() strands meta.json on the
+    driver's disk); plain paths keep the cheap local write."""
+    if "://" not in path:
+        with open(path, "w") as f:
+            f.write(content)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    if "://" not in path:
+        with open(path) as f:
+            return f.read()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        # IOUtils drains the stream fully (read() alone returns one byte)
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 def build_lsh_index(df: DataFrame, index_dir: str, *, dim: int,
@@ -125,8 +193,7 @@ def build_lsh_index(df: DataFrame, index_dir: str, *, dim: int,
         .parquet(_data_path(index_dir))
     meta = {"kind": "lsh", "dim": dim, "nbits": nbits, "seed": seed,
             "planes": planes}
-    with open(_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _write_text(df.sparkSession, _meta_path(index_dir), json.dumps(meta))
     return meta
 
 
@@ -148,8 +215,7 @@ def lsh_probes(query_vec, planes, *, multiprobe: bool = True) -> list[int]:
 def lsh_index_topk(spark: SparkSession, index_dir: str, query_vec, k: int = 10,
                    *, multiprobe: bool = True) -> DataFrame:
     """Top-k over the probed buckets only — a partition-pruned scan."""
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
+    meta = json.loads(_read_text(spark, _meta_path(index_dir)))
     probes = lsh_probes(query_vec, meta["planes"], multiprobe=multiprobe)
     cand = (spark.read.parquet(_data_path(index_dir))
             .filter(F.col("lsh_bucket").isin(probes)))
@@ -175,8 +241,7 @@ def build_ivf_index(df: DataFrame, index_dir: str, *,
     assigned.write.mode("overwrite").partitionBy("ivf_cell") \
         .parquet(_data_path(index_dir))
     meta = {"kind": "ivf", "centroids": centroids}
-    with open(_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _write_text(df.sparkSession, _meta_path(index_dir), json.dumps(meta))
     return meta
 
 
@@ -194,8 +259,7 @@ def nearest_cells(query_vec, centroids, nprobe: int) -> list[int]:
 def ivf_index_topk(spark: SparkSession, index_dir: str, query_vec, k: int = 10,
                    *, nprobe: int = 2) -> DataFrame:
     """Top-k over the nprobe nearest inverted lists only."""
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
+    meta = json.loads(_read_text(spark, _meta_path(index_dir)))
     cells = nearest_cells(query_vec, meta["centroids"], nprobe)
     cand = (spark.read.parquet(_data_path(index_dir))
             .filter(F.col("ivf_cell").isin(cells)))

@@ -28,12 +28,23 @@ __all__ = ["exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures
 # Hot-bucket bound for banded LSH self-joins: a band bucket of k rows
 # yields k(k-1)/2 candidates in ONE shuffle partition — k identical
 # boilerplate docs at 100 TB would make that stage quadratic.  Buckets
-# above this size fall back to adjacent-chain candidates (sorted by id:
-# k-1 pairs), which keeps CONNECTED-COMPONENT near-dup clusters intact
-# (every member still links to the cluster) while bounding work; the
-# complete pair list within a hot bucket is the documented trade-off.
-# Audit what got chained with ``hot_band_buckets`` (no-silent-caps rule).
+# above this size fall back to windowed-chain candidates (each member
+# pairs with its next CHAIN_WINDOW neighbors in sort order: ≤ k·W pairs).
+# The chain preserves connected-component clusters ONLY when adjacent
+# members verify pairwise (exact Jaccard / hamming runs on every
+# candidate) — true for the homogeneous dup clusters that cause hot
+# buckets under 64-bit MinHash band hashes, where every pair verifies;
+# in a HETEROGENEOUS hot bucket chain edges can fail verification and
+# split transitive clusters.  That is the documented trade-off vs the
+# complete pair list; audit what got chained with ``hot_band_buckets``
+# or the ``audit=`` hook (no-silent-caps rule).  SimHash's bands are
+# only bits/(max_hamming+1) wide (16 bits at 64/3), so its hot buckets
+# ARE heterogeneous by construction — there the chain orders by the
+# full simhash value (sorted-neighborhood à la Manku et al., WWW'07),
+# which keeps hamming-close members adjacent instead of id-random.
 DEFAULT_MAX_BUCKET = 256
+# neighbors each hot-bucket member is paired with in the chain fallback
+CHAIN_WINDOW = 4
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -149,15 +160,25 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 
 def _band_candidates(banded: DataFrame, *, keys: tuple[str, ...] = ("band", "bh"),
                      extra: tuple[str, ...] = (),
-                     max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                     chain_order: str | None = None,
+                     chain_window: int = CHAIN_WINDOW) -> DataFrame:
     """Candidate id pairs from a banded frame (id, *keys, *extra).
 
     Buckets (groups sharing ``keys``) of size <= ``max_bucket`` emit all
-    C(k,2) pairs via the band self-join; larger buckets emit the
-    adjacent chain of their id-sorted members (k-1 pairs) so one hot
-    bucket can never make the stage quadratic.  ``extra`` columns are
-    carried through as ``<c>_a``/``<c>_b`` (e.g. the simhash value for
-    hamming verification).  ``max_bucket=None`` disables the bound.
+    C(k,2) pairs via the band self-join; larger buckets emit WINDOWED
+    CHAIN candidates: each member pairs with its ``chain_window``
+    predecessors in sort order (≤ k·W pairs), so one hot bucket can
+    never make the stage quadratic.  ``chain_order`` picks the sort
+    column (default: id — right when hot buckets are homogeneous dup
+    clusters; pass the sketch value, e.g. ``"simhash"``, to keep
+    sketch-close members adjacent in heterogeneous buckets —
+    sorted-neighborhood à la Manku et al., WWW'07).  NOTE the chain is a
+    recall trade-off, not free: only pairs that VERIFY downstream
+    survive, and non-adjacent similar members of a hot bucket are
+    simply not generated.  ``extra`` columns are carried through as
+    ``<c>_a``/``<c>_b`` (e.g. the simhash value for hamming
+    verification).  ``max_bucket=None`` disables the bound.
     """
     from pyspark.sql import Window
 
@@ -177,15 +198,27 @@ def _band_candidates(banded: DataFrame, *, keys: tuple[str, ...] = ("band", "bh"
     sized = banded.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
     small_pairs = _pairs(sized.filter(F.col("_n") <= max_bucket).drop("_n"))
-    w = Window.partitionBy(*keys).orderBy("id")
+    order_cols = ([F.col(chain_order), F.col("id")] if chain_order
+                  else [F.col("id")])
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    # all chain_window lags in ONE window pass, exploded to pair rows
+    lag_structs = F.array(*[
+        F.struct(F.lag("id", d).over(w).alias("pid"),
+                 *[F.lag(c, d).over(w).alias(f"p_{c}") for c in extra])
+        for d in range(1, chain_window + 1)])
+    swap = F.col("p.pid") > F.col("id")  # normalize to id_a < id_b
+    # window exprs and generators can't share a projection — stage them
     chained = (sized.filter(F.col("_n") > max_bucket)
-               .select("id", *keys, *extra,
-                       F.lag("id").over(w).alias("_prev"),
-                       *[F.lag(c).over(w).alias(f"_prev_{c}") for c in extra])
-               .filter(F.col("_prev").isNotNull())
-               .select(F.col("_prev").alias("id_a"), F.col("id").alias("id_b"),
-                       *[F.col(f"_prev_{c}").alias(f"{c}_a") for c in extra],
-                       *[F.col(c).alias(f"{c}_b") for c in extra]))
+               .select("id", *extra, lag_structs.alias("_lags"))
+               .select("id", *extra, F.explode("_lags").alias("p"))
+               .filter(F.col("p.pid").isNotNull())
+               .select(
+                   F.when(swap, F.col("id")).otherwise(F.col("p.pid")).alias("id_a"),
+                   F.when(swap, F.col("p.pid")).otherwise(F.col("id")).alias("id_b"),
+                   *[F.when(swap, F.col(c)).otherwise(F.col(f"p.p_{c}"))
+                     .alias(f"{c}_a") for c in extra],
+                   *[F.when(swap, F.col(f"p.p_{c}")).otherwise(F.col(c))
+                     .alias(f"{c}_b") for c in extra]))
     return small_pairs.unionByName(chained)
 
 
@@ -236,7 +269,8 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       bands: int = 16, shingle_n: int = 3,
                       verify_threshold: float = 0.5,
                       max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                      block_col: str | None = None) -> DataFrame:
+                      block_col: str | None = None,
+                      audit: dict | None = None) -> DataFrame:
     """Banded-LSH candidate pairs verified by exact shingle Jaccard.
 
     num_perm/bands rows per band; a pair is a candidate iff some band's
@@ -247,6 +281,11 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     ``max_bucket`` bounds hot band buckets (see ``DEFAULT_MAX_BUCKET``);
     ``block_col`` additionally restricts pairs to the same blocking key
     (used by the ``ngram_jaccard_pairs`` big-block fallback).
+
+    ``audit`` (no-silent-caps rule): pass a dict and it gains a LAZY
+    ``"hot_buckets"`` DataFrame — (band keys, bucket_size) of every
+    bucket whose candidates were chain-bounded; count/collect it in run
+    stats to see exactly what the cap touched.
     """
     if num_perm % bands:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm}); "
@@ -268,6 +307,9 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
         banded = banded.join(blocks, "id")
         keys = ("band", "bh", "blk")
+    if audit is not None and max_bucket is not None:
+        audit["hot_buckets"] = hot_band_buckets(banded, keys=keys,
+                                                max_bucket=max_bucket)
     cand = _band_candidates(banded, keys=keys, max_bucket=max_bucket).distinct()
 
     sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"),
@@ -399,7 +441,8 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3,
                   max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                  bits: int = 64, token_hash=None) -> DataFrame:
+                  bits: int = 64, token_hash=None,
+                  audit: dict | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split ``bits`` bits into (max_hamming+1) bands;
@@ -407,7 +450,18 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     band, verify with bit_count(xor).  Hot band buckets are
     chain-bounded via ``max_bucket`` (see ``DEFAULT_MAX_BUCKET``);
     with ``max_bucket=None`` the pigeonhole guarantees EXACT recall,
-    which is what the driver oracle checks against exhaustive pairs."""
+    which is what the driver oracle checks against exhaustive pairs.
+
+    Narrow-band caveat (r2 ADVICE): bands are only bits/(max_hamming+1)
+    wide — 16 bits at 64/3 — so beyond ~2^band_width·max_bucket docs
+    (~16M at the defaults) EVERY bucket is hot and candidates come from
+    the chain fallback.  The chain therefore orders by the full simhash
+    value (``chain_order="simhash"``), keeping hamming-close members
+    adjacent (sorted-neighborhood), so recall degrades gracefully
+    instead of collapsing under an id-random chain; for exact recall at
+    that scale raise ``bits``/``max_bucket`` or partition the corpus.
+    ``audit``: as in ``minhash_lsh_pairs`` — a lazy ``"hot_buckets"``
+    frame of every chain-bounded bucket."""
     n_bands = max_hamming + 1
     width = bits // n_bands
     sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
@@ -422,7 +476,10 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
             F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("bh")))
     banded = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")) \
         .select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    cand = _band_candidates(banded, extra=("simhash",), max_bucket=max_bucket)
+    if audit is not None and max_bucket is not None:
+        audit["hot_buckets"] = hot_band_buckets(banded, max_bucket=max_bucket)
+    cand = _band_candidates(banded, extra=("simhash",), max_bucket=max_bucket,
+                            chain_order="simhash")
     ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)

@@ -60,8 +60,8 @@ def needs_ocr(extracted: DataFrame) -> DataFrame:
 
 
 def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
-                      ocr_stage: Callable[[DataFrame], DataFrame] | None = None
-                      ) -> DataFrame:
+                      ocr_stage: Callable[[DataFrame], DataFrame] | None = None,
+                      cache: list | None = None) -> DataFrame:
     """Apply the second pass and merge — fully lazily (zero jobs here).
 
     ``ocr_stage`` maps a (url, html) DataFrame of failed docs to rows in
@@ -70,6 +70,16 @@ def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
     acceptance rule (>= 4 referee names, app.py:258-260; any goalie
     found, app.py:330-334), implemented by ``ocr_stage.make_ocr_stage``.
     Phase-1 rows are kept for every url the stage stayed silent on.
+    (When phase 1 ran with ``debug=True``, build the stage with
+    ``make_ocr_stage(debug=True)`` — the union requires matching
+    schemas and fails fast at analysis otherwise.)
+
+    ``cache`` (r2 ADVICE): pass a list and the lazily-persisted OCR
+    subset handle is appended to it — the STURDY way to release it
+    (``unpersist_ocr_cache(cache)``).  The handle is also attached to
+    the returned frame as ``_ocr_cache``, but that attribute survives
+    only on the exact returned object: any further transformation
+    returns a new DataFrame without it.
 
     Defaults to a no-op when no stage is given (mirroring app.py:76-77's
     graceful degradation without tesseract).
@@ -94,11 +104,23 @@ def with_ocr_fallback(extracted: DataFrame, documents: DataFrame,
     keep = extracted.join(F.broadcast(ocr_rows.select("url")), "url", "left_anti")
     merged = keep.unionByName(ocr_rows)
     merged._ocr_cache = ocr_rows  # type: ignore[attr-defined]
+    if cache is not None:
+        cache.append(ocr_rows)
     return merged
 
 
-def unpersist_ocr_cache(merged: DataFrame) -> None:
-    """Release the lazily-persisted OCR subset after materializing."""
+def unpersist_ocr_cache(merged) -> None:
+    """Release the lazily-persisted OCR subset after materializing.
+
+    Accepts either the ``cache`` list ``with_ocr_fallback`` filled (the
+    robust handle) or the EXACT DataFrame it returned — a derived frame
+    no longer carries the ``_ocr_cache`` attribute and is a no-op.
+    """
+    if isinstance(merged, list):
+        for frame in merged:
+            frame.unpersist()
+        merged.clear()
+        return
     cache = getattr(merged, "_ocr_cache", None)
     if cache is not None:
         cache.unpersist()

@@ -35,7 +35,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from khl_pdf_ocr_spark.refkernel import pdfops
-from khl_pdf_ocr_spark.schemas import EXTRACT_PA, EXTRACT_SCHEMA
+from khl_pdf_ocr_spark.schemas import (EXTRACT_PA, EXTRACT_PA_DEBUG,
+                                       EXTRACT_SCHEMA, EXTRACT_SCHEMA_DEBUG)
 
 __all__ = ["HAS_OCR_ENGINE", "crop_box", "refs_from_ocr_lines",
            "goalies_from_ocr_lines", "default_engine", "make_ocr_stage"]
@@ -174,7 +175,7 @@ def default_engine(payload: bytes, kind: str) -> list[str]:
 
 def _ocr_document(url: str, payload: bytes,
                   engine: Callable[[bytes, str], list[str]],
-                  mode: str = "all") -> dict | None:
+                  mode: str = "all", debug: bool = False) -> dict | None:
     """Text-layer re-extract + OCR fallbacks for one failed document.
 
     Returns the improved result dict, or None when OCR did not improve
@@ -187,10 +188,15 @@ def _ocr_document(url: str, payload: bytes,
     the same engine tag / result shape as every other row: refs OCR runs
     for modes all|refs (app.py:240), goalie OCR for all|gk|goalies
     (app.py:311).
+
+    ``debug=True`` threads the reference's debug=1 flag: the text-layer
+    ``_debug`` dict (per-mode, refkernel.extract_document) is merged
+    with the OCR-path notes (ocr_ref_line app.py:263-267, fallback tag
+    app.py:335, ocr_error) and lands in result_json + debug_json.
     """
     from khl_pdf_ocr_spark.refkernel.kernel import extract_document
 
-    res = extract_document(url, payload, mode=mode)
+    res = extract_document(url, payload, mode=mode, debug=debug)
     if not res["ok"]:
         return None
     improved = False
@@ -222,20 +228,31 @@ def _ocr_document(url: str, payload: bytes,
     if not improved:
         return None
     res["detail"] = "ocr_improved"
+    if debug:
+        merged = dict(res.get("_debug") or {})
+        merged.update(dbg)
+        res["_debug"] = merged
     return res
 
 
 def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
-                   mode: str = "all") -> Callable[[DataFrame], DataFrame]:
+                   mode: str = "all", debug: bool = False
+                   ) -> Callable[[DataFrame], DataFrame]:
     """Build the phase-2 stage: (url, html) of failed docs → improved
     rows in the extraction schema (``with_ocr_fallback``-compatible).
 
     ``engine(payload, kind) -> list[str]`` rasterizes page 0, crops the
     named region (``crop_box``) and OCRs it; defaults to the real
-    tesseract engine when the optional deps exist.  ``mode`` must match
-    the phase-1 job mode (engine tag / result-shape consistency).
+    tesseract engine when the optional deps exist.  ``mode`` and
+    ``debug`` must match the phase-1 job flags: the engine tag / result
+    shape must be row-compatible, and ``debug=True`` emits the debug
+    schema (+``debug_json``) so the fallback merge unions cleanly with a
+    ``extract_documents(debug=True)`` phase 1.
     """
+    import json
+
     eng = engine if engine is not None else default_engine
+    pa_schema = EXTRACT_PA_DEBUG if debug else EXTRACT_PA
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from khl_pdf_ocr_spark.operators.ocr_stage import release_raster_memo
@@ -247,11 +264,11 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
             rows: list[dict[str, Any]] = []
             for url, payload in zip(urls, payloads):
                 res = _ocr_document(url, bytes(payload) if payload is not None
-                                    else b"", eng, mode=mode)
+                                    else b"", eng, mode=mode, debug=debug)
                 if res is None:
                     continue
                 text = res["extracted_text"]
-                rows.append({
+                row: dict[str, Any] = {
                     "url": url, "ok": res["ok"], "engine": res["engine"],
                     "error": res["error"], "detail": res["detail"],
                     "extracted_text": text,
@@ -261,14 +278,19 @@ def make_ocr_stage(engine: Callable[[bytes, str], list[str]] | None = None,
                     "n_bytes": len(payload) if payload is not None else 0,
                     "n_lines": (text.count("\n") + 1) if text else 0,
                     "kernel_us": 0,
-                })
+                }
+                if debug:
+                    row["debug_json"] = json.dumps(res.get("_debug", {}),
+                                                   ensure_ascii=False)
+                rows.append(row)
             # release the one-slot raster memo (payload + ~26 MB 300 dpi
             # RGB raster) so long-lived workers don't pin dead memory
             # between OCR batches
             release_raster_memo()
-            yield pa.RecordBatch.from_pylist(rows, schema=EXTRACT_PA)
+            yield pa.RecordBatch.from_pylist(rows, schema=pa_schema)
 
     def stage(failed_docs: DataFrame) -> DataFrame:
-        return failed_docs.select("url", "html").mapInArrow(kernel, EXTRACT_SCHEMA)
+        return failed_docs.select("url", "html").mapInArrow(
+            kernel, EXTRACT_SCHEMA_DEBUG if debug else EXTRACT_SCHEMA)
 
     return stage

@@ -52,6 +52,20 @@ def _query_lit(query_vec) -> Column:
     return F.array(*[F.lit(float(v)) for v in query_vec])
 
 
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding width WITHOUT running a job: explicit argument → column
+    metadata key ``"dim"`` → error (plan construction must stay lazy)."""
+    if dim is None:
+        md = df.schema[vec_col].metadata or {}
+        dim = md.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"embedding dimension unknown: pass dim= explicitly or attach "
+            f"metadata {{'dim': N}} to column {vec_col!r} (plan construction "
+            "must stay lazy — no probe job is run)")
+    return int(dim)
+
+
 def cosine_topk(df: DataFrame, query_vec, k: int = 10, *,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine similarity; deterministic tie-break on id."""
@@ -109,7 +123,8 @@ def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, *, nbits: int = 12,
 
 def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10,
                        seed: int = 42, vec_col: str = "embedding",
-                       id_col: str = "vec_id", dim: int | None = None) -> DataFrame:
+                       id_col: str = "vec_id", dim: int | None = None,
+                       block_col: str | None = None) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates share an LSH bucket
     (random-hyperplane signs), then exact cosine verification.
 
@@ -122,23 +137,24 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9, *, nbits: int = 10
     explicit argument → column metadata key ``"dim"`` → error.  A hidden
     ``df.first()`` probe here would execute the upstream plan at
     composition time — at 100 TB that is a full-scan surprise.
+
+    ``block_col`` (optional) additionally restricts pairs to the same
+    blocking key — used by ``embedding_near_dup_pairs``'s oversized-block
+    fallback so routed blocks keep the same-block semantics.
     """
-    if dim is None:
-        md = df.schema[vec_col].metadata or {}
-        dim = md.get("dim")
-    if dim is None:
-        raise ValueError(
-            f"embedding dimension unknown: pass dim= explicitly or attach "
-            f"metadata {{'dim': N}} to column {vec_col!r} (plan construction "
-            "must stay lazy — no probe job is run)")
-    dim = int(dim)
+    dim = _resolve_dim(df, vec_col, dim)
     planes = hyperplanes(dim, nbits, seed)
-    b = with_lsh_bucket(df.select(F.col(id_col).alias("id"),
-                                  F.col(vec_col).alias("v")), planes, "v")
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    b = with_lsh_bucket(df.select(*cols), planes, "v")
     l, r = b.alias("l"), b.alias("r")
+    cond = (F.col("l.lsh_bucket") == F.col("r.lsh_bucket")) \
+        & (F.col("l.id") < F.col("r.id"))
+    if block_col is not None:
+        cond = cond & (F.col("l.blk") == F.col("r.blk"))
     sim = round_half_up(cosine(F.col("l.v"), F.col("r.v")), 6)
-    return (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
-                   & (F.col("l.id") < F.col("r.id")))
+    return (l.join(r, cond)
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                     sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
@@ -191,13 +207,48 @@ def ivf_ann_topk(df: DataFrame, query_vec, k: int = 10, *, n_centroids: int = 16
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
                              vec_col: str = "embedding", id_col: str = "vec_id",
-                             block_col: str = "label") -> DataFrame:
-    """Embedding-cosine near-dup pairs within a blocking key."""
+                             block_col: str = "label",
+                             max_block: int | None = 10_000,
+                             nbits: int = 10, seed: int = 42,
+                             dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key.
+
+    A block of k rows yields k(k-1)/2 comparisons in one shuffle
+    partition, so one hot blocking value at 100 TB makes the stage
+    quadratic.  Blocks larger than ``max_block`` are therefore routed
+    through ``lsh_near_dup_pairs`` (bucketed candidates + exact cosine
+    verification, restricted to the same block), exactly like
+    ``dedup.ngram_jaccard_pairs``'s big-block fallback — candidate
+    *generation* switches from all-pairs to LSH banding on precisely the
+    blocks where all-pairs is unpayable.  ``max_block=None`` disables
+    the guard (and then ``dim`` is not needed).
+    """
     base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                      F.col(vec_col).alias("v"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        # dim is resolved eagerly (metadata/arg only — no probe job):
+        # the LSH branch is part of the lazy plan whether or not any
+        # block actually exceeds the bound at runtime
+        dim = _resolve_dim(df, vec_col, dim)
+        sized = df.withColumn(
+            "_blk_n", F.count(F.lit(1)).over(
+                Window.partitionBy(F.col(block_col))))
+        big_rows = sized.filter(F.col("_blk_n") > max_block).drop("_blk_n")
+        small_ids = sized.filter(F.col("_blk_n") <= max_block) \
+                         .select(F.col(id_col).alias("id"))
+        base = base.join(small_ids, "id", "left_semi")
+        big_pairs = lsh_near_dup_pairs(
+            big_rows, threshold=threshold, nbits=nbits, seed=seed,
+            vec_col=vec_col, id_col=id_col, dim=dim, block_col=block_col)
     a, b = base.alias("a"), base.alias("b")
     sim = round_half_up(cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    sim.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
+    small_pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold))
+    if max_block is not None:
+        return small_pairs.unionByName(big_pairs)
+    return small_pairs

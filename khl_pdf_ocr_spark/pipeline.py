@@ -93,7 +93,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     measured rationale in BENCH.md §4.1.
 
     ``ocr_stage`` (optional): phase-2 callable per ``with_ocr_fallback``;
-    the lazily-persisted OCR subset is released after the write.
+    the lazily-persisted OCR subset is released after the write.  With
+    ``debug=True`` build it as ``make_ocr_stage(debug=True)`` so both
+    phases emit the debug schema — a mismatch fails fast at the merge's
+    unionByName analysis, never silently.
     """
     from khl_pdf_ocr_spark.operators.ocr_fallback import (unpersist_ocr_cache,
                                                           with_ocr_fallback)
@@ -107,9 +110,6 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         # explicit width without salting = plain round-robin rebalance
         docs = docs.repartition(num_partitions)
     out = extract_documents(docs, mode=mode, debug=debug)
-    if ocr_stage is not None and debug:
-        raise ValueError("debug + ocr_stage: the OCR stage emits the "
-                         "non-debug schema; run them separately")
     if ocr_stage is not None and not output_path:
         # un-materialized composition: the caller is responsible for
         # caching phase 1 (its lineage feeds three merge branches)
@@ -130,12 +130,13 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
             phase1_path = os.path.join(output_path, "_phase1")
             out.write.mode("overwrite").parquet(phase1_path)
             phase1 = spark.read.parquet(phase1_path)
+            cache_handles: list = []
             merged = with_ocr_fallback(phase1.drop("partition_id"), docs,
-                                       ocr_stage=ocr_stage)
-            cache_handle = merged
+                                       ocr_stage=ocr_stage,
+                                       cache=cache_handles)
             merged.withColumn("partition_id", F.spark_partition_id()) \
                   .write.mode("overwrite").parquet(data_path)
-            unpersist_ocr_cache(cache_handle)  # deterministic release
+            unpersist_ocr_cache(cache_handles)  # deterministic release
             out = spark.read.parquet(data_path)  # detach from _phase1
             if "://" not in output_path:  # local fs only — shutil can't
                 import shutil             # delete hdfs://-s3a:// URIs

@@ -109,6 +109,55 @@ def test_seeded_kmeans_deterministic():
     assert len(cells) == 2 and cells == nearest_cells([0.0, 0.0, 0.0], a, 2)
 
 
+def test_mllib_centroids_build_ivf(spark, emb, qvec, tmp_path):
+    """The distributed-KMeans training path (the 100 TB story) feeds the
+    SAME index format: build from MLlib centers, query with partition
+    pruning, true top-1 found."""
+    from khl_pdf_ocr_spark.operators.ann_index import mllib_centroids
+
+    cents = mllib_centroids(emb, k=8, seed=42)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # determinism at fixed seed (same data, same session)
+    assert cents == mllib_centroids(emb, k=8, seed=42)
+
+    d = str(tmp_path / "ivf_mllib")
+    build_ivf_index(emb, d, centroids=cents)
+    out = ivf_index_topk(spark, d, qvec, k=5, nprobe=3)
+    pf = partition_filters(out)
+    assert pf and "ivf_cell" in pf[0]
+    rows = out.collect()
+    assert rows and rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+
+
+def test_meta_io_hadoop_scheme(spark, emb, qvec, tmp_path):
+    """meta.json must travel through the Hadoop FileSystem API when the
+    index dir has a scheme (hdfs://, s3a://, …) — exercised here via
+    file:// against LocalFileSystem (r2 ADVICE)."""
+    import json
+    import os
+
+    from khl_pdf_ocr_spark.operators.ann_index import (_read_text,
+                                                       _write_text)
+
+    uri = "file://" + str(tmp_path / "lsh_scheme")
+    build_lsh_index(emb, uri, dim=64, nbits=4, seed=42)
+    # the metadata landed where the parquet did, behind the scheme
+    local_meta = str(tmp_path / "lsh_scheme" / "meta.json")
+    assert os.path.exists(local_meta)
+    with open(local_meta) as f:
+        assert json.load(f)["nbits"] == 4
+    # and the query path reads it back through the same API
+    rows = lsh_index_topk(spark, uri, qvec, k=3).collect()
+    assert rows and rows[0]["vec_id"] == 0
+
+    # round-trip a non-trivial payload (multi-KB — past any single
+    # read() buffer) through the scheme-aware helpers directly
+    blob = json.dumps({"x": list(range(5000))})
+    p = "file://" + str(tmp_path / "roundtrip.json")
+    _write_text(spark, p, blob)
+    assert _read_text(spark, p) == blob
+
+
 def test_lsh_probes_match_bucket_expr(spark, emb, qvec):
     """Driver-side probe bits agree with the JVM bucket expression for
     the query's own (identical) vector — the sequential-fold contract."""

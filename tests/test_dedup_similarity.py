@@ -100,10 +100,50 @@ def test_lsh_ann_contains_true_top1(planted_vecs):
 
 def test_embedding_near_dup_blocked_by_label(planted_vecs):
     pairs = {(r["id_a"], r["id_b"]) for r in
-             embedding_near_dup_pairs(planted_vecs, threshold=0.9).collect()}
+             embedding_near_dup_pairs(planted_vecs, threshold=0.9,
+                                      dim=4).collect()}
     assert (0, 1) in pairs          # same label, cos ≈ 0.994
     assert (3, 5) not in pairs      # same label but cos ≈ 0.74
     assert not any(a == 0 and b == 5 for a, b in pairs)  # cross-label blocked
+
+
+def test_embedding_near_dup_hot_block_guard(spark):
+    """A blocking value larger than max_block must route through the
+    LSH fallback (bounded candidates), not all-pairs — and still find
+    planted near-identical dups inside the hot block."""
+    import random as _random
+
+    rng = _random.Random(11)
+    rows = []
+    # hot label: 24 rows incl. a planted near-identical pair (100, 101)
+    base = [1.0, 0.02, 0.0, 0.0]
+    rows.append((100, base, 0))
+    rows.append((101, [1.0, 0.021, 0.0005, 0.0], 0))  # cos ≈ 1.0 with 100
+    for i in range(22):
+        v = [rng.gauss(0, 1) for _ in range(4)]
+        rows.append((200 + i, v, 0))
+    # cold label: small block, all-pairs path, one planted pair
+    rows.append((300, [0.0, 0.0, 1.0, 0.0], 1))
+    rows.append((301, [0.0, 0.0, 1.0, 0.01], 1))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    out = embedding_near_dup_pairs(df, threshold=0.98, max_block=8,
+                                   nbits=2, dim=4)
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    assert (100, 101) in pairs      # hot block, found via LSH fallback
+    assert (300, 301) in pairs      # cold block, exact all-pairs
+    assert all(v >= 0.98 for v in pairs.values())  # verification exact
+    # same-block restriction holds on the routed path too
+    assert not any((a < 300) != (b < 300) for a, b in pairs)
+
+    # the guard requires a lazily-resolvable dim
+    with pytest.raises(ValueError, match="dimension unknown"):
+        embedding_near_dup_pairs(df, threshold=0.9, max_block=8)
+    # guard off → no dim needed (legacy all-pairs behavior)
+    legacy = {(r["id_a"], r["id_b"]) for r in
+              embedding_near_dup_pairs(df, threshold=0.98,
+                                       max_block=None).collect()}
+    assert (100, 101) in legacy and (300, 301) in legacy
 
 
 def test_dedup_single_shuffle_plan(planted_docs):

@@ -9,12 +9,15 @@ from __future__ import annotations
 
 import pytest
 
-from khl_pdf_ocr_spark.operators.dedup import (hot_band_buckets,
+from khl_pdf_ocr_spark.operators.dedup import (CHAIN_WINDOW, hot_band_buckets,
                                                minhash_lsh_pairs,
                                                ngram_jaccard_pairs,
                                                simhash_pairs)
 
 N_CLUMP = 300  # > DEFAULT_MAX_BUCKET=256 → the chain bound must engage
+
+# windowed chain over k id-sorted members: sum_{d=1..W} (k-d) pairs
+N_CHAIN = CHAIN_WINDOW * N_CLUMP - CHAIN_WINDOW * (CHAIN_WINDOW + 1) // 2
 
 
 @pytest.fixture(scope="module")
@@ -29,16 +32,22 @@ def clumped_docs(spark):
 
 
 def test_minhash_hot_bucket_is_chain_bounded(clumped_docs):
-    pairs = minhash_lsh_pairs(clumped_docs, verify_threshold=0.9).collect()
+    audit: dict = {}
+    pairs = minhash_lsh_pairs(clumped_docs, verify_threshold=0.9,
+                              audit=audit).collect()
     clump = [(r["id_a"], r["id_b"]) for r in pairs
              if r["id_a"] < N_CLUMP and r["id_b"] < N_CLUMP]
     # all-pairs would be C(300,2) = 44_850; the chain bound emits the
-    # adjacent chain instead
-    assert len(clump) == N_CLUMP - 1
+    # windowed chain (each member + its CHAIN_WINDOW predecessors)
+    assert len(clump) == N_CHAIN
     assert all(r["jaccard"] == 1.0 for r in pairs if r["id_a"] < N_CLUMP)
     # connected-component property: every clump member still linked
+    # (adjacent members verify pairwise here — identical docs)
     linked = {i for p in clump for i in p}
     assert linked == set(range(N_CLUMP))
+    # no-silent-caps: the audit hook exposes what was chain-bounded
+    hot = audit["hot_buckets"].collect()
+    assert hot and all(r["bucket_size"] == N_CLUMP for r in hot)
 
 
 def test_minhash_unbounded_mode_still_available(clumped_docs):
@@ -65,8 +74,32 @@ def test_simhash_hot_bucket_is_chain_bounded(clumped_docs):
     pairs = simhash_pairs(clumped_docs, max_hamming=3).collect()
     clump = [(r["id_a"], r["id_b"]) for r in pairs
              if r["id_a"] < N_CLUMP and r["id_b"] < N_CLUMP]
-    assert len(clump) == N_CLUMP - 1  # chain, not C(300,2)
+    assert len(clump) == N_CHAIN  # windowed chain, not C(300,2)
     assert all(r["hamming"] == 0 for r in pairs if r["id_a"] < N_CLUMP)
+
+
+def test_simhash_chain_orders_by_simhash(spark):
+    """Heterogeneous hot bucket: the chain sorts by the sketch value, so
+    a hamming-close planted pair with far-apart ids is still adjacent
+    and survives — an id-ordered chain would interleave the noise docs
+    between them and (usually) miss the pair."""
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.operators.dedup import _band_candidates
+
+    # one bucket; simhash values: pair (0, 999) differ in 1 bit; the
+    # rest are spread far away.  ids interleave the pair to the extremes.
+    rows = [(0, 1 << 40), (999, (1 << 40) | 1)]
+    rows += [(i, (1 << 50) + i * 7919) for i in range(1, 11)]
+    banded = spark.createDataFrame(
+        [(i, 0, 0, s) for i, s in rows], ["id", "band", "bh", "simhash"])
+    cand = _band_candidates(banded, extra=("simhash",), max_bucket=4,
+                            chain_order="simhash")
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 999) in got  # adjacent in simhash order despite id gap
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    close = cand.withColumn("h", ham).filter("h <= 3").collect()
+    assert {(r["id_a"], r["id_b"]) for r in close} == {(0, 999)}
 
 
 def test_ngram_big_block_routes_through_lsh(spark):

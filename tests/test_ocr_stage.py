@@ -223,6 +223,57 @@ def test_ocr_stage_mode_threading(spark, fixture_tables):
         unpersist_ocr_cache(merged)
 
 
+def test_debug_ocr_unified_schema(spark, fixture_tables, tmp_path):
+    """debug=True + OCR fallback in ONE job (r2 verdict #8 — this used
+    to raise): both phases emit the debug schema, OCR rows carry the
+    merged _debug (text-layer flags + OCR-path notes) in debug_json and
+    result_json."""
+    import json
+    import os
+
+    from khl_pdf_ocr_spark.pipeline import run_extraction
+
+    docs_path, _ = fixture_tables
+    out_dir = str(tmp_path / "dbgocr")
+    _, stats = run_extraction(
+        spark, docs_path, out_dir, debug=True,
+        ocr_stage=make_ocr_stage(_make_fake_engine(), debug=True))
+    assert stats["n_docs"] == 200
+    res = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert "debug_json" in res.columns
+    improved = res.filter(F.col("detail") == "ocr_improved")
+    assert improved.count() > 0
+    row = improved.filter(
+        F.col("debug_json").contains("ocr_ref_line")).first()
+    assert row is not None
+    dbg = json.loads(row["debug_json"])
+    assert dbg["ocr_ref_line"] == REF_OCR_LINES[2]
+    assert "has_tesseract" in dbg  # text-layer mode-all flag survives
+    assert json.loads(row["result_json"])["_debug"] == dbg
+    # phase-1 rows kept their debug column too
+    assert res.filter(F.col("debug_json").isNull()).count() == 0
+
+
+def test_unpersist_ocr_cache_list_handle(spark, phase1):
+    """The explicit cache-list handle releases the persisted OCR subset
+    even when the caller only holds a DERIVED frame (r2 ADVICE — the
+    attribute handoff dies on any transformation)."""
+    docs, out = phase1
+    handles: list = []
+    merged = with_ocr_fallback(out, docs,
+                               ocr_stage=make_ocr_stage(_make_fake_engine()),
+                               cache=handles)
+    assert len(handles) == 1
+    derived = merged.filter(F.col("ok"))          # attribute lost here
+    assert getattr(derived, "_ocr_cache", None) is None
+    derived.count()
+    ocr_rows = handles[0]
+    assert ocr_rows.storageLevel.useMemory        # persisted by the action
+    unpersist_ocr_cache(handles)
+    assert not ocr_rows.storageLevel.useMemory    # released via the list
+    assert handles == []
+
+
 def test_run_extraction_ocr_write_first(spark, fixture_tables, tmp_path):
     """The OCR-integrated job writes phase 1 first and merges from the
     read-back (no double extraction), releases the phase-2 cache, and
