@@ -835,17 +835,26 @@ def _sql_arr(vals) -> str:
     return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
 
 
-def _sql_dot(vec: str, arr_sql: str, dim: int) -> str:
-    """Sequential left-fold dot product — bitwise-identical to Spark's
-    ``F.aggregate(F.zip_with(...))`` fold (both are ((p1+p2)+p3)+…)."""
-    return (f"list_reduce(list_transform(range(1,{dim + 1}), "
-            f"i -> {vec}[i]::DOUBLE * ({arr_sql})[i]), (a,b) -> a + b)")
+def _sql_dot(vec: str, arr: list[float]) -> str:
+    """Sequential left-fold dot product as an UNROLLED expression chain
+    — SQL ``+`` is left-associative, so ``(t1+t2)+t3+…`` is the same
+    addition order as Spark's ``F.aggregate(F.zip_with(...))`` fold
+    (whose 0.0 seed is an IEEE no-op: ``0.0 + t1 == t1`` — squares and
+    products of finite doubles never produce -0.0 sums here), hence
+    bitwise-identical doubles → identical sign bits / argmins.
+    Unrolled instead of ``list_reduce`` because DuckDB interprets
+    lambdas per element (r2: the IVF oracle alone cost 33 s at sf0.01;
+    unrolling is ~20×)."""
+    return "(" + " + ".join(
+        f"{vec}[{i + 1}]::DOUBLE * {float(v)!r}::DOUBLE"
+        for i, v in enumerate(arr)) + ")"
 
 
-def _sql_dist2(vec: str, arr_sql: str, dim: int) -> str:
-    return (f"list_reduce(list_transform(range(1,{dim + 1}), "
-            f"i -> ({vec}[i]::DOUBLE - ({arr_sql})[i]) * "
-            f"({vec}[i]::DOUBLE - ({arr_sql})[i])), (a,b) -> a + b)")
+def _sql_dist2(vec: str, arr: list[float]) -> str:
+    return "(" + " + ".join(
+        f"({vec}[{i + 1}]::DOUBLE - {float(v)!r}::DOUBLE) * "
+        f"({vec}[{i + 1}]::DOUBLE - {float(v)!r}::DOUBLE)"
+        for i, v in enumerate(arr)) + ")"
 
 
 def _sql_quality_parts(col: str) -> str:
@@ -878,6 +887,43 @@ _SHINGLES = (
     "case when len(_toks) >= 3 then list_distinct(list_transform("
     "range(1, len(_toks)-1), i -> array_to_string(_toks[i:i+2], ' '))) "
     "else [array_to_string(_toks, ' ')] end")
+
+
+def _sql_jaccard_pair_ctes(src: str, block: str | None = None) -> str:
+    """CTE chain computing exact shingle-Jaccard candidate pairs from
+    relation ``src`` (doc_id, text[, block]) via an EXPLODED shingle
+    hash-join — |A∩B| as a grouped count, |A∪B| as |A|+|B|-|A∩B| (the
+    shingle lists are sets: list_distinct).  Same integers → same
+    division → same doubles as the list_intersect formulation, but the
+    n² list-vs-list intersections become one hash join (r2: each
+    all-pairs oracle cost ~9.5 s at sf0.01; this is ~6×).  Pairs with
+    zero intersection are absent — fine for every ≥ threshold > 0 use.
+    Emits CTE bodies ``jt, js, jns, jx, jc``; compose the final
+    jaccard/threshold SELECT over ``jc`` + ``jns``.
+    """
+    blk = f", {block}" if block else ""
+    blk_eq = f" AND a.{block} = b.{block}" if block else ""
+    return f"""jt AS (
+          SELECT doc_id{blk}, regexp_split_to_array({_NORM}, '\\s+') AS _toks
+          FROM {src}
+        ), js AS MATERIALIZED (
+          SELECT doc_id{blk}, {_SHINGLES} AS sh FROM jt
+        ), jns AS MATERIALIZED (
+          SELECT doc_id, len(sh) AS n FROM js
+        ), jx AS (
+          SELECT doc_id{blk}, unnest(sh) AS g FROM js
+        ), jc AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM jx a JOIN jx b ON a.g = b.g AND a.doc_id < b.doc_id{blk_eq}
+          GROUP BY 1, 2
+        )"""
+
+
+_SQL_JACCARD = ("floor((jc.c::double / (na.n + nb.n - jc.c)::double) "
+                "* 1000000.0 + 0.5) / 1000000.0")
+_SQL_JACC_TAIL = """
+        FROM jc JOIN jns na ON na.doc_id = jc.id_a
+                JOIN jns nb ON nb.doc_id = jc.id_b"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1071,19 +1117,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["doc_ngram_jaccard_pairs"] = f"""
-        WITH t AS (
-          SELECT doc_id, source,
-                 regexp_split_to_array({_NORM}, '\\s+') AS _toks
-          FROM documents
-        ), s AS (
-          SELECT doc_id, source, {_SHINGLES} AS sh FROM t
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               floor((len(list_intersect(a.sh, b.sh))::double
-                     / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE floor((len(list_intersect(a.sh, b.sh))::double
-              / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 >= 0.05
+        WITH {_sql_jaccard_pair_ctes('documents', block='source')}
+        SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
+        WHERE {_SQL_JACCARD} >= 0.05
     """
 
     o["emb_cosine_topk"] = """
@@ -1224,18 +1260,9 @@ def oracle_sql() -> dict[str, str]:
     # the fixed seed (miss probability (1-0.9^4)^16 ≈ 4e-8; equality is
     # deterministic and re-verified by the driver every round).
     o["doc_minhash_lsh_pairs"] = f"""
-        WITH t AS (
-          SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS _toks
-          FROM documents
-        ), s AS (
-          SELECT doc_id, {_SHINGLES} AS sh FROM t
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               floor((len(list_intersect(a.sh, b.sh))::double
-                     / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE floor((len(list_intersect(a.sh, b.sh))::double
-              / len(list_distinct(list_concat(a.sh, b.sh)))::double) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+        WITH {_sql_jaccard_pair_ctes('documents')}
+        SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
+        WHERE {_SQL_JACCARD} >= 0.3
     """
 
     # --- winnowing fingerprints: full recomputation (k=7, w=4) --------------
@@ -1266,18 +1293,10 @@ def oracle_sql() -> dict[str, str]:
 
     # --- near-dup components: recursive-CTE transitive closure --------------
     o["doc_near_dup_components"] = f"""
-        WITH RECURSIVE t AS (
-          SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS _toks
-          FROM documents
-        ), s AS (
-          SELECT doc_id, {_SHINGLES} AS sh FROM t
-        ), p AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE floor((len(list_intersect(a.sh, b.sh))::double
-                / len(list_distinct(list_concat(a.sh, b.sh)))::double)
-                * 1000000.0 + 0.5) / 1000000.0 >= 0.3
-        ), e AS (
+        WITH RECURSIVE {_sql_jaccard_pair_ctes('documents')}, p AS MATERIALIZED (
+          SELECT id_a, id_b{_SQL_JACC_TAIL}
+          WHERE {_SQL_JACCARD} >= 0.3
+        ), e AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM p
           UNION SELECT id_b, id_a FROM p
         ), reach(id, lbl) AS (
@@ -1310,7 +1329,7 @@ def oracle_sql() -> dict[str, str]:
                                   i -> unicode(tok[i])::BIGINT)),
                    (a,b) -> (a * 131 + b) % 2147483647) AS h
           FROM toks
-        ), sh AS (
+        ), sh AS MATERIALIZED (
           SELECT doc_id, ({_packed31})::BIGINT AS simhash
           FROM th GROUP BY doc_id
         )
@@ -1337,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         planes = hyperplanes(dim, ANN_NBITS, ANN_SEED)
         probes = lsh_probes(qv, planes)
         bucket_expr = " + ".join(
-            f"(CASE WHEN {_sql_dot('embedding', _sql_arr(p), dim)} >= 0 "
+            f"(CASE WHEN {_sql_dot('embedding', p)} >= 0 "
             f"THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes))
         o["emb_ann_lsh_topk"] = f"""
             WITH b AS (
@@ -1356,7 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         cents = _ivf_centroids(ORACLE_SF_DIR)
         cells = nearest_cells(qv, cents, ANN_NPROBE)
         dist_list = "[" + ", ".join(
-            _sql_dist2("embedding", _sql_arr(c), dim) for c in cents) + "]"
+            _sql_dist2("embedding", c) for c in cents) + "]"
         o["emb_ann_ivf_topk"] = f"""
             WITH d AS (
               SELECT vec_id, embedding, {dist_list} AS dists
@@ -1422,41 +1441,34 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text, {_sql_lang("coalesce(text,'')")} AS _lang,
                  {_sql_quality_parts("coalesce(text,'')")}
           FROM documents
-        ), q AS (
+        ), q AS MATERIALIZED (
           SELECT doc_id, text, _lang, {_SQL_QUALITY} AS _q FROM scored
         ),
         lang_bad AS (
           SELECT doc_id AS id, 'lang' AS reject_reason FROM q
           WHERE _lang NOT IN ('en', 'ru', 'other')
         ),
-        stage1 AS (SELECT * FROM q WHERE _lang IN ('en', 'ru', 'other')),
+        stage1 AS MATERIALIZED (SELECT * FROM q WHERE _lang IN ('en', 'ru', 'other')),
         q_bad AS (
           SELECT doc_id AS id, 'quality' AS reject_reason FROM stage1
           WHERE _q < 0.3 OR _q IS NULL
         ),
-        stage2 AS (SELECT * FROM stage1 WHERE _q >= 0.3),
-        keeps AS (
+        stage2 AS MATERIALIZED (SELECT * FROM stage1 WHERE _q >= 0.3),
+        keeps AS MATERIALIZED (
           SELECT min(doc_id) AS keep_id FROM stage2 GROUP BY md5({_NORM})
         ),
         exact_bad AS (
           SELECT doc_id AS id, 'exact_dup' AS reject_reason FROM stage2
           WHERE doc_id NOT IN (SELECT keep_id FROM keeps)
         ),
-        stage3 AS (
+        stage3 AS MATERIALIZED (
           SELECT doc_id, text FROM stage2
           WHERE doc_id IN (SELECT keep_id FROM keeps)
         ),
-        t3 AS (
-          SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS _toks
-          FROM stage3
-        ),
-        sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t3),
+        {_sql_jaccard_pair_ctes('stage3')},
         near_bad AS (
-          SELECT DISTINCT b.doc_id AS id, 'near_dup' AS reject_reason
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE floor((len(list_intersect(a.sh, b.sh))::double
-                / len(list_distinct(list_concat(a.sh, b.sh)))::double)
-                * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+          SELECT DISTINCT id_b AS id, 'near_dup' AS reject_reason{_SQL_JACC_TAIL}
+          WHERE {_SQL_JACCARD} >= 0.5
         )
         SELECT * FROM lang_bad
         UNION ALL SELECT * FROM q_bad

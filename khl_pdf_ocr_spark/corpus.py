@@ -29,12 +29,17 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  allowed_langs: tuple[str, ...] = ("en", "ru"),
                  min_quality: float = 0.4,
                  near_dup_threshold: float = 0.8,
-                 near_dup_policy: str = "pairs") -> tuple[DataFrame, DataFrame]:
+                 near_dup_policy: str = "pairs",
+                 audit: dict | None = None) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept, ledger)``.
 
     ``kept``   — surviving rows of ``df`` (original columns).
     ``ledger`` — (id, reject_reason) for every dropped row:
                  lang | quality | exact_dup | near_dup.
+    ``audit``  — optional dict; gains the near-dup stage's lazy
+                 ``"hot_buckets"`` frame (band buckets whose candidate
+                 generation was chain-bounded — the no-silent-caps
+                 audit; count it into run stats).
 
     ``near_dup_policy``:
     - ``"pairs"`` (default): drop ``id_b`` of every confirmed pair.
@@ -74,7 +79,8 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     stage3 = stage2.join(keep_ids, id_col, "left_semi")
 
     pairs = minhash_lsh_pairs(stage3, text_col=text_col, id_col=id_col,
-                              verify_threshold=near_dup_threshold)
+                              verify_threshold=near_dup_threshold,
+                              audit=audit)
     if near_dup_policy == "components":
         from khl_pdf_ocr_spark.operators.dedup import connected_components
 

@@ -103,3 +103,17 @@ def test_dedup_plans_never_go_quadratic(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_guard_plan_never_goes_quadratic(spark):
+    """The guarded embedding near-dup plan (all-pairs small blocks +
+    LSH-routed big blocks) must stay equi-join everywhere."""
+    from khl_pdf_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0], i % 2) for i in range(8)],
+        ["vec_id", "embedding", "label"])
+    df = embedding_near_dup_pairs(emb, threshold=0.9, max_block=3, dim=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
