@@ -12,7 +12,9 @@
   prunes to ~nbits+1 bucket PARTITIONS instead of scanning every
   vector (plan-asserted in tests/test_ann_index.py).
 - ``embedding_near_dup_pairs`` — pairwise cosine near-dups within a
-  blocking key (label), for embedding-level corpus dedup.
+  blocking key (label), for embedding-level corpus dedup; blocks above
+  ``max_block`` route through the LSH path (bounded candidates) so one
+  hot blocking value can never make the stage quadratic.
 """
 
 from __future__ import annotations
