@@ -582,13 +582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_text_analytics(spark, sf_dir):
         # the full per-document text-analytics pass in one query
-        # (token counts + stopwords + quality score + language ID —
-        # consolidated from three round-2 queries per the verdict's
-        # 50-query-window budget; every column stays hash-gated)
+        # (whitespace + BPE-ish token counts, stopwords, quality score,
+        # language ID — consolidated from three round-2 queries per the
+        # verdict's 50-query-window budget; every column stays
+        # hash-gated)
         docs = spark.read.parquet(_t(sf_dir, "documents"))
         c = F.col("text")
         return docs.select("doc_id",
                            X.token_count(c).cast("long").alias("n_tokens"),
+                           X.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
                            X.stopword_count(c).cast("long").alias("n_stopwords"),
                            X.quality_score(c).alias("quality"),
                            X.lang_id(c).alias("lang_pred"))
@@ -1067,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id,
                n_tok AS n_tokens,
+               len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS n_bpe_tokens,
                n_sw AS n_stopwords,
                {_SQL_QUALITY} AS quality,
                {_sql_lang('text')} AS lang_pred

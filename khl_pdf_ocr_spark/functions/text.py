@@ -11,9 +11,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["EN_STOPWORDS", "STOPWORD_RE", "PUNCT_RE", "DIGIT_RE", "CYRILLIC_RE",
-           "tokens", "token_count", "stopword_count", "punct_count",
-           "digit_count", "cyrillic_count", "quality_score", "lang_id",
-           "normalized_text", "fingerprint", "with_winnow_fingerprint"]
+           "BPE_TOKEN_RE", "tokens", "token_count", "stopword_count",
+           "punct_count", "digit_count", "cyrillic_count", "bpe_token_count",
+           "quality_score", "lang_id", "normalized_text", "fingerprint",
+           "with_winnow_fingerprint"]
 
 # tiny, fixed stopword list — a deterministic heuristic, not linguistics
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -22,6 +23,18 @@ PUNCT_RE = r"[.,!?;:]"
 DIGIT_RE = r"[0-9]"
 CYRILLIC_RE = r"[а-яёА-ЯЁ]"
 WS_SPLIT_RE = r"\s+"
+# GPT-2-style pre-tokenizer shape (letter runs / digit runs / symbol
+# runs, each absorbing one leading space), restricted to constructs
+# both engines implement identically: NO lookahead (DuckDB's RE2 has
+# none), explicit character classes instead of \p{L}/\s (Java and RE2
+# disagree at the edges of Unicode properties and \s).  The alternation
+# branches are first-character-disjoint after the optional space, so
+# Java's leftmost-first and RE2's leftmost-first agree on every match
+# boundary; whitespace runs are separators, never tokens.
+_LETTER = "A-Za-zА-Яа-яЁё"
+BPE_TOKEN_RE = (f" ?[{_LETTER}]+"
+                f"| ?[0-9]+"
+                f"| ?[^ \\t\\n\\r{_LETTER}0-9]+")
 
 
 def tokens(col: Column) -> Column:
@@ -51,6 +64,16 @@ def digit_count(col: Column) -> Column:
 
 def cyrillic_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(CYRILLIC_RE))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: matches of the GPT-2-shaped
+    pre-tokenizer regex (``BPE_TOKEN_RE``) — the cheap LLM-budget
+    estimator of a training-data pipeline (whitespace tokens
+    under-count CJK-free web text by ~1.3-1.5× vs BPE; counting
+    letter/digit/symbol runs tracks real tokenizers far closer while
+    staying a single vectorized JVM regex pass).  NULL for NULL."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
 def quality_score(col: Column) -> Column:

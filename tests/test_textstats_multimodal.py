@@ -125,6 +125,36 @@ def test_real_decode_non_ppm_still_explicitly_stubbed():
         _decode_image_stub(b"\x89PNG\r\n", real_decode=True)
 
 
+def test_bpe_token_count_cross_engine(spark):
+    """The BPE-ish pre-tokenizer count must agree between Java regex
+    (Spark) and RE2 (DuckDB) on every boundary case — the regex is
+    deliberately restricted to lookahead-free, explicit-class
+    constructs where the two engines' leftmost-first semantics
+    coincide."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.functions.text import (BPE_TOKEN_RE,
+                                                  bpe_token_count)
+
+    cases = ["hello world", "  doubled  spaces ", "a1b2",
+             "привет мир 42!", "x--y,,z", "", "   ",
+             "tab\there\nnewline\r", "ёжик Ёж", "mixed 123abc !!",
+             "a", " ", "...", "42", "word 'quoted' (paren)"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "t"])
+    got = {r["i"]: r["n"] for r in
+           df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        want = con.execute("SELECT len(regexp_extract_all(?, ?))",
+                           [c, BPE_TOKEN_RE]).fetchone()[0]
+        assert got[i] == want, (c, got[i], want)
+    # sanity: sub-word counts exceed whitespace counts on symbol-mixed text
+    assert got[4] == 5   # x--y,,z → x, --, y, ,,, z
+    assert got[14] == 7  # word, ', quoted, ', (, paren, )
+
+
 def test_winnow_fingerprint_edit_robustness(spark):
     """Winnowing property: a local edit changes only the fingerprints
     near the edit; a position shift (prefix insertion) preserves most of
