@@ -1,13 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed by Arrow-batched kernels.
 
-The decode libraries (Pillow/ffmpeg/soundfile) are NOT in this
-container, so the decode step is STUBBED (clearly-marked deterministic
-fake, or NotImplementedError when a real decode is demanded).  What IS
-real and tested: the schema, the mapInPandas batch shape, the
-partitioning behavior, and the feature-extraction contract — the parts
-Spark owns.  Swapping the fake for a real decoder touches exactly one
-function (``_decode_image_stub``).
+Real where dependency-free decode exists, stubbed-and-gated elsewhere:
+
+- image: REAL decode + average-hash + box resize for binary PPM (P6);
+  other formats need Pillow/libvips (absent here) → explicit
+  ``NotImplementedError`` / error rows, never silent fakes on the real
+  path (the default sha256 fake exists only to keep the Spark plumbing
+  testable and oracle-checkable);
+- audio: FULLY REAL — PCM WAV decodes via stdlib ``wave``; duration /
+  RMS / peak / zero-crossing features need no external codec;
+- video: frame-sample planning is real; frame decode needs ffmpeg →
+  stubbed.
+
+What is always real and tested: the schema, the mapInPandas batch
+shape, the partitioning behavior, and the error-envelope contract —
+the parts Spark owns.  Swapping a stub for a production decoder
+touches exactly one bytes-in function per modality.
 """
 
 from __future__ import annotations
@@ -19,8 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "image_features",
-           "frame_sample_plan", "decode_ppm"]
+__all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
+           "RESIZED_SCHEMA", "image_features", "audio_features",
+           "resize_images", "frame_sample_plan", "decode_ppm", "decode_wav",
+           "resize_ppm"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
@@ -40,6 +51,25 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("phash", T.StringType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
+])
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+    T.StructField("zero_cross_rate", T.DoubleType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),   # resized P6 PPM
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("error", T.StringType(), True),
 ])
 
 
@@ -153,6 +183,132 @@ def image_features(df: DataFrame, *, payload_col: str = "payload",
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real box-sampled (area-average) resize of a binary PPM (P6) —
+    the dependency-free raster twin of a Pillow ``resize(..., BOX)``.
+    Per target pixel: mean of its source box per channel.  Returns a
+    new P6 payload; production swaps Pillow/libvips behind the same
+    bytes→bytes signature."""
+    w, h, pixels = decode_ppm(payload)
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    out = bytearray()
+    for gy in range(target_h):
+        y0, y1 = gy * h // target_h, max((gy + 1) * h // target_h, gy * h // target_h + 1)
+        for gx in range(target_w):
+            x0, x1 = gx * w // target_w, max((gx + 1) * w // target_w, gx * w // target_w + 1)
+            tot = [0, 0, 0]
+            cnt = 0
+            for y in range(y0, min(y1, h)):
+                base = (y * w) * 3
+                for x in range(x0, min(x1, w)):
+                    p = base + x * 3
+                    tot[0] += pixels[p]
+                    tot[1] += pixels[p + 1]
+                    tot[2] += pixels[p + 2]
+                    cnt += 1
+            out += bytes((tot[0] // cnt, tot[1] // cnt, tot[2] // cnt)
+                         if cnt else (0, 0, 0))
+    return b"P6\n%d %d\n255\n" % (target_w, target_h) + bytes(out)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int, *,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """mapInPandas resize stage: P6 payloads are REALLY resized
+    (``resize_ppm``); other formats yield an error row (``error``
+    column), never a task failure — the same error-envelope discipline
+    as the extraction kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs, errs = [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(str(mid))
+                try:
+                    rp = resize_ppm(bytes(p) if p is not None else b"",
+                                    target_w, target_h)
+                    payloads.append(rp)
+                    ws.append(target_w)
+                    hs.append(target_h)
+                    errs.append(None)
+                except Exception as e:
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "width": ws, "height": hs, "error": errs})
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def decode_wav(payload: bytes):
+    """Stdlib-real audio decode: PCM WAV via ``wave`` (16-bit int
+    frames).  Returns (sample_rate, n_channels, samples) where samples
+    are interleaved ints — NO external codec needed, so unlike the
+    image stub this path is fully real in this container.  Non-WAV /
+    compressed audio needs ffmpeg/soundfile → ValueError, handled as an
+    error row by ``audio_features``."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, got "
+                             f"{8 * w.getsampwidth()}-bit")
+        rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+        raw = w.readframes(nframes)
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    return rate, nch, samples
+
+
+def audio_features(df: DataFrame, *, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """mapInPandas audio feature extraction over PCM WAV payloads:
+    duration, RMS, peak, zero-crossing rate — the cheap quality/speech
+    signals of an audio-corpus pipeline.  Real decode (stdlib ``wave``);
+    undecodable payloads become error rows."""
+    import math
+
+    def _feats(p) -> dict:
+        rate, nch, samples = decode_wav(bytes(p) if p is not None else b"")
+        n = len(samples)
+        if n == 0:
+            return {"sample_rate": rate, "n_channels": nch, "duration_ms": 0,
+                    "rms": 0.0, "peak": 0, "zero_cross_rate": 0.0}
+        mono = samples[::nch] if nch > 1 else samples
+        zc = sum(1 for a, b in zip(mono, mono[1:])
+                 if (a >= 0) != (b >= 0))
+        return {
+            "sample_rate": rate, "n_channels": nch,
+            "duration_ms": int(round(1000.0 * (n // nch) / rate)),
+            "rms": math.sqrt(sum(s * s for s in samples) / n),
+            "peak": max(abs(s) for s in samples),
+            "zero_cross_rate": zc / max(len(mono) - 1, 1),
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    f = _feats(p)
+                    f.update(media_id=str(mid), error=None)
+                except Exception as e:
+                    f = {"media_id": str(mid), "sample_rate": None,
+                         "n_channels": None, "duration_ms": None,
+                         "rms": None, "peak": None, "zero_cross_rate": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                rows.append(f)
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_channels", "duration_ms",
+                "rms", "peak", "zero_cross_rate", "error"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:

@@ -125,6 +125,91 @@ def test_real_decode_non_ppm_still_explicitly_stubbed():
         _decode_image_stub(b"\x89PNG\r\n", real_decode=True)
 
 
+def test_resize_ppm_box_average():
+    from khl_pdf_ocr_spark.operators.multimodal import decode_ppm, resize_ppm
+
+    # 2x2 checkerboard (black/white) -> 1x1 box average = mid gray 127
+    board = b"P6\n2 2\n255\n" + bytes([0, 0, 0, 255, 255, 255,
+                                       255, 255, 255, 0, 0, 0])
+    w, h, px = decode_ppm(resize_ppm(board, 1, 1))
+    assert (w, h) == (1, 1) and px == bytes([127, 127, 127])
+    # downscale of the gradient keeps monotone left-to-right reds
+    w, h, px = decode_ppm(resize_ppm(_make_ppm(16, 8), 4, 2))
+    reds = [px[i * 3] for i in range(4)]
+    assert (w, h) == (4, 2) and reds == sorted(reds) and reds[0] < reds[-1]
+    # upscale (nearest-ish box) round-trips dimensions
+    w, h, _ = decode_ppm(resize_ppm(_make_ppm(3, 3), 6, 6))
+    assert (w, h) == (6, 6)
+
+
+def test_resize_images_stage(spark):
+    from khl_pdf_ocr_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                        decode_ppm,
+                                                        resize_images)
+
+    rows = [("ok1", "image", _make_ppm(32, 24), None),
+            ("ok2", "image", _make_ppm(7, 5), None),
+            ("bad", "image", b"\x89PNG not a ppm", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 8, 6).collect()}
+    assert out["ok1"]["error"] is None
+    w, h, _ = decode_ppm(bytes(out["ok1"]["payload"]))
+    assert (w, h) == (8, 6) == (out["ok1"]["width"], out["ok1"]["height"])
+    # error-envelope row, not a task failure
+    assert out["bad"]["payload"] is None
+    assert "ValueError" in out["bad"]["error"]
+
+
+def _make_wav(freq_hz: int = 440, ms: int = 100, rate: int = 8000,
+              amp: int = 10000, nch: int = 1) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    n = rate * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * freq_hz * i / rate))
+                        ) * nch for i in range(n))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav(spark):
+    """The audio path is fully real (stdlib wave): duration, RMS, peak
+    and zero-crossing rate of synthesized sine payloads."""
+    import math
+
+    from khl_pdf_ocr_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                        audio_features)
+
+    rows = [("a440", "audio", _make_wav(440), None),
+            ("a880", "audio", _make_wav(880), None),
+            ("stereo", "audio", _make_wav(440, nch=2), None),
+            ("bad", "audio", b"not audio at all", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+
+    a = out["a440"]
+    assert a["error"] is None
+    assert a["sample_rate"] == 8000 and a["n_channels"] == 1
+    assert a["duration_ms"] == 100
+    # sine RMS = amp/sqrt(2) within quantization tolerance
+    assert abs(a["rms"] - 10000 / math.sqrt(2)) < 150
+    assert 9900 <= a["peak"] <= 10000
+    # zero-crossing rate doubles with frequency (2f crossings/sec)
+    assert abs(a["zero_cross_rate"] - 2 * 440 / 8000) < 0.02
+    assert abs(out["a880"]["zero_cross_rate"] - 2 * 880 / 8000) < 0.02
+    assert out["stereo"]["n_channels"] == 2
+    assert out["stereo"]["duration_ms"] == 100
+    assert out["bad"]["error"] is not None and out["bad"]["rms"] is None
+
+
 def test_bpe_token_count_cross_engine(spark):
     """The BPE-ish pre-tokenizer count must agree between Java regex
     (Spark) and RE2 (DuckDB) on every boundary case — the regex is
