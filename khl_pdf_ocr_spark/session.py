@@ -31,11 +31,27 @@ def local_cpu_count() -> int:
 def get_spark(app_name: str = "khl-pdf-ocr-spark", *, cpus: int | None = None,
               shuffle_partitions: int | None = None, extra_conf: dict | None = None
               ) -> SparkSession:
+    """Build the session.  Master resolution order:
+
+    1. ``SPARK_GRAFT_MASTER`` env (explicit override);
+    2. whatever ``spark-submit`` configured — detected via the Py4J
+       gateway env it exports; the builder must NOT set a master then,
+       or a hardcoded ``local[n]`` would silently override the
+       cluster's ``--master yarn``/``k8s://...`` ON THE DRIVER (found
+       by actually running ``spark-submit --py-files``, round 3);
+    3. ``local[cpus]`` for plain-python runs (tests, bench, notebooks).
+    """
     cpus = cpus or local_cpu_count()
     shuffle = shuffle_partitions or max(32, 2 * cpus)
+    b = SparkSession.builder.appName(app_name)
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ  # spark-submit launch
+    if env_master:
+        b = b.master(env_master)
+    elif not submitted:
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
