@@ -2,12 +2,13 @@
 
 ``entry(spark)``     — flagship: full extraction pipeline over the
                        synthetic Common-Crawl-style fixture corpus.
-``queries()``        — one entry per operator from SURVEY.md §2 (+ the
+``queries()``        — EXACTLY 50 entries (the driver verifies the
+                       first 50 insertion-order keys) covering every
+                       operator from SURVEY.md §2 (+ the
                        training-data-pipeline operators): callables
                        ``(spark, sf_dir) -> DataFrame``.
-``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query (omitted for
-                       the genuinely non-SQL-expressible kernel/LSH ops,
-                       which get rows-only checks).
+``oracle_sql()``     — DuckDB-equivalent ANSI SQL for EVERY query
+                       (zero rows-only checks; ~3 s total at sf0.01).
 
 Column names are aliased identically on both sides; float outputs are
 rounded identically; timestamps are rendered as strings so value hashes

@@ -1,0 +1,81 @@
+"""Corpus-cleaning job entry point — the training-data twin of cli.py.
+
+    spark-submit --py-files khl_pdf_ocr_spark.zip \
+        -m khl_pdf_ocr_spark.clean_cli \
+        --input  /data/extracted          # parquet dir or iceberg table
+        --output /data/cleaned \
+        --langs en ru --min-quality 0.3 \
+        --near-dup-threshold 0.8 --policy components
+
+Writes ``<output>/kept`` (surviving rows), ``<output>/ledger``
+(id, reject_reason for every drop — at scale you audit the drops, not
+the keeps) and prints ONE JSON stats line that includes the no-silent-
+caps audit: how many LSH band buckets had their candidate generation
+chain-bounded (``hot_buckets``), so a silently-degraded near-dup pass
+is visible in run telemetry, never just in a docstring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from khl_pdf_ocr_spark.corpus import clean_corpus
+from khl_pdf_ocr_spark.session import get_spark
+from khl_pdf_ocr_spark.sources.readers import read_documents, write_output
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--langs", nargs="+", default=["en", "ru"])
+    ap.add_argument("--min-quality", type=float, default=0.4)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--policy", default="pairs", choices=["pairs", "components"])
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("khl-clean", cpus=args.cpus)
+    try:
+        docs = read_documents(spark, args.input, args.format)
+        audit: dict = {}
+        kept, ledger = clean_corpus(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            allowed_langs=tuple(args.langs), min_quality=args.min_quality,
+            near_dup_threshold=args.near_dup_threshold,
+            near_dup_policy=args.policy, audit=audit)
+        write_output(kept, f"{args.output.rstrip('/')}/kept", args.format)
+        write_output(ledger, f"{args.output.rstrip('/')}/ledger", args.format)
+
+        from pyspark.sql import functions as F
+
+        by_reason = {r["reject_reason"]: r["n"] for r in
+                     spark.read.parquet(f"{args.output.rstrip('/')}/ledger")
+                     .groupBy("reject_reason")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()} \
+            if args.format == "parquet" else \
+            {r["reject_reason"]: r["n"] for r in
+             ledger.groupBy("reject_reason")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_kept = (spark.read.parquet(f"{args.output.rstrip('/')}/kept").count()
+                  if args.format == "parquet" else kept.count())
+        stats = {
+            "n_kept": n_kept,
+            "rejected": by_reason,
+            # no-silent-caps: buckets whose candidates were chain-bounded
+            "hot_buckets": (audit["hot_buckets"].count()
+                            if "hot_buckets" in audit else 0),
+        }
+        print(json.dumps(stats))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

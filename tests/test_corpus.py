@@ -68,3 +68,44 @@ def test_clean_corpus_null_text_lands_in_ledger(spark):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert reasons.get(0) == "quality"   # NULL text must not vanish
     assert kept_ids == {1}
+
+
+def test_clean_cli_end_to_end(spark, tmp_path):
+    """The cleaning CLI: kept/ledger outputs + the hot-bucket audit in
+    its one-line JSON stats (no-silent-caps in run telemetry)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest with all of its friends today")
+    rows = [(0, base, "s"), (1, base, "s"),
+            (2, "tiny", "s"),
+            (3, "ещё один документ на русском языке про хоккей и арену "
+                "с длинным текстом и разными словами внутри матча", "s")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "ru", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.5", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["n_kept"] >= 1
+    assert stats["rejected"].get("exact_dup", 0) == 1  # doc 1 dropped
+    assert "hot_buckets" in stats  # the audit is part of run stats
+    kept_ids = {r["doc_id"] for r in
+                spark.read.parquet(f"{out}/kept").collect()}
+    ledger = {(r["id"], r["reject_reason"]) for r in
+              spark.read.parquet(f"{out}/ledger").collect()}
+    assert 0 in kept_ids and (1, "exact_dup") in ledger
+    # every input row is accounted for exactly once (kept ∪ ledger)
+    assert len(kept_ids) + len(ledger) == 4
