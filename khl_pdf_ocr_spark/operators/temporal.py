@@ -1,0 +1,125 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range
+(point-in-interval) join — implemented as compositions of existing
+DataFrame ops (union + window / bin-bucketed equi-join), never a
+cross join and never per-row Python.
+
+As-of join (align each event to the latest snapshot at or before it):
+the classic union trick — tag both sides, sort per key by (ts, tag)
+with the right side ordered first at ties, and carry the last non-null
+right row forward with an unbounded-preceding window.  ONE shuffle on
+the key; state per task is a single row (``last``), so a key's history
+length never matters.  This is the same plan shape a
+``applyInPandasWithState`` stream twin would hold as state.
+
+Range join (points ↔ intervals): exploding each interval into
+fixed-width time bins turns the θ-join into an equi-join on
+``(key, bin)`` + an exact residual filter — the standard binning
+rewrite (Spark's own optimized range join in Databricks runtime does
+exactly this under the hood).  Shuffle is by (key, bin); a pathological
+interval spanning B bins contributes B rows, bounded by
+``(end-start)/bin_width``, never |points|×|intervals|.
+
+Both are verified against DuckDB's native ASOF JOIN / range predicates
+in tests/test_temporal.py — pytest-level oracles; the driver's
+50-query window is already fully allocated (SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "point_in_interval_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
+              by: str | None = None, tolerance_sec: float | None = None,
+              direction: str = "backward",
+              right_prefix: str = "r_") -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``on`` ≤ left's ``on`` (``direction="backward"``; ``"forward"``
+    gives the least ≥), optionally per ``by`` key and within
+    ``tolerance_sec``.  Right columns come back ``right_prefix``-ed
+    (NULL when no match).  Column ``on`` must be a timestamp on both
+    sides.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != on and c != by]
+
+    key = [by] if by else []
+    ltagged = left.select(
+        *key, F.col(on).alias("_t"), F.lit(1).alias("_tag"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(
+                F.col(on).alias("_rt"),
+                *[F.col(c) for c in rcols]).alias("_rrow")
+            ).schema["_rrow"].dataType).alias("_rrow"))
+    rtagged = right.select(
+        *key, F.col(on).alias("_t"), F.lit(0).alias("_tag"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("_lrow")
+                        ).schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(F.col(on).alias("_rt"),
+                 *[F.col(c) for c in rcols]).alias("_rrow"))
+    u = ltagged.unionByName(rtagged)
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts (_tag 0 < 1), so
+        # a snapshot at exactly the event time is visible to it
+        w = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+            .orderBy(F.col("_t").asc(), F.col("_tag").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        matched = F.last("_rrow", ignorenulls=True).over(w)
+    else:
+        w = (Window.partitionBy(*key) if key else Window.partitionBy()) \
+            .orderBy(F.col("_t").asc(), F.col("_tag").desc()) \
+            .rowsBetween(0, Window.unboundedFollowing)
+        matched = F.first("_rrow", ignorenulls=True).over(w)
+
+    out = (u.withColumn("_m", matched)
+           .filter(F.col("_tag") == 1))
+    if tolerance_sec is not None:
+        gap = F.abs(F.unix_timestamp(F.col("_m._rt"))
+                    - F.unix_timestamp(F.col("_t")))
+        out = out.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_sec)),
+                         F.col("_m")))
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        F.col("_m._rt").alias(f"{right_prefix}{on}"),
+        *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rcols])
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame, *,
+                           point_col: str = "ts", start_col: str = "start_ts",
+                           end_col: str = "end_ts", by: str | None = None,
+                           bin_width_sec: int = 3600) -> DataFrame:
+    """Inner join of point rows to every interval containing them
+    (``start ≤ point < end``), optionally per ``by`` key, via the
+    bin-bucketed equi-join rewrite.  ``bin_width_sec`` trades
+    duplication (long intervals → more bins) against bucket selectivity;
+    size it near the median interval length.
+    """
+    key = [by] if by else []
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(point_col))
+                        / F.lit(bin_width_sec)).cast("long"))
+    bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / F.lit(bin_width_sec)),
+        # end is exclusive, but a point in the final partial bin still
+        # needs the interval present there → ceil via (end-1)/width
+        F.floor((F.unix_timestamp(F.col(end_col)) - 1) / F.lit(bin_width_sec)))
+    iv = (intervals
+          .filter(F.col(end_col) > F.col(start_col))
+          .withColumn("_bin", F.explode(bins)))
+    cond = [p["_bin"] == iv["_bin"]] + \
+        ([p[by] == iv[by]] if by else [])
+    joined = (p.join(iv, cond)
+              .filter((p[point_col] >= iv[start_col])
+                      & (p[point_col] < iv[end_col])))
+    pcols = [p[c] for c in points.columns]
+    icols = [iv[c] for c in intervals.columns if c != by]
+    return joined.select(*pcols, *icols)

@@ -1,0 +1,132 @@
+"""As-of + range joins vs DuckDB's native implementations.
+
+DuckDB ships a true ASOF JOIN and evaluates range predicates exactly —
+so even though the driver's 50-query window is fully allocated, these
+operators get the same oracle discipline at pytest level: full-result
+equality on the sf0.001 events table plus planted edge cases.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.operators.temporal import (asof_join,
+                                                  point_in_interval_join)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(EVENTS)
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark, events):
+    # deterministic per-user "profile snapshots": every 6 hours over the
+    # events' own time range, version = hour index
+    return (events.groupBy("user_id")
+            .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+            .select("user_id", F.explode(F.sequence(
+                F.date_trunc("hour", "t0"), "t1",
+                F.expr("INTERVAL 6 HOURS"))).alias("ts"))
+            .withColumn("version",
+                        (F.unix_timestamp("ts") / 3600).cast("long")))
+
+
+def _duck(events_df, snaps_df, sql):
+    con = duckdb.connect()
+    con.register("ev", events_df.toPandas())
+    con.register("snap", snaps_df.toPandas())
+    return con.sql(sql).df()
+
+
+def test_asof_backward_matches_duckdb(events, snapshots):
+    got = (asof_join(events.select("event_id", "user_id", "ts"),
+                     snapshots, on="ts", by="user_id")
+           .select("event_id", "user_id", "ts", "r_ts", "r_version")
+           .toPandas())
+    want = _duck(events.select("event_id", "user_id", "ts"), snapshots, """
+        SELECT ev.event_id, ev.user_id, ev.ts,
+               snap.ts AS r_ts, snap.version AS r_version
+        FROM ev ASOF LEFT JOIN snap
+          ON ev.user_id = snap.user_id AND ev.ts >= snap.ts
+    """)
+    import pandas as pd
+
+    key = ["event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_asof_tolerance_and_tie(spark):
+    snaps = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1), ("u", "2024-01-01 02:00:00", 2)],
+        ["user_id", "ts", "version"]).withColumn("ts", F.to_timestamp("ts"))
+    evs = spark.createDataFrame(
+        [("e_tie", "u", "2024-01-01 02:00:00"),     # ties take the snapshot
+         ("e_late", "u", "2024-01-01 05:00:00"),    # > tolerance → NULL
+         ("e_before", "u", "2023-12-31 23:00:00")], # nothing before → NULL
+        ["event_id", "user_id", "ts"]).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in
+           asof_join(evs, snaps, on="ts", by="user_id",
+                     tolerance_sec=3600).collect()}
+    assert out["e_tie"]["r_version"] == 2       # equal-ts snapshot visible
+    assert out["e_late"]["r_version"] is None   # 3 h gap > 1 h tolerance
+    assert out["e_before"]["r_version"] is None
+
+
+def test_asof_forward_direction(spark):
+    snaps = spark.createDataFrame(
+        [("u", "2024-01-01 03:00:00", 7)],
+        ["user_id", "ts", "version"]).withColumn("ts", F.to_timestamp("ts"))
+    evs = spark.createDataFrame(
+        [("e1", "u", "2024-01-01 01:00:00"), ("e2", "u", "2024-01-01 04:00:00")],
+        ["event_id", "user_id", "ts"]).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r["r_version"] for r in
+           asof_join(evs, snaps, on="ts", by="user_id",
+                     direction="forward").collect()}
+    assert out == {"e1": 7, "e2": None}
+
+
+def test_range_join_matches_duckdb(events, spark):
+    # per-user maintenance windows: [t0 + k*8h, +3h) for k in 0..2
+    intervals = (events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+                 .select("user_id", F.explode(F.array(
+                     *[F.struct(
+                         (F.col("t0") + F.expr(f"INTERVAL {8*k} HOURS")
+                          ).alias("start_ts"),
+                         (F.col("t0") + F.expr(f"INTERVAL {8*k+3} HOURS")
+                          ).alias("end_ts"),
+                         F.lit(k).alias("win_id")) for k in range(3)]
+                 )).alias("w"))
+                 .select("user_id", "w.start_ts", "w.end_ts", "w.win_id"))
+    pts = events.select("event_id", "user_id", "ts")
+    got = (point_in_interval_join(pts, intervals, point_col="ts",
+                                  by="user_id", bin_width_sec=3600)
+           .select("event_id", "win_id").toPandas())
+    want = _duck(pts, intervals, """
+        SELECT ev.event_id, snap.win_id
+        FROM ev JOIN snap
+          ON ev.user_id = snap.user_id
+         AND ev.ts >= snap.start_ts AND ev.ts < snap.end_ts
+    """)
+    assert len(got) == len(want) > 0
+    assert (set(map(tuple, got.values.tolist()))
+            == set(map(tuple, want.values.tolist())))
+
+
+def test_range_join_never_plans_cartesian(events, spark):
+    intervals = (events.groupBy("user_id").agg(F.min("ts").alias("start_ts"))
+                 .withColumn("end_ts",
+                             F.col("start_ts") + F.expr("INTERVAL 2 HOURS")))
+    df = point_in_interval_join(events.select("event_id", "user_id", "ts"),
+                                intervals, by="user_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
