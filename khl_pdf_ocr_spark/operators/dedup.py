@@ -47,6 +47,18 @@ DEFAULT_MAX_BUCKET = 256
 CHAIN_WINDOW = 4
 
 
+def _oversized_block_keys(df: DataFrame, block_col: str,
+                          max_block: int) -> DataFrame:
+    """Blocking values with more than ``max_block`` rows — a tiny
+    one-column frame (hot keys are few by definition), computed with
+    map-side partial counts; broadcast it into semi/anti joins instead
+    of window-counting over the fat table."""
+    return (df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("_blk_n"))
+            .filter(F.col("_blk_n") > max_block)
+            .select(block_col))
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Shingling/hashing is CPU-bound per row; if the upstream scan has
     fewer splits than cores (single-file local tables, small Iceberg
@@ -127,14 +139,15 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
         shingles(text_col, n).alias("sh"))
     if max_block is not None:
-        from pyspark.sql import Window
-
-        sized = df.withColumn(
-            "_blk_n", F.count(F.lit(1)).over(
-                Window.partitionBy(F.col(block_col))))
-        big_docs = sized.filter(F.col("_blk_n") > max_block).drop("_blk_n")
-        small_ids = sized.filter(F.col("_blk_n") <= max_block) \
-                         .select(F.col(id_col).alias("id"))
+        # block sizes via groupBy (map-side partials, tiny result) and
+        # the hot KEYS via broadcast semi/anti joins — NOT a
+        # Window.partitionBy(block), which would shuffle the whole fat
+        # table just to count rows.  Hot blocking values are by
+        # definition few, so the broadcast side is trivially small.
+        big_keys = _oversized_block_keys(df, block_col, max_block)
+        big_docs = df.join(F.broadcast(big_keys), block_col, "left_semi")
+        small_ids = (df.join(F.broadcast(big_keys), block_col, "left_anti")
+                     .select(F.col(id_col).alias("id")))
         base = base.join(small_ids, "id", "left_semi")
         big_pairs = minhash_lsh_pairs(
             big_docs, text_col=text_col, id_col=id_col, shingle_n=n,

@@ -228,18 +228,19 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
     base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                      F.col(vec_col).alias("v"))
     if max_block is not None:
-        from pyspark.sql import Window
+        from khl_pdf_ocr_spark.operators.dedup import _oversized_block_keys
 
         # dim is resolved eagerly (metadata/arg only — no probe job):
         # the LSH branch is part of the lazy plan whether or not any
-        # block actually exceeds the bound at runtime
+        # block actually exceeds the bound at runtime.  Hot blocking
+        # KEYS come from a map-side-combined groupBy and route rows via
+        # broadcast semi/anti joins — never a Window over the fat
+        # embedding table.
         dim = _resolve_dim(df, vec_col, dim)
-        sized = df.withColumn(
-            "_blk_n", F.count(F.lit(1)).over(
-                Window.partitionBy(F.col(block_col))))
-        big_rows = sized.filter(F.col("_blk_n") > max_block).drop("_blk_n")
-        small_ids = sized.filter(F.col("_blk_n") <= max_block) \
-                         .select(F.col(id_col).alias("id"))
+        big_keys = _oversized_block_keys(df, block_col, max_block)
+        big_rows = df.join(F.broadcast(big_keys), block_col, "left_semi")
+        small_ids = (df.join(F.broadcast(big_keys), block_col, "left_anti")
+                     .select(F.col(id_col).alias("id")))
         base = base.join(small_ids, "id", "left_semi")
         big_pairs = lsh_near_dup_pairs(
             big_rows, threshold=threshold, nbits=nbits, seed=seed,
