@@ -639,14 +639,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_median_chars_by_source"] = doc_median_chars_by_source
 
     def doc_longest_per_lang(spark, sf_dir):
-        # top-1-by-length shadow of the team-name pick (app.py:174)
+        # top-1-by-length shadow of the team-name pick (app.py:174).
+        # Project to (lang, doc_id, length) BEFORE the window so the
+        # rank shuffle moves 3 narrow columns, never the text payload.
         docs = spark.read.parquet(_t(sf_dir, "documents"))
+        narrow = docs.select("lang", "doc_id",
+                             F.length("text").cast("long").alias("text_len"))
         w = Window.partitionBy("lang").orderBy(
-            F.length("text").desc(), F.col("doc_id").asc())
-        return (docs.withColumn("rn", F.row_number().over(w))
+            F.col("text_len").desc(), F.col("doc_id").asc())
+        return (narrow.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
-                .select("lang", "doc_id",
-                        F.length("text").cast("long").alias("text_len")))
+                .select("lang", "doc_id", "text_len"))
 
     q["doc_longest_per_lang"] = doc_longest_per_lang
 

@@ -31,9 +31,20 @@ def top_terms_per_group(df: DataFrame, *, text_col: str = "text",
     counts = (toks.filter(F.length("token") > 0)
               .groupBy("grp", "token")
               .agg(F.count(F.lit(1)).alias("doc_freq")))
-    w = Window.partitionBy("grp").orderBy(F.col("doc_freq").desc(),
-                                          F.col("token").asc())
-    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    # EXACT two-phase top-k: a single rank window per group would sort
+    # the group's ENTIRE vocabulary (10^8 tokens per language at web
+    # scale) in one task.  Phase 1 takes the per-(group, token-hash
+    # salt) top-k — the global top-k is necessarily a subset of the
+    # union of salt-local top-ks — so the final window ranks at most
+    # salts×k rows per group.
+    salts = 32
+    order = (F.col("doc_freq").desc(), F.col("token").asc())
+    w1 = Window.partitionBy("grp", F.pmod(F.xxhash64("token"), F.lit(salts))
+                            ).orderBy(*order)
+    cand = (counts.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k).drop("_r1"))
+    w = Window.partitionBy("grp").orderBy(*order)
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(F.col("grp").alias(group_col), "rank", "token", "doc_freq"))
 
