@@ -21,9 +21,10 @@ from pyspark.sql import functions as F
 from khl_pdf_ocr_spark.functions import text as X
 from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
-__all__ = ["exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures",
-           "minhash_lsh_pairs", "simhash", "simhash_pairs", "hot_band_buckets",
-           "connected_components", "DEFAULT_MAX_BUCKET"]
+__all__ = ["exact_dedup", "exact_dedup_incremental", "shingles",
+           "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
+           "simhash", "simhash_pairs", "hot_band_buckets",
+           "connected_components", "DEFAULT_MAX_BUCKET", "CHAIN_WINDOW"]
 
 # Hot-bucket bound for banded LSH self-joins: a band bucket of k rows
 # yields k(k-1)/2 candidates in ONE shuffle partition — k identical
@@ -96,6 +97,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             .groupBy("fingerprint")
             .agg(F.min(id_col).alias("keep_id"),
                  F.count(F.lit(1)).alias("n_dups")))
+
+
+def exact_dedup_incremental(df: DataFrame, seen_fp: DataFrame, *,
+                            text_col: str = "text", id_col: str = "doc_id"
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup a NEW batch against itself AND a historical fingerprint
+    ledger — the daily-increment shape of a crawl pipeline (a fresh
+    WARC dump arrives; everything already ingested must not re-enter
+    the corpus).
+
+    ``seen_fp``: one-column frame ``fingerprint`` (md5 of normalized
+    text) of everything kept so far — at scale a bucketed/Iceberg table
+    partitioned by fingerprint prefix, so this join co-locates
+    (operators.bucketing).
+
+    Returns ``(kept, new_fingerprints, ledger)``:
+    - ``kept``             — surviving NEW rows (original columns);
+    - ``new_fingerprints`` — their fingerprints: append to the ledger
+      table for the next increment (caller owns the write);
+    - ``ledger``           — (id, reject_reason) with reasons
+      ``exact_dup_batch`` (lost the min-id race within this batch) and
+      ``exact_dup_history`` (already ingested in a prior increment).
+
+    Shuffle budget: one hash shuffle of the batch on fingerprint (the
+    grouping), one fingerprint equi-join against history — both on the
+    same key, so a fingerprint-bucketed history table makes the second
+    co-located.
+    """
+    fp = df.withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+    mins = fp.groupBy("fingerprint").agg(F.min(F.col(id_col)).alias("_keep_id"))
+    tagged = fp.join(mins, "fingerprint")
+    batch_dup = (tagged.filter(F.col(id_col) != F.col("_keep_id"))
+                 .select(F.col(id_col).alias("id"),
+                         F.lit("exact_dup_batch").alias("reject_reason")))
+    heads = tagged.filter(F.col(id_col) == F.col("_keep_id")).drop("_keep_id")
+    seen = seen_fp.select("fingerprint")
+    hist_dup = (heads.join(seen, "fingerprint", "left_semi")
+                .select(F.col(id_col).alias("id"),
+                        F.lit("exact_dup_history").alias("reject_reason")))
+    kept = heads.join(seen, "fingerprint", "left_anti")
+    new_fps = kept.select("fingerprint")
+    return (kept.drop("fingerprint"), new_fps,
+            batch_dup.unionByName(hist_dup))
 
 
 # ---------------------------------------------------------------------------

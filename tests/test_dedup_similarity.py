@@ -55,6 +55,38 @@ def test_minhash_lsh_finds_planted_pairs(planted_docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_exact_dedup_incremental_two_batches(spark):
+    """Day-2 increment: batch dups lose the min-id race, history dups
+    are rejected against the ledger, and the ledger grows by exactly
+    the kept fingerprints."""
+    from khl_pdf_ocr_spark.operators.dedup import exact_dedup_incremental
+
+    day1 = spark.createDataFrame(
+        [(0, BASE, "s"), (1, "fresh doc one about volcano geology", "s")],
+        ["doc_id", "text", "source"])
+    empty_seen = spark.createDataFrame([], "fingerprint string")
+    kept1, fps1, ledger1 = exact_dedup_incremental(day1, empty_seen)
+    assert {r["doc_id"] for r in kept1.collect()} == {0, 1}
+    assert ledger1.count() == 0
+    assert fps1.count() == 2
+
+    day2 = spark.createDataFrame(
+        [(10, BASE, "s"),                    # seen on day 1 → history dup
+         (11, "brand new day two document about glaciers", "s"),
+         (12, "brand new day two document about glaciers", "s"),  # batch dup
+         (13, BASE, "s")],                   # batch dup of 10 AND historical
+        ["doc_id", "text", "source"])
+    kept2, fps2, ledger2 = exact_dedup_incremental(day2, fps1)
+    assert {r["doc_id"] for r in kept2.collect()} == {11}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger2.collect()}
+    assert reasons == {10: "exact_dup_history",
+                       12: "exact_dup_batch",
+                       13: "exact_dup_batch"}
+    # every day-2 row lands in exactly one of kept/ledger
+    assert kept2.count() + ledger2.count() == 4
+    assert fps2.count() == 1  # only the genuinely new fingerprint
+
+
 def test_simhash_distance_reflects_similarity(planted_docs):
     sh = {r["id"]: r["simhash"] for r in simhash(planted_docs).collect()}
     assert sh[0] == sh[1]  # identical text → identical simhash

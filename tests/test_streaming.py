@@ -97,3 +97,55 @@ def test_streaming_dedup_passthrough_null_and_empty(spark, tmp_path):
     # n1/n2 (null text), e1 (empty after normalize) and t1 (null ts) all
     # survive; t2 is the only dedup-eligible row and also survives
     assert urls == {"n1", "n2", "e1", "t1", "t2"}
+
+
+def test_stream_static_enrichment_broadcast(spark, fixture_tables, tmp_path):
+    """Stream-static join: the streaming extraction output enriched
+    against the (static, broadcast-sized) referees master per
+    micro-batch — the streaming twin of masters_validate_referees.
+    The static side is re-resolvable per batch, so a dimension refresh
+    needs no stream restart (Structured Streaming contract)."""
+    import os
+    import shutil
+
+    from khl_pdf_ocr_spark.sources.masters import load_masters
+
+    docs_path, _ = fixture_tables
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    shutil.copy(docs_path, os.path.join(in_dir, "part-0.parquet"))
+
+    static_docs = spark.read.parquet(docs_path)
+    stream = (spark.readStream.schema(static_docs.schema).parquet(in_dir))
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+
+    extracted = extract_documents(stream)
+    _, referees = load_masters(spark)
+    names = extracted.filter(F.col("engine") == "all").select(
+        "url", F.explode(F.concat(F.col("referees.main"),
+                                  F.col("referees.linesmen"))).alias("name"))
+    dim = F.broadcast(referees.select("name_key").distinct())
+    keyed = names.withColumn(
+        "_key", F.concat_ws(" ", F.slice(F.split(F.col("name"), r"\s+"), 1, 2)))
+    enriched = (keyed.join(dim, keyed["_key"] == dim["name_key"], "left")
+                .select("url", "name",
+                        F.col("name_key").isNotNull().alias("known")))
+
+    out_dir = str(tmp_path / "enriched")
+    q = (enriched.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    n = got.count()
+    assert n > 0
+    # the batch twin must agree row-for-row
+    from khl_pdf_ocr_spark.sources.masters import validate_referee_names
+
+    batch = validate_referee_names(
+        extract_documents(static_docs).filter(F.col("engine") == "all"),
+        referees)
+    assert n == batch.count()
+    assert got.filter("known").count() == batch.filter("known").count()
