@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.4)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument("--policy", default="pairs", choices=["pairs", "components"])
+    ap.add_argument("--url-col", default=None,
+                    help="dedup on the canonical url first (stage 0); "
+                         "drops land as url_dup in the ledger")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -48,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             docs, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
-            near_dup_policy=args.policy, audit=audit)
+            near_dup_policy=args.policy, url_col=args.url_col, audit=audit)
         write_output(kept, f"{args.output.rstrip('/')}/kept", args.format)
         write_output(ledger, f"{args.output.rstrip('/')}/ledger", args.format)
 

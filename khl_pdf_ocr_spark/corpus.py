@@ -30,12 +30,17 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  min_quality: float = 0.4,
                  near_dup_threshold: float = 0.8,
                  near_dup_policy: str = "pairs",
+                 url_col: str | None = None,
                  audit: dict | None = None) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept, ledger)``.
 
     ``kept``   — surviving rows of ``df`` (original columns).
     ``ledger`` — (id, reject_reason) for every dropped row:
-                 lang | quality | exact_dup | near_dup.
+                 url_dup | lang | quality | exact_dup | near_dup.
+    ``url_col``— optional: stage 0 dedups on the CANONICAL url
+                 (functions.urls.canonical_url — case/ports/fragments/
+                 tracking-params variants collapse) keeping the min id;
+                 the cheapest web-crawl dedup, run before any text work.
     ``audit``  — optional dict; gains the near-dup stage's lazy
                  ``"hot_buckets"`` frame (band buckets whose candidate
                  generation was chain-bounded — the no-silent-caps
@@ -51,6 +56,21 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
       transitive cluster (iterative label propagation; a few extra tiny
       shuffles over the pair set only).
     """
+    url_bad = None
+    if url_col is not None:
+        from khl_pdf_ocr_spark.functions.urls import canonical_url
+
+        curl = canonical_url(F.coalesce(F.col(url_col), F.lit("")))
+        with_url = df.withColumn("_curl", curl)
+        url_keeps = (with_url.groupBy("_curl")
+                     .agg(F.min(F.col(id_col)).alias("_keep_id")))
+        tagged = with_url.join(url_keeps, "_curl")
+        url_bad = (tagged.filter(F.col(id_col) != F.col("_keep_id"))
+                   .select(F.col(id_col).alias("id"),
+                           F.lit("url_dup").alias("reject_reason")))
+        df = tagged.filter(F.col(id_col) == F.col("_keep_id")) \
+                   .drop("_curl", "_keep_id")
+
     # score on coalesce(text,'') — NULL text propagates oddly through
     # SQL null semantics (size(split(NULL)) = -1); empty text scores a
     # deterministic 0.3 → quality reject
@@ -98,4 +118,6 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  .drop("_lang", "_q")
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
+    if url_bad is not None:
+        ledger = url_bad.unionByName(ledger)
     return kept, ledger

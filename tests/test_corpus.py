@@ -70,6 +70,27 @@ def test_clean_corpus_null_text_lands_in_ledger(spark):
     assert kept_ids == {1}
 
 
+def test_clean_corpus_url_dedup_stage(spark):
+    """url_col: canonical-url variants collapse BEFORE any text work,
+    and the drop lands in the ledger as url_dup."""
+    long_a = ("a long enough english document with the usual words of the "
+              "quick brown fox and the lazy dog in it for quality " * 2)
+    long_b = ("another completely different long document about glaciers "
+              "and the slow drift of the plates over many of the years " * 2)
+    rows = [
+        (0, "https://Example.com/story?utm_source=x", long_a),
+        (1, "https://example.com/story/", long_a + " tail tail tail"),
+        (2, "https://example.com/other", long_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    kept, ledger = clean_corpus(df, allowed_langs=("en", "ru", "other"),
+                                min_quality=0.0, near_dup_threshold=0.99,
+                                url_col="url")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+    assert {(r["id"], r["reject_reason"]) for r in ledger.collect()} \
+        == {(1, "url_dup")}
+
+
 def test_clean_cli_end_to_end(spark, tmp_path):
     """The cleaning CLI: kept/ledger outputs + the hot-bucket audit in
     its one-line JSON stats (no-silent-caps in run telemetry)."""

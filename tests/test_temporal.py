@@ -130,3 +130,43 @@ def test_range_join_never_plans_cartesian(events, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_fuzz_vs_pandas_merge_asof(spark):
+    """Seeded random fuzz against pandas.merge_asof — a third
+    independent implementation (besides DuckDB ASOF JOIN) of backward
+    as-of semantics, including per-key alignment and tolerance."""
+    import random
+
+    import pandas as pd
+
+    from datetime import datetime, timedelta
+
+    rng = random.Random(41)
+    base = datetime(2024, 3, 1)  # plain datetime — a bare pandas
+    # Timestamp in a tuple infers as struct<> in createDataFrame
+    evs = [(f"e{i}", f"u{rng.randrange(4)}",
+            base + timedelta(seconds=rng.randrange(0, 72_000)))
+           for i in range(150)]
+    snaps = [(f"u{u}", base + timedelta(seconds=rng.randrange(0, 72_000)), v)
+             for v, u in enumerate(rng.choices(range(4), k=40))]
+    ev_df = spark.createDataFrame(evs, ["event_id", "user_id", "ts"])
+    sn_df = spark.createDataFrame(snaps, ["user_id", "ts", "version"])
+
+    got = (asof_join(ev_df, sn_df, on="ts", by="user_id",
+                     tolerance_sec=7200)
+           .select("event_id", "r_version").toPandas()
+           .set_index("event_id")["r_version"].to_dict())
+
+    lp = pd.DataFrame(evs, columns=["event_id", "user_id", "ts"]) \
+        .sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(snaps, columns=["user_id", "ts", "version"]) \
+        .sort_values("ts", kind="mergesort")
+    want_df = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                            direction="backward",
+                            tolerance=pd.Timedelta(seconds=7200),
+                            allow_exact_matches=True)
+    want = {r.event_id: (None if pd.isna(r.version) else int(r.version))
+            for r in want_df.itertuples()}
+    got = {k: (None if pd.isna(v) else int(v)) for k, v in got.items()}
+    assert got == want
