@@ -42,6 +42,11 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
     ``tolerance_sec``.  Right columns come back ``right_prefix``-ed
     (NULL when no match).  Column ``on`` must be a timestamp on both
     sides.
+
+    Scale note: ALWAYS pass ``by`` on large inputs — without a key the
+    window is one global partition (a single task sorts everything);
+    with a key the sort parallelizes per key, and a skewed key can be
+    range-pre-split upstream like any other hot-key window.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
