@@ -105,6 +105,35 @@ def test_dedup_plans_never_go_quadratic(spark):
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_crawl_day_partition_pruning(spark, tmp_path):
+    """DEPLOY.md's incremental-crawl story in code: a corpus laid out
+    by crawl day + a day filter must prune at the PARTITION level (the
+    scan never touches other days' files) — the parquet twin of
+    Iceberg `days(warc_ts)` partitioning."""
+    from khl_pdf_ocr_spark.plans.inspect import partition_filters
+    from khl_pdf_ocr_spark.sources.readers import write_output
+
+    docs = spark.createDataFrame(
+        [(f"https://ex.com/{d}/{i}", f"2024-03-0{d}", f"text {d}-{i}")
+         for d in (1, 2, 3) for i in range(20)],
+        ["url", "crawl_day", "text"])
+    path = str(tmp_path / "by_day")
+    write_output(docs, path, partition_by=("crawl_day",))
+
+    scan = spark.read.parquet(path).filter(F.col("crawl_day") == "2024-03-02")
+    pf = partition_filters(scan)
+    assert pf and "crawl_day" in pf[0], f"no partition pruning: {pf}"
+    assert scan.count() == 20
+    # rows from other days are not merely filtered late — the pushed
+    # partition filter means their files never enter the scan (the
+    # same PartitionFilters evidence the ANN index tests assert);
+    # inputFiles() can't witness this (it lists the pre-pruning
+    # relation), so the plan string is the proof
+    from khl_pdf_ocr_spark.plans.inspect import physical_plan
+
+    assert "PartitionFilters: []" not in physical_plan(scan)
+
+
 def test_embedding_guard_plan_never_goes_quadratic(spark):
     """The guarded embedding near-dup plan (all-pairs small blocks +
     LSH-routed big blocks) must stay equi-join everywhere."""
