@@ -421,15 +421,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping-sets lattice — BOTH operators in one driver query
         # (round-2 verdict: consolidate near-duplicate coverage to fit
         # the driver's 50-query window): ROLLUP's hierarchical totals
-        # and CUBE's full lattice, tagged and unioned
+        # and CUBE's full lattice, tagged and unioned.  ONE cube pass
+        # computes both (rollup's grouping sets ⊂ cube's: everything
+        # except the flag-aggregated/status-kept set, grouping_id 0b10)
+        # — a naive rollup ∪ cube would scan + shuffle lineitem twice.
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        aggs = [F.count(F.lit(1)).alias("n_items"),
-                _r(F.sum("l_quantity"), 2).alias("sum_qty")]
-        rollup = (li.rollup("l_returnflag", "l_linestatus").agg(*aggs)
-                  .withColumn("lattice", F.lit("rollup")))
-        cube = (li.cube("l_returnflag", "l_linestatus").agg(*aggs)
-                .withColumn("lattice", F.lit("cube")))
-        return rollup.unionByName(cube)
+        cube = (li.cube("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.grouping_id().alias("_gid")))
+        cols = ["l_returnflag", "l_linestatus", "n_items", "sum_qty"]
+        rollup_rows = (cube.filter(F.col("_gid") != 2).select(*cols)
+                       .withColumn("lattice", F.lit("rollup")))
+        cube_rows = (cube.select(*cols)
+                     .withColumn("lattice", F.lit("cube")))
+        return rollup_rows.unionByName(cube_rows)
 
     q["lineitem_grouping_sets"] = lineitem_grouping_sets
 
