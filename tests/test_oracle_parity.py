@@ -42,6 +42,30 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
 
 
+def test_exactly_fifty_queries_all_oracled():
+    # the driver verifies the FIRST 50 insertion-order keys (r2 lesson)
+    assert len(QUERIES) == 50
+    assert set(QUERIES) == set(ORACLES)
+
+
+def test_no_query_emits_complex_typed_columns(spark):
+    """The driver's canonicalizer pandas-sorts RAW column values before
+    hashing; an array/map/struct output column crashes it (round-2
+    doc_winnow_fingerprints: TypeError unhashable list).  Analysis-only
+    — no query executes."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in QUERIES.items():
+        for f in fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, (
+        f"scalar-ize these columns (concat_ws/explode) or the driver's "
+        f"canonicalizer dies: {offenders}")
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, duck):
     spark_df = QUERIES[name](spark, SF_DIR).toPandas()
