@@ -60,7 +60,12 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     if url_col is not None:
         from khl_pdf_ocr_spark.functions.urls import canonical_url
 
-        curl = canonical_url(F.coalesce(F.col(url_col), F.lit("")))
+        # NULL/empty urls get a per-row unique key: they must BYPASS
+        # url dedup, never collapse into one surviving document
+        curl = F.when(
+            F.col(url_col).isNull() | (F.length(F.col(url_col)) == 0),
+            F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string"))
+        ).otherwise(canonical_url(F.col(url_col)))
         with_url = df.withColumn("_curl", curl)
         url_keeps = (with_url.groupBy("_curl")
                      .agg(F.min(F.col(id_col)).alias("_keep_id")))

@@ -124,8 +124,14 @@ def exact_dedup_incremental(df: DataFrame, seen_fp: DataFrame, *,
     grouping), one fingerprint equi-join against history — both on the
     same key, so a fingerprint-bucketed history table makes the second
     co-located.
+
+    NULL text fingerprints to a sentinel (never NULL): an equi-join on
+    a NULL key matches nothing, which would silently drop those rows
+    from BOTH kept and ledger — a row must always land in exactly one.
     """
-    fp = df.withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+    fp = df.withColumn(
+        "fingerprint",
+        F.coalesce(X.fingerprint(F.col(text_col)), F.lit("\x00nulltext")))
     mins = fp.groupBy("fingerprint").agg(F.min(F.col(id_col)).alias("_keep_id"))
     tagged = fp.join(mins, "fingerprint")
     batch_dup = (tagged.filter(F.col(id_col) != F.col("_keep_id"))

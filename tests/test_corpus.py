@@ -91,6 +91,22 @@ def test_clean_corpus_url_dedup_stage(spark):
         == {(1, "url_dup")}
 
 
+def test_clean_corpus_null_urls_bypass_url_dedup(spark):
+    """Rows with NULL/empty urls must NOT collapse into one keeper —
+    they bypass stage 0 entirely."""
+    long_a = ("the quick brown fox and the lazy dog with many usual "
+              "english words in a long enough body of text " * 3)
+    rows = [(0, None, long_a + " zero"),
+            (1, None, long_a + " one one"),
+            (2, "", long_a + " two two two")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept, ledger = clean_corpus(df, allowed_langs=("en", "ru", "other"),
+                                min_quality=0.0, near_dup_threshold=0.999,
+                                url_col="url")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2}
+    assert ledger.filter("reject_reason = 'url_dup'").count() == 0
+
+
 def test_clean_cli_end_to_end(spark, tmp_path):
     """The cleaning CLI: kept/ledger outputs + the hot-bucket audit in
     its one-line JSON stats (no-silent-caps in run telemetry)."""

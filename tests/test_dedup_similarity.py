@@ -87,6 +87,24 @@ def test_exact_dedup_incremental_two_batches(spark):
     assert fps2.count() == 1  # only the genuinely new fingerprint
 
 
+def test_exact_dedup_incremental_null_text_never_vanishes(spark):
+    """NULL-text rows must land in kept-or-ledger, never disappear
+    (an equi-join on a NULL fingerprint matches nothing — guarded by
+    the sentinel)."""
+    from khl_pdf_ocr_spark.operators.dedup import exact_dedup_incremental
+
+    df = spark.createDataFrame(
+        [(0, None, "s"), (1, None, "s"), (2, "real text here", "s")],
+        "doc_id long, text string, source string")
+    seen = spark.createDataFrame([], "fingerprint string")
+    kept, fps, ledger = exact_dedup_incremental(df, seen)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    rejected = {r["id"] for r in ledger.collect()}
+    assert kept_ids | rejected == {0, 1, 2}
+    assert kept_ids & rejected == set()
+    assert 0 in kept_ids and 1 in rejected  # NULLs grouped, min id kept
+
+
 def test_simhash_distance_reflects_similarity(planted_docs):
     sh = {r["id"]: r["simhash"] for r in simhash(planted_docs).collect()}
     assert sh[0] == sh[1]  # identical text → identical simhash
