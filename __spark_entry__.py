@@ -504,18 +504,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_value_percentiles(spark, sf_dir):
         # exact order-statistics percentiles (sorted-list indexing, the
-        # same exact-element discipline as the median rule)
+        # same exact-element discipline as the median rule).  Indexing
+        # uses the NON-NULL count (collect_list drops NULLs) and guards
+        # the all-NULL group (element_at index 0 always throws) —
+        # n_events stays the raw row count.
         ev = spark.read.parquet(_t(sf_dir, "events"))
         arr = F.sort_array(F.collect_list("value"))
-        n = F.count(F.lit(1))
+        nv = F.count("value")
 
         def pct(p):
-            idx = (F.floor(n * F.lit(p)).cast("int") + 1)
-            return F.element_at(arr, F.least(idx, n.cast("int")))
+            idx = (F.floor(nv * F.lit(p)).cast("int") + 1)
+            return F.when(nv > 0,
+                          F.element_at(arr, F.least(idx, nv.cast("int"))))
 
         return (ev.groupBy("event_type")
                 .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"),
-                     pct(0.99).alias("p99"), n.alias("n_events")))
+                     pct(0.99).alias("p99"),
+                     F.count(F.lit(1)).alias("n_events")))
 
     q["events_value_percentiles"] = events_value_percentiles
 
@@ -528,16 +533,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(_t(sf_dir, "events"))
         arr = F.sort_array(F.collect_list("value"))
         # count NON-NULL values: collect_list drops NULLs, so a count(*)
-        # index could point past the array end (ADVICE r2)
+        # index could point past the array end (ADVICE r2); an all-NULL
+        # group is vacuously true (element_at index 0 always throws)
         n = F.count("value")
         idx = (F.floor(n * F.lit(0.5)).cast("int") + 1)
-        exact = F.element_at(arr, F.least(idx, n.cast("int")))
+        exact = F.when(n > 0, F.element_at(arr, F.least(idx, n.cast("int"))))
         approx = F.percentile_approx("value", 0.5, 10000)
-        agg = ev.groupBy("event_type").agg(exact.alias("_e"), approx.alias("_a"))
+        agg = ev.groupBy("event_type").agg(exact.alias("_e"),
+                                           approx.alias("_a"),
+                                           n.alias("_n"))
         tol = F.greatest(F.abs(F.col("_e")) * 0.02, F.lit(1e-6))
         return agg.select("event_type",
-                          (F.abs(F.col("_a") - F.col("_e")) <= tol
-                           ).alias("sketch_within_2pct"))
+                          F.when(F.col("_n") == 0, F.lit(True))
+                          .otherwise(F.abs(F.col("_a") - F.col("_e")) <= tol)
+                          .alias("sketch_within_2pct"))
 
     q["events_p50_sketch_check"] = events_p50_sketch_check
 
@@ -1041,14 +1050,17 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY user_id
     """
 
-    o["events_value_percentiles"] = """
+    # NON-NULL count for indexing + FILTER'd list, mirroring the Spark
+    # side (collect_list drops NULLs); all-NULL groups → NULL quantiles
+    _pctl = ("CASE WHEN count(value) > 0 THEN "
+             "(list_sort(list(value) FILTER (value IS NOT NULL)))"
+             "[least((floor(count(value) * {p}))::int + 1, "
+             "count(value)::int)] END")
+    o["events_value_percentiles"] = f"""
         SELECT event_type,
-               (list_sort(list(value)))[least((floor(count(*) * 0.5))::int + 1,
-                                              count(*)::int)] AS p50,
-               (list_sort(list(value)))[least((floor(count(*) * 0.9))::int + 1,
-                                              count(*)::int)] AS p90,
-               (list_sort(list(value)))[least((floor(count(*) * 0.99))::int + 1,
-                                              count(*)::int)] AS p99,
+               {_pctl.format(p=0.5)} AS p50,
+               {_pctl.format(p=0.9)} AS p90,
+               {_pctl.format(p=0.99)} AS p99,
                count(*) AS n_events
         FROM events GROUP BY event_type
     """

@@ -29,7 +29,10 @@ from khl_pdf_ocr_spark.sources.readers import read_documents, write_output
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", required=True,
+                    help="parquet: output directory (<output>/kept, "
+                         "<output>/ledger); iceberg: table-name prefix "
+                         "(<output>_kept, <output>_ledger)")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
@@ -52,21 +55,28 @@ def main(argv: list[str] | None = None) -> int:
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy, url_col=args.url_col, audit=audit)
-        write_output(kept, f"{args.output.rstrip('/')}/kept", args.format)
-        write_output(ledger, f"{args.output.rstrip('/')}/ledger", args.format)
+        # iceberg targets are TABLE IDENTIFIERS (no slashes — writeTo
+        # would throw ParseException AFTER the whole job computed);
+        # parquet targets are subdirectories
+        if args.format == "iceberg":
+            kept_t, ledger_t = f"{args.output}_kept", f"{args.output}_ledger"
+        else:
+            base = args.output.rstrip("/")
+            kept_t, ledger_t = f"{base}/kept", f"{base}/ledger"
+        write_output(kept, kept_t, args.format)
+        write_output(ledger, ledger_t, args.format)
 
         from pyspark.sql import functions as F
 
+        # stats from the READ-BACK, never the live lineage — counting
+        # the un-materialized frames would re-run the whole LSH/dedup
+        # pipeline twice
+        kept_rb = read_documents(spark, kept_t, args.format)
+        ledger_rb = read_documents(spark, ledger_t, args.format)
         by_reason = {r["reject_reason"]: r["n"] for r in
-                     spark.read.parquet(f"{args.output.rstrip('/')}/ledger")
-                     .groupBy("reject_reason")
-                     .agg(F.count(F.lit(1)).alias("n")).collect()} \
-            if args.format == "parquet" else \
-            {r["reject_reason"]: r["n"] for r in
-             ledger.groupBy("reject_reason")
-             .agg(F.count(F.lit(1)).alias("n")).collect()}
-        n_kept = (spark.read.parquet(f"{args.output.rstrip('/')}/kept").count()
-                  if args.format == "parquet" else kept.count())
+                     ledger_rb.groupBy("reject_reason")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_kept = kept_rb.count()
         stats = {
             "n_kept": n_kept,
             "rejected": by_reason,

@@ -125,13 +125,19 @@ def exact_dedup_incremental(df: DataFrame, seen_fp: DataFrame, *,
     same key, so a fingerprint-bucketed history table makes the second
     co-located.
 
-    NULL text fingerprints to a sentinel (never NULL): an equi-join on
-    a NULL key matches nothing, which would silently drop those rows
-    from BOTH kept and ledger — a row must always land in exactly one.
+    NULL text fingerprints to a PER-ROW sentinel (never NULL, never
+    shared): an equi-join on a NULL key matches nothing, which would
+    silently drop those rows from BOTH kept and ledger — and a shared
+    sentinel would make every NULL-text document a mutual duplicate
+    (one survivor per batch, all later increments blacklisted).
+    NULL-text rows therefore pass through untouched; run quality
+    filtering (clean_corpus) to reject them explicitly.  Sentinels are
+    excluded from ``new_fingerprints`` so the ledger never bloats.
     """
+    sentinel = F.concat(F.lit("\x00nulltext:"), F.col(id_col).cast("string"))
     fp = df.withColumn(
         "fingerprint",
-        F.coalesce(X.fingerprint(F.col(text_col)), F.lit("\x00nulltext")))
+        F.coalesce(X.fingerprint(F.col(text_col)), sentinel))
     mins = fp.groupBy("fingerprint").agg(F.min(F.col(id_col)).alias("_keep_id"))
     tagged = fp.join(mins, "fingerprint")
     batch_dup = (tagged.filter(F.col(id_col) != F.col("_keep_id"))
@@ -143,7 +149,8 @@ def exact_dedup_incremental(df: DataFrame, seen_fp: DataFrame, *,
                 .select(F.col(id_col).alias("id"),
                         F.lit("exact_dup_history").alias("reject_reason")))
     kept = heads.join(seen, "fingerprint", "left_anti")
-    new_fps = kept.select("fingerprint")
+    new_fps = (kept.filter(~F.col("fingerprint").startswith("\x00nulltext:"))
+               .select("fingerprint"))
     return (kept.drop("fingerprint"), new_fps,
             batch_dup.unionByName(hist_dup))
 

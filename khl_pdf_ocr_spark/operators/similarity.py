@@ -236,7 +236,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
         # KEYS come from a map-side-combined groupBy and route rows via
         # broadcast semi/anti joins — never a Window over the fat
         # embedding table.
-        dim = _resolve_dim(df, vec_col, dim)
+        try:
+            dim = _resolve_dim(df, vec_col, dim)
+        except ValueError as e:
+            raise ValueError(
+                f"{e}; alternatively disable the hot-block guard with "
+                "max_block=None (all-pairs within blocks — only safe "
+                "when no blocking value can be huge)") from None
         big_keys = _oversized_block_keys(df, block_col, max_block)
         big_rows = df.join(F.broadcast(big_keys), block_col, "left_semi")
         small_ids = (df.join(F.broadcast(big_keys), block_col, "left_anti")

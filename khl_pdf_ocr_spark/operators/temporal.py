@@ -32,6 +32,15 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "point_in_interval_join"]
 
 
+
+def _epoch_sec(c):
+    """Sub-second epoch seconds.  TIMESTAMP_NTZ has no direct DOUBLE
+    cast, so normalize through TIMESTAMP first — the session-tz shift
+    is uniform across both join sides, so gaps and bin alignment are
+    unaffected."""
+    return c.cast("timestamp").cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
               by: str | None = None, tolerance_sec: float | None = None,
               direction: str = "backward",
@@ -87,8 +96,11 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
     out = (u.withColumn("_m", matched)
            .filter(F.col("_tag") == 1))
     if tolerance_sec is not None:
-        gap = F.abs(F.unix_timestamp(F.col("_m._rt"))
-                    - F.unix_timestamp(F.col("_t")))
+        # timestamp→double keeps sub-second precision; unix_timestamp
+        # truncates to whole seconds and both admits matches beyond a
+        # sub-second tolerance and rejects ones within it
+        gap = F.abs(_epoch_sec(F.col("_m._rt"))
+                    - _epoch_sec(F.col("_t")))
         out = out.withColumn(
             "_m", F.when(gap <= F.lit(float(tolerance_sec)),
                          F.col("_m")))
@@ -109,14 +121,20 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame, *,
     size it near the median interval length.
     """
     key = [by] if by else []
+    # all bin arithmetic on timestamp→double (sub-second precision):
+    # unix_timestamp truncates to whole seconds, so an interval ending
+    # at 01:00:00.500 would never explode into the hour-1 bin and every
+    # point in that tail would be silently lost
     p = points.withColumn(
-        "_bin", F.floor(F.unix_timestamp(F.col(point_col))
+        "_bin", F.floor(_epoch_sec(F.col(point_col))
                         / F.lit(bin_width_sec)).cast("long"))
     bins = F.sequence(
-        F.floor(F.unix_timestamp(F.col(start_col)) / F.lit(bin_width_sec)),
-        # end is exclusive, but a point in the final partial bin still
-        # needs the interval present there → ceil via (end-1)/width
-        F.floor((F.unix_timestamp(F.col(end_col)) - 1) / F.lit(bin_width_sec)))
+        F.floor(_epoch_sec(F.col(start_col)) / F.lit(bin_width_sec)
+                ).cast("long"),
+        # end is exclusive: the last bin containing any point < end is
+        # ceil(end/width) - 1 (end exactly on a boundary excludes it)
+        (F.ceil(_epoch_sec(F.col(end_col)) / F.lit(bin_width_sec))
+         - 1).cast("long"))
     iv = (intervals
           .filter(F.col(end_col) > F.col(start_col))
           .withColumn("_bin", F.explode(bins)))

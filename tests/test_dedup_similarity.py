@@ -88,9 +88,11 @@ def test_exact_dedup_incremental_two_batches(spark):
 
 
 def test_exact_dedup_incremental_null_text_never_vanishes(spark):
-    """NULL-text rows must land in kept-or-ledger, never disappear
-    (an equi-join on a NULL fingerprint matches nothing — guarded by
-    the sentinel)."""
+    """NULL-text rows must land in kept-or-ledger, never disappear (an
+    equi-join on a NULL fingerprint matches nothing), and must NOT
+    collapse into one survivor — two unrelated docs that both failed
+    text extraction are not duplicates of each other (review finding).
+    Their per-row sentinels also stay out of the fingerprint ledger."""
     from khl_pdf_ocr_spark.operators.dedup import exact_dedup_incremental
 
     df = spark.createDataFrame(
@@ -98,11 +100,15 @@ def test_exact_dedup_incremental_null_text_never_vanishes(spark):
         "doc_id long, text string, source string")
     seen = spark.createDataFrame([], "fingerprint string")
     kept, fps, ledger = exact_dedup_incremental(df, seen)
-    kept_ids = {r["doc_id"] for r in kept.collect()}
-    rejected = {r["id"] for r in ledger.collect()}
-    assert kept_ids | rejected == {0, 1, 2}
-    assert kept_ids & rejected == set()
-    assert 0 in kept_ids and 1 in rejected  # NULLs grouped, min id kept
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2}
+    assert ledger.count() == 0
+    assert fps.count() == 1  # only the real fingerprint enters history
+
+    # next increment: NULL-text rows still pass through (no history hit)
+    day2 = spark.createDataFrame([(10, None, "s")],
+                                 "doc_id long, text string, source string")
+    kept2, _, ledger2 = exact_dedup_incremental(day2, fps)
+    assert kept2.count() == 1 and ledger2.count() == 0
 
 
 def test_simhash_distance_reflects_similarity(planted_docs):

@@ -170,3 +170,44 @@ def test_asof_fuzz_vs_pandas_merge_asof(spark):
             for r in want_df.itertuples()}
     got = {k: (None if pd.isna(v) else int(v)) for k, v in got.items()}
     assert got == want
+
+
+def test_asof_subsecond_tolerance(spark):
+    """Tolerance compares full-precision timestamps (review finding:
+    unix_timestamp truncation both admitted out-of-tolerance matches
+    and rejected in-tolerance ones at sub-second scales)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    snaps = spark.createDataFrame(
+        [("u", t0 + timedelta(milliseconds=100), 1)],
+        ["user_id", "ts", "version"])
+    evs = spark.createDataFrame(
+        [("in_tol", "u", t0 + timedelta(milliseconds=150)),   # gap 50 ms
+         ("out_tol", "u", t0 + timedelta(milliseconds=900))], # gap 800 ms
+        ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: r["r_version"] for r in
+           asof_join(evs, snaps, on="ts", by="user_id",
+                     tolerance_sec=0.1).collect()}
+    assert out == {"in_tol": 1, "out_tol": None}
+
+
+def test_range_join_subsecond_interval_end(spark):
+    """An interval ending at a sub-second offset past a bin boundary
+    must still catch points in the tail bin (review finding: second-
+    truncated end arithmetic never exploded the final bin)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    intervals = spark.createDataFrame(
+        [("u", t0 + timedelta(minutes=30),
+          t0 + timedelta(hours=1, milliseconds=500), 0)],
+        ["user_id", "start_ts", "end_ts", "win_id"])
+    points = spark.createDataFrame(
+        [("tail", "u", t0 + timedelta(hours=1, milliseconds=250)),
+         ("past_end", "u", t0 + timedelta(hours=1, milliseconds=600))],
+        ["event_id", "user_id", "ts"])
+    got = {r["event_id"] for r in
+           point_in_interval_join(points, intervals, by="user_id",
+                                  bin_width_sec=3600).collect()}
+    assert got == {"tail"}
