@@ -80,10 +80,16 @@ def main(argv: list[str] | None = None) -> int:
         stats = {
             "n_kept": n_kept,
             "rejected": by_reason,
-            # no-silent-caps: buckets whose candidates were chain-bounded
+            # no-silent-caps: buckets whose candidates were chain-bounded.
+            # The audit frame reads the PERSISTED banded signatures
+            # (dedup.py populates audit["persisted"]), so this count does
+            # not re-run the cleaning lineage after the outputs are
+            # already written (ADVICE r3).
             "hot_buckets": (audit["hot_buckets"].count()
                             if "hot_buckets" in audit else 0),
         }
+        for cached in audit.get("persisted", ()):
+            cached.unpersist()
         print(json.dumps(stats))
         return 0
     finally:

@@ -378,6 +378,13 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         banded = banded.join(blocks, "id")
         keys = ("band", "bh", "blk")
     if audit is not None and max_bucket is not None:
+        # the banded frame is scanned twice (candidate join + hot-bucket
+        # audit); without a persist, counting the audit AFTER the main
+        # output is written re-runs the whole signature lineage (ADVICE
+        # r3).  Narrow (id, band, bh[, blk]) rows — cheap to cache even
+        # at scale.  Caller unpersists via audit["persisted"].
+        banded = banded.persist()
+        audit.setdefault("persisted", []).append(banded)
         audit["hot_buckets"] = hot_band_buckets(banded, keys=keys,
                                                 max_bucket=max_bucket)
     cand = _band_candidates(banded, keys=keys, max_bucket=max_bucket).distinct()
@@ -547,6 +554,8 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     banded = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")) \
         .select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     if audit is not None and max_bucket is not None:
+        banded = banded.persist()  # see minhash_lsh_pairs: audit re-scan
+        audit.setdefault("persisted", []).append(banded)
         audit["hot_buckets"] = hot_band_buckets(banded, max_bucket=max_bucket)
     cand = _band_candidates(banded, extra=("simhash",), max_bucket=max_bucket,
                             chain_order="simhash")

@@ -48,7 +48,10 @@ def preflight(spark: SparkSession) -> dict:
     kernel_ok = row is not None and row["error"] == "pdf_open_error"
     return {"ok": bool(kernel_ok), "engine": "ready" if kernel_ok else "broken",
             "ocr": HAS_OCR,
-            "parallelism": spark.sparkContext.defaultParallelism}
+            "parallelism": spark.sparkContext.defaultParallelism,
+            # surfaced so the spark-submit test can assert that a
+            # submit-time --conf wins over the session factory default
+            "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions"))}
 
 
 def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:

@@ -28,6 +28,26 @@ def local_cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _submitted_conf_keys() -> set[str] | None:
+    """Config keys the operator set via ``spark-submit --conf`` or
+    ``spark-defaults.conf``.
+
+    Under spark-submit the Py4J gateway JVM already exists, so a fresh
+    ``SparkConf(loadDefaults=True)`` on that JVM reads the submit-time
+    system properties.  Returns ``None`` when introspection fails —
+    callers must then skip ALL tuning overrides rather than risk
+    clobbering cluster settings.
+    """
+    try:
+        from pyspark.context import SparkContext
+
+        SparkContext._ensure_initialized()
+        jconf = SparkContext._jvm.org.apache.spark.SparkConf(True)
+        return {kv._1() for kv in jconf.getAll()}
+    except Exception:
+        return None
+
+
 def get_spark(app_name: str = "khl-pdf-ocr-spark", *, cpus: int | None = None,
               shuffle_partitions: int | None = None, extra_conf: dict | None = None
               ) -> SparkSession:
@@ -40,6 +60,16 @@ def get_spark(app_name: str = "khl-pdf-ocr-spark", *, cpus: int | None = None,
        cluster's ``--master yarn``/``k8s://...`` ON THE DRIVER (found
        by actually running ``spark-submit --py-files``, round 3);
     3. ``local[cpus]`` for plain-python runs (tests, bench, notebooks).
+
+    Tuning configs follow the same deference rule (ADVICE r3): under
+    spark-submit, each default below is applied ONLY if the submitted
+    conf does not already set it — builder configs win over submit-time
+    ``--conf`` at session creation, so unconditionally setting e.g.
+    ``spark.sql.shuffle.partitions`` here would silently override a
+    cluster operator's ``--conf spark.sql.shuffle.partitions=2000``
+    with a value derived from the DRIVER machine's CPU count.  Explicit
+    ``shuffle_partitions=`` / ``extra_conf=`` arguments always win —
+    the caller asked for them by name.
     """
     cpus = cpus or local_cpu_count()
     shuffle = shuffle_partitions or max(32, 2 * cpus)
@@ -50,20 +80,34 @@ def get_spark(app_name: str = "khl-pdf-ocr-spark", *, cpus: int | None = None,
         b = b.master(env_master)
     elif not submitted:
         b = b.master(f"local[{cpus}]")
-    b = (
-        b
-        .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-    )
-    for k, v in (extra_conf or {}).items():
+    tuning = {
+        "spark.sql.shuffle.partitions": str(shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.parquet.compression.codec": "snappy",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    if shuffle_partitions is not None:  # explicit arg: always wins
+        forced = {"spark.sql.shuffle.partitions": str(shuffle_partitions)}
+    else:
+        forced = {}
+    if submitted:
+        # driver memory is fixed at JVM launch under spark-submit;
+        # setting it post-hoc is a silent no-op — never emit it
+        tuning.pop("spark.driver.memory", None)
+        keys = _submitted_conf_keys()
+        if keys is None:
+            tuning = {}
+        else:
+            tuning = {k: v for k, v in tuning.items() if k not in keys}
+    tuning.update(forced)
+    tuning.update(extra_conf or {})
+    for k, v in tuning.items():
         b = b.config(k, v)
     return b.getOrCreate()

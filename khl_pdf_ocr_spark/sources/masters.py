@@ -54,18 +54,26 @@ def _validate(names_df: DataFrame, master: DataFrame) -> DataFrame:
             .select("url", "name", F.col("name_key").isNotNull().alias("known")))
 
 
+def _nn(col):
+    """NULL array → empty array, matching DuckDB ``list_concat``'s
+    ignore-a-NULL-side semantics: Spark's ``concat`` is NULL-propagating,
+    so a one-sided NULL block would silently drop the OTHER side's names
+    too (latent driver-parity divergence, ADVICE r3)."""
+    return F.coalesce(col, F.array().cast("array<string>"))
+
+
 def validate_referee_names(extracted: DataFrame, referees_master: DataFrame) -> DataFrame:
     """Explode referees.{main,linesmen} → broadcast-validate each name."""
     names = extracted.select(
         "url",
-        F.explode(F.concat(F.col("referees.main"), F.col("referees.linesmen"))
-                  ).alias("name"))
+        F.explode(F.concat(_nn(F.col("referees.main")),
+                           _nn(F.col("referees.linesmen")))).alias("name"))
     return _validate(names, referees_master)
 
 
 def validate_goalie_names(extracted: DataFrame, players_master: DataFrame) -> DataFrame:
     names = extracted.select(
         "url",
-        F.explode(F.concat(F.col("goalies.home.name"), F.col("goalies.away.name"))
-                  ).alias("name"))
+        F.explode(F.concat(_nn(F.col("goalies.home.name")),
+                           _nn(F.col("goalies.away.name")))).alias("name"))
     return _validate(names, players_master)

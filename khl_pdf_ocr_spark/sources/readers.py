@@ -79,6 +79,14 @@ def write_output(df: DataFrame, path: str, fmt: str = "parquet",
         print("WARNING: iceberg runtime not on the classpath; "
               f"falling back to parquet for {path!r}", file=sys.stderr)
     if mode == "overwrite_partitions":  # parquet twin: dynamic overwrite
+        if not partition_by:
+            # partitionBy() with no columns degrades to a FULL-directory
+            # dynamic overwrite: an idempotent-resume re-run of one bucket
+            # would wipe every other bucket's completed output (ADVICE r3)
+            raise ValueError(
+                "overwrite_partitions on parquet requires partition_by "
+                "columns; an empty partition spec would overwrite the whole "
+                "directory instead of swapping this run's partitions")
         (df.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*partition_by).parquet(path))

@@ -44,12 +44,15 @@ def pkg_zip(tmp_path_factory):
     return zpath
 
 
-def _submit(pkg_zip, *args, timeout=240):
+def _submit(pkg_zip, *args, timeout=240, conf=()):
     env = {k: v for k, v in os.environ.items()}
     env.pop("SPARK_GRAFT_MASTER", None)
+    conf_args = []
+    for c in conf:
+        conf_args += ["--conf", c]
     return subprocess.run(
         [spark_submit, "--master", "local[4]",
-         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.ui.enabled=false", *conf_args,
          "--py-files", pkg_zip,
          os.path.join(REPO, "khl_pdf_ocr_spark", "cli.py"), *args],
         capture_output=True, text=True, timeout=timeout, env=env)
@@ -63,6 +66,34 @@ def test_submit_preflight_respects_submit_master(pkg_zip):
     assert res["ok"] is True
     # --master local[4] must win over the session factory's default
     assert res["parallelism"] == 4, res
+
+
+def test_submit_conf_wins_over_factory_tuning(pkg_zip):
+    """A cluster operator's --conf must survive session creation.
+
+    Builder configs win over submit-time --conf at getOrCreate, so the
+    factory must apply its tuning defaults only when absent from the
+    submitted SparkConf (ADVICE r3) — otherwise ``--conf
+    spark.sql.shuffle.partitions=2000`` on a 500-core cluster would be
+    silently replaced by a value derived from the DRIVER machine's CPU
+    count.
+    """
+    p = _submit(pkg_zip, "--preflight",
+                conf=("spark.sql.shuffle.partitions=7",))
+    assert p.returncode == 0, p.stderr[-2000:]
+    res = json.loads([ln for ln in p.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["shuffle_partitions"] == 7, res
+
+
+def test_submit_factory_default_applies_when_conf_absent(pkg_zip):
+    """Without a submit-time --conf the factory's derived default (here
+    max(32, 2*cpus) on the test host) must still be applied."""
+    p = _submit(pkg_zip, "--preflight")
+    assert p.returncode == 0, p.stderr[-2000:]
+    res = json.loads([ln for ln in p.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["shuffle_partitions"] >= 32, res
 
 
 def test_submit_extraction_byte_identical(pkg_zip, fixture_tables, tmp_path):
