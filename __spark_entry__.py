@@ -326,19 +326,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_spenders_window"] = top_spenders_window
 
-    def q6_revenue_delta(spark, sf_dir):
+    def lineitem_revenue_metrics(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # simple predicate agg (TPC-H Q6 shape)
+        # predicate agg (TPC-H Q6 shape) + conditional-ratio over a
+        # broadcast join (Q14 shape), consolidated into ONE driver slot
+        # (r3 VERDICT #4 rotation budget) — two single-row aggregates
+        # cross-joined 1×1; both capability columns stay hash-gated
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
-                          & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
-                          & (F.col("l_discount").between(0.03, 0.07))
-                          & (F.col("l_quantity") < 24))
-                .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-                     .alias("revenue_delta"),
-                     F.count(F.lit(1)).alias("n_items")))
+        part = spark.read.parquet(_t(sf_dir, "part"))
+        q6 = (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+                        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
+                        & (F.col("l_discount").between(0.03, 0.07))
+                        & (F.col("l_quantity") < 24))
+              .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                   .alias("revenue_delta"),
+                   F.count(F.lit(1)).alias("n_discounted_items")))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+        q14 = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .agg(_r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+                    .alias("promo_pct"),
+                    F.count(F.lit(1)).alias("n_part_items")))
+        return q6.crossJoin(q14)
 
-    q["q6_revenue_delta"] = q6_revenue_delta
+    q["lineitem_revenue_metrics"] = lineitem_revenue_metrics
 
     def q12_shipmode_priority(spark, sf_dir):
         # join + conditional aggregation (TPC-H Q12 shape)
@@ -351,19 +362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(1 - high).alias("low_priority")))
 
     q["q12_shipmode_priority"] = q12_shipmode_priority
-
-    def q14_promo_ratio(spark, sf_dir):
-        # conditional-aggregate ratio over a broadcast join (TPC-H Q14 shape)
-        li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        part = spark.read.parquet(_t(sf_dir, "part"))
-        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
-        return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-                .agg(_r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
-                     .alias("promo_pct"),
-                     F.count(F.lit(1)).alias("n_items")))
-
-    q["q14_promo_ratio"] = q14_promo_ratio
 
     def q18_large_orders(spark, sf_dir):
         # group-by + HAVING on an aggregate (TPC-H Q18 shape)
@@ -396,17 +394,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suppliers_with_big_items_semi"] = suppliers_with_big_items_semi
 
-    def events_first3_types(spark, sf_dir):
-        # array slicing shadow of names[:2]/[2:4] (app.py:227-228):
-        # first 3 event types per user in time order
+    def events_seq_features(spark, sf_dir):
+        # array slicing shadow of names[:2]/[2:4] (app.py:227-228) AND
+        # the group-concat line-reconstruction shadow (app.py:110-116),
+        # consolidated into one slot (r3 VERDICT #4): ONE collect_list
+        # pass feeds both the first-3 slice and the full ordered
+        # sequence — strictly cheaper than the two separate queries
         ev = spark.read.parquet(_t(sf_dir, "events"))
         packed = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+        types = F.transform(packed, lambda s: s["event_type"])
         return (ev.groupBy("user_id")
-                .agg(F.concat_ws(
-                    " ", F.slice(F.transform(packed, lambda s: s["event_type"]), 1, 3)
-                ).alias("first3")))
+                .agg(F.concat_ws(" ", F.slice(types, 1, 3)).alias("first3"),
+                     F.concat_ws(" ", types).alias("type_seq")))
 
-    q["events_first3_types"] = events_first3_types
+    q["events_seq_features"] = events_seq_features
+
+    def doc_canonical_urls(spark, sf_dir):
+        # URL canonicalization (functions/urls.py) in the driver window
+        # (r3 VERDICT #4).  documents carries no url column, so both
+        # engines construct the same deterministic "messy" URL per doc
+        # (6 variants: tracking params + unsorted query, default ports,
+        # case-shifted hosts, fragments, trailing slash, bare non-URL,
+        # non-default port + duplicate params) and then canonicalize
+        # INDEPENDENTLY — Spark via the built-in-expression operator,
+        # DuckDB via its own regexp/list implementation.
+        from khl_pdf_ocr_spark.functions.urls import canonical_url
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        m = F.pmod(F.col("doc_id"), F.lit(6))
+        d = F.col("doc_id").cast("string")
+        s = F.col("source")
+        raw = (F.when(m == 0, F.concat(F.lit("HTTP://WWW."), s,
+                                       F.lit(".Example.com:80/a/"), d,
+                                       F.lit("/?utm_source=feed&b=2&a=1#frag")))
+               .when(m == 1, F.concat(F.lit("https://"), s,
+                                      F.lit(".example.com:443/p/"), d, F.lit("/")))
+               .when(m == 2, F.concat(F.lit("https://"), s,
+                                      F.lit(".Example.com/d/"), d,
+                                      F.lit("?z=9&y=8&utm_campaign=x")))
+               .when(m == 3, F.concat(F.lit("http://"), s,
+                                      F.lit(".example.com/?fbclid=abc"), d))
+               .when(m == 4, F.concat(F.lit("not a url "), d, F.lit(" #frag")))
+               .otherwise(F.concat(F.lit("https://example.com:8080/x/"), d,
+                                   F.lit("?a=1&a=1"))))
+        return docs.select("doc_id", raw.alias("url_raw"),
+                           canonical_url(raw).alias("url_canonical"))
+
+    q["doc_canonical_urls"] = doc_canonical_urls
 
     def doc_normalized_preview(spark, sf_dir):
         # string-function pipeline: lower → strip punct → collapse ws → prefix
@@ -451,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_sessionize(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # gap-based sessionization + (folded in per r3 VERDICT #4) the
+        # top-quartile band filter of the value extent — the relational
+        # shadow of app.py:165-169 — as two more per-user columns
         ev = spark.read.parquet(_t(sf_dir, "events"))
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -458,10 +495,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sess = (ev.withColumn("new_sess", new_sess)
                 .withColumn("session_id", F.sum("new_sess").over(
                     w.rowsBetween(Window.unboundedPreceding, 0))))
-        return (sess.groupBy("user_id")
-                .agg(F.max("session_id").alias("n_sessions"),
-                     F.count(F.lit(1)).alias("n_events"))
-                .select("user_id", "n_sessions", "n_events"))
+        sessions = (sess.groupBy("user_id")
+                    .agg(F.max("session_id").alias("n_sessions"),
+                         F.count(F.lit(1)).alias("n_events")))
+        wb = Window.partitionBy("user_id")
+        cut = F.min("value").over(wb) \
+            + 0.25 * (F.max("value").over(wb) - F.min("value").over(wb))
+        band = (ev.withColumn("cut", cut)
+                .filter(F.col("value") <= F.col("cut"))
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_low"),
+                     _r(F.sum("value"), 2).alias("sum_low")))
+        return (sessions.join(band, "user_id", "left")
+                .select("user_id", "n_sessions", "n_events", "n_low", "sum_low"))
 
     q["events_sessionize"] = events_sessionize
 
@@ -476,31 +522,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_rollup"] = events_hourly_rollup
 
-    def events_band_filter(spark, sf_dir):
-        # relational shadow of the reference's top-25%-of-extent band
-        # (app.py:165-169): per user, events in the top quartile band of
-        # the value extent
+    def events_asof_enrich(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the as-of join operator (operators/temporal.py) in the driver
+        # window (r3 VERDICT #4): enrich every event with the latest
+        # 6-hourly per-user "profile snapshot" at or before it.  The
+        # snapshot dimension derives deterministically from the events
+        # table itself in BOTH engines; DuckDB's native ASOF LEFT JOIN
+        # is the oracle.
+        from khl_pdf_ocr_spark.operators.temporal import asof_join
+
         ev = spark.read.parquet(_t(sf_dir, "events"))
-        w = Window.partitionBy("user_id")
-        cut = F.min("value").over(w) + 0.25 * (F.max("value").over(w) - F.min("value").over(w))
-        return (ev.withColumn("cut", cut)
-                .filter(F.col("value") <= F.col("cut"))
-                .groupBy("user_id")
-                .agg(F.count(F.lit(1)).alias("n_low"),
-                     _r(F.sum("value"), 2).alias("sum_low")))
+        snaps = (ev.groupBy("user_id")
+                 .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+                 .select("user_id", F.explode(F.sequence(
+                     F.date_trunc("hour", "t0"), "t1",
+                     F.expr("INTERVAL 6 HOURS"))).alias("ts"))
+                 .withColumn("version",
+                             (F.unix_timestamp("ts") / 3600).cast("long")))
+        out = asof_join(ev.select("event_id", "user_id", "ts"),
+                        snaps, on="ts", by="user_id")
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("snap_ts"),
+            F.col("r_version").alias("snap_version"))
 
-    q["events_band_filter"] = events_band_filter
+    q["events_asof_enrich"] = events_asof_enrich
 
-    def events_group_concat(spark, sf_dir):
-        # relational shadow of line reconstruction (group-concat ordered
-        # by coordinate, app.py:110-116)
+    def events_in_intervals(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the range (point-in-interval) join operator (temporal.py) in
+        # the driver window (r3 VERDICT #4): per-user maintenance
+        # windows [t0 + 8k h, +3h), k = 0..2, derived from the events
+        # table in both engines; oracle = plain range predicates.
+        from khl_pdf_ocr_spark.operators.temporal import point_in_interval_join
+
         ev = spark.read.parquet(_t(sf_dir, "events"))
-        packed = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
-        return (ev.groupBy("user_id")
-                .agg(F.concat_ws(" ", F.transform(packed, lambda s: s["event_type"])
-                                 ).alias("type_seq")))
+        intervals = (ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+                     .select("user_id", F.explode(F.array(*[
+                         F.struct(
+                             (F.col("t0") + F.expr(f"INTERVAL {8*k} HOURS")
+                              ).alias("start_ts"),
+                             (F.col("t0") + F.expr(f"INTERVAL {8*k+3} HOURS")
+                              ).alias("end_ts"),
+                             F.lit(k).alias("win_id")) for k in range(3)]
+                     )).alias("w"))
+                     .select("user_id", "w.start_ts", "w.end_ts", "w.win_id"))
+        out = point_in_interval_join(
+            ev.select("event_id", "user_id", "ts"), intervals,
+            point_col="ts", by="user_id", bin_width_sec=3600)
+        return out.select("event_id", "user_id",
+                          F.col("win_id").cast("long").alias("win_id"))
 
-    q["events_group_concat"] = events_group_concat
+    q["events_in_intervals"] = events_in_intervals
 
     def events_value_percentiles(spark, sf_dir):
         # exact order-statistics percentiles (sorted-list indexing, the
@@ -602,14 +676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # language ID — consolidated from three round-2 queries per the
         # verdict's 50-query-window budget; every column stays
         # hash-gated)
+        # staged shared-count projection (text_analytics) — each
+        # distinct count computed once; values byte-identical to the
+        # naive per-column select (r3 VERDICT #6, BENCH.md §4.13)
         docs = spark.read.parquet(_t(sf_dir, "documents"))
-        c = F.col("text")
-        return docs.select("doc_id",
-                           X.token_count(c).cast("long").alias("n_tokens"),
-                           X.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
-                           X.stopword_count(c).cast("long").alias("n_stopwords"),
-                           X.quality_score(c).alias("quality"),
-                           X.lang_id(c).alias("lang_pred"))
+        return X.text_analytics(docs)
 
     q["doc_text_analytics"] = doc_text_analytics
 
@@ -814,14 +885,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_boilerplate_strip", "masters_validate_referees",
         "extract_words_mode", "extract_refs_mode", "extract_goalies_mode",
         "ocr_fallback_subset", "url_construction", "media_image_features",
+        # round-4 rotation (r3 VERDICT #4): the three round-3 operators
+        # placed EARLY (same never-verified-tail rationale as r3)
+        "events_asof_enrich", "events_in_intervals", "doc_canonical_urls",
         "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-        "scan_filter_project", "top_spenders_window", "q6_revenue_delta",
-        "q12_shipmode_priority", "q14_promo_ratio", "q18_large_orders",
+        "scan_filter_project", "top_spenders_window",
+        "lineitem_revenue_metrics",
+        "q12_shipmode_priority", "q18_large_orders",
         "customers_without_orders", "suppliers_with_big_items_semi",
-        "events_first3_types", "doc_normalized_preview",
+        "events_seq_features", "doc_normalized_preview",
         "lineitem_grouping_sets", "orders_distinct_customers",
-        "events_sessionize", "events_hourly_rollup", "events_band_filter",
-        "events_group_concat", "events_value_percentiles",
+        "events_sessionize", "events_hourly_rollup",
+        "events_value_percentiles",
         "events_p50_sketch_check", "orders_hll_distinct_check",
         "orders_monthly_trend", "events_props_extract",
         "doc_text_analytics", "doc_fingerprint_dedup",
@@ -844,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # stopword or punctuation char in functions/text.py updates both sides
 _SW = X.STOPWORD_RE
 _PUNCT = X.PUNCT_RE
+
+from khl_pdf_ocr_spark.functions.urls import TRACKING_PARAM_RE as _TRACKING_RE  # noqa: E402
 
 # the driver's correctness comparisons run at this scale factor; the ANN
 # oracles embed probe sets / plane / centroid literals derived from it
@@ -1019,9 +1096,21 @@ def oracle_sql() -> dict[str, str]:
                  (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING))::bigint AS session_id
           FROM flagged
+        ), sessions AS (
+          SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+          FROM sess GROUP BY user_id
+        ), banded AS (
+          SELECT user_id, value,
+                 min(value) OVER w + 0.25 * (max(value) OVER w - min(value) OVER w) AS cut
+          FROM events
+          WINDOW w AS (PARTITION BY user_id)
+        ), band AS (
+          SELECT user_id, count(*) AS n_low,
+                 floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_low
+          FROM banded WHERE value <= cut GROUP BY user_id
         )
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
-        FROM sess GROUP BY user_id
+        SELECT s.user_id, s.n_sessions, s.n_events, b.n_low, b.sum_low
+        FROM sessions s LEFT JOIN band b USING (user_id)
     """
 
     o["events_hourly_rollup"] = """
@@ -1033,19 +1122,41 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
-    o["events_band_filter"] = """
-        WITH banded AS (
-          SELECT user_id, value,
-                 min(value) OVER w + 0.25 * (max(value) OVER w - min(value) OVER w) AS cut
-          FROM events
-          WINDOW w AS (PARTITION BY user_id)
+    o["events_asof_enrich"] = """
+        WITH snaps AS (
+          SELECT user_id, unnest(generate_series(
+                   date_trunc('hour', min(ts)), max(ts), INTERVAL 6 HOUR)) AS ts
+          FROM events GROUP BY user_id
+        ), versioned AS (
+          SELECT user_id, ts, (epoch(ts) / 3600)::bigint AS version FROM snaps
         )
-        SELECT user_id, count(*) AS n_low, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_low
-        FROM banded WHERE value <= cut GROUP BY user_id
+        SELECT ev.event_id, ev.user_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS snap_ts,
+               v.version AS snap_version
+        FROM events ev ASOF LEFT JOIN versioned v
+          ON ev.user_id = v.user_id AND ev.ts >= v.ts
     """
 
-    o["events_group_concat"] = """
+    o["events_in_intervals"] = """
+        WITH t0s AS (
+          SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+        ), intervals AS (
+          SELECT user_id,
+                 t0 + (k * INTERVAL 8 HOUR) AS start_ts,
+                 t0 + (k * INTERVAL 8 HOUR) + INTERVAL 3 HOUR AS end_ts,
+                 k AS win_id
+          FROM t0s CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+        )
+        SELECT ev.event_id, ev.user_id, iv.win_id::bigint AS win_id
+        FROM events ev JOIN intervals iv
+          ON ev.user_id = iv.user_id
+         AND ev.ts >= iv.start_ts AND ev.ts < iv.end_ts
+    """
+
+    o["events_seq_features"] = """
         SELECT user_id,
+               array_to_string((list(event_type ORDER BY ts, event_id))[1:3], ' ')
+                   AS first3,
                string_agg(event_type, ' ' ORDER BY ts, event_id) AS type_seq
         FROM events GROUP BY user_id
     """
@@ -1167,15 +1278,25 @@ def oracle_sql() -> dict[str, str]:
                                            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
     """
 
-    o["q6_revenue_delta"] = """
-        SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0
-                   AS revenue_delta,
-               count(*) AS n_items
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-          AND l_shipdate < TIMESTAMP '1999-01-01'
-          AND l_discount BETWEEN 0.03 AND 0.07
-          AND l_quantity < 24
+    o["lineitem_revenue_metrics"] = """
+        SELECT * FROM (
+          SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0
+                     AS revenue_delta,
+                 count(*) AS n_discounted_items
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate < TIMESTAMP '1999-01-01'
+            AND l_discount BETWEEN 0.03 AND 0.07
+            AND l_quantity < 24
+        ) CROSS JOIN (
+          SELECT floor((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                         THEN l_extendedprice * (1 - l_discount)
+                                         ELSE 0.0 END)
+                        / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+                     / 10000.0 AS promo_pct,
+                 count(*) AS n_part_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
     """
 
     o["q12_shipmode_priority"] = """
@@ -1186,16 +1307,6 @@ def oracle_sql() -> dict[str, str]:
                          THEN 0 ELSE 1 END))::bigint AS low_priority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_linestatus
-    """
-
-    o["q14_promo_ratio"] = """
-        SELECT floor((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                       THEN l_extendedprice * (1 - l_discount)
-                                       ELSE 0.0 END)
-                      / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
-                   / 10000.0 AS promo_pct,
-               count(*) AS n_items
-        FROM lineitem JOIN part ON l_partkey = p_partkey
     """
 
     o["q18_large_orders"] = """
@@ -1222,11 +1333,74 @@ def oracle_sql() -> dict[str, str]:
                       WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
     """
 
-    o["events_first3_types"] = """
-        SELECT user_id,
-               array_to_string((list(event_type ORDER BY ts, event_id))[1:3], ' ')
-                   AS first3
-        FROM events GROUP BY user_id
+    # doc_canonical_urls: both engines build the SAME messy URL per doc
+    # (shared CASE construction), then canonicalize INDEPENDENTLY — the
+    # DuckDB side below reimplements the algorithm with its own
+    # regexp/list functions (RE2 + list_filter/list_sort), sharing only
+    # the tracking-param regex constant with the Spark operator
+    _trk = _TRACKING_RE          # '^(utm_...|fbclid|...)='
+    _trk_bare = _TRACKING_RE[:-1] + "$"  # param with no '=value'
+    o["doc_canonical_urls"] = f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE (doc_id % 6)
+                   WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.com:80/a/'
+                               || doc_id || '/?utm_source=feed&b=2&a=1#frag'
+                   WHEN 1 THEN 'https://' || source || '.example.com:443/p/'
+                               || doc_id || '/'
+                   WHEN 2 THEN 'https://' || source || '.Example.com/d/'
+                               || doc_id || '?z=9&y=8&utm_campaign=x'
+                   WHEN 3 THEN 'http://' || source || '.example.com/?fbclid=abc'
+                               || doc_id
+                   WHEN 4 THEN 'not a url ' || doc_id || ' #frag'
+                   ELSE 'https://example.com:8080/x/' || doc_id || '?a=1&a=1'
+                 END AS url_raw
+          FROM documents
+        ), base AS (
+          SELECT doc_id, url_raw,
+                 regexp_replace(url_raw, '#.*$', '') AS nofrag
+          FROM raw
+        ), parts AS (
+          SELECT *,
+                 lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                     AS scheme,
+                 regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM base
+        ), hp AS (
+          SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM parts
+        ), pq AS (
+          SELECT *, substr(rest, length(hostport) + 1) AS pathq,
+                 CASE WHEN scheme = 'http'
+                        THEN regexp_replace(lower(hostport), ':80$', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(lower(hostport), ':443$', '')
+                      ELSE lower(hostport) END AS host
+          FROM hp
+        ), split2 AS (
+          SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+                 CASE WHEN contains(pathq, '?')
+                      THEN regexp_replace(pathq, '^[^?]*\\?', '')
+                      ELSE '' END AS query
+          FROM pq
+        ), fixed AS (
+          SELECT *,
+                 CASE WHEN path0 = '' THEN '/'
+                      ELSE regexp_replace(path0, '(.)/$', '\\1') END AS path,
+                 array_to_string(list_sort(list_filter(
+                     string_split(query, '&'),
+                     p -> length(p) > 0
+                          AND NOT regexp_matches(lower(p), '{_trk}')
+                          AND NOT regexp_matches(lower(p), '{_trk_bare}'))),
+                     '&') AS sorted_q
+          FROM split2
+        )
+        SELECT doc_id, url_raw,
+               CASE WHEN scheme = '' THEN nofrag
+                    ELSE scheme || '://' || host || path ||
+                         CASE WHEN length(sorted_q) > 0
+                              THEN '?' || sorted_q ELSE '' END
+               END AS url_canonical
+        FROM fixed
     """
 
     o["doc_normalized_preview"] = f"""

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 __all__ = ["EN_STOPWORDS", "STOPWORD_RE", "PUNCT_RE", "DIGIT_RE", "CYRILLIC_RE",
            "BPE_TOKEN_RE", "tokens", "token_count", "stopword_count",
            "punct_count", "digit_count", "cyrillic_count", "bpe_token_count",
-           "quality_score", "lang_id", "normalized_text", "fingerprint",
+           "quality_score", "lang_id", "text_analytics", "normalized_text", "fingerprint",
            "with_winnow_fingerprint"]
 
 # tiny, fixed stopword list — a deterministic heuristic, not linguistics
@@ -76,7 +76,10 @@ def bpe_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, *, n_tok: Column | None = None,
+                  n_sw: Column | None = None, n_dig: Column | None = None,
+                  n_punct: Column | None = None,
+                  n_chr: Column | None = None) -> Column:
     """Deterministic [0,1] quality heuristic (length / punctuation /
     stopword / digit signals) — the web-scale "keep this document?"
     scoring stage of a training-data pipeline.
@@ -85,31 +88,76 @@ def quality_score(col: Column) -> Column:
               + 0.3*min(1, 5*stopwords/tokens)   (natural language)
               + 0.2*(1 - min(1, 10*digits/chars))(not a number dump)
               + 0.1*(1 - min(1, 10*punct/chars)) (not markup soup)
+
+    The keyword columns let ``text_analytics`` substitute counts it
+    already computed (same expression tree, shared operands — so the
+    fused query can never drift from the standalone one).
     """
     from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
-    n_tok = token_count(col).cast("double")
-    n_chr = F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    n_tok = (token_count(col) if n_tok is None else n_tok).cast("double")
+    if n_chr is None:
+        n_chr = F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    n_sw = stopword_count(col) if n_sw is None else n_sw
+    n_dig = digit_count(col) if n_dig is None else n_dig
+    n_punct = punct_count(col) if n_punct is None else n_punct
     safe_tok = F.greatest(n_tok, F.lit(1.0))
     return round_half_up(
         F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
         + F.lit(0.3) * F.least(F.lit(1.0),
-                               F.lit(5.0) * stopword_count(col).cast("double") / safe_tok)
+                               F.lit(5.0) * n_sw.cast("double") / safe_tok)
         + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0),
-                                             F.lit(10.0) * digit_count(col).cast("double") / n_chr))
+                                             F.lit(10.0) * n_dig.cast("double") / n_chr))
         + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0),
-                                             F.lit(10.0) * punct_count(col).cast("double") / n_chr)),
+                                             F.lit(10.0) * n_punct.cast("double") / n_chr)),
         4)
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, *, n_cyr: Column | None = None,
+            n_sw: Column | None = None, n_chr: Column | None = None) -> Column:
     """Character/stopword n-gram heuristic → 'ru' / 'en' / 'other'."""
-    n_chr = F.greatest(F.length(col).cast("double"), F.lit(1.0))
-    cyr_ratio = cyrillic_count(col).cast("double") / n_chr
-    sw = stopword_count(col)
-    return (F.when(cyr_ratio > 0.3, F.lit("ru"))
+    if n_chr is None:
+        n_chr = F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    cyr = cyrillic_count(col) if n_cyr is None else n_cyr
+    sw = stopword_count(col) if n_sw is None else n_sw
+    return (F.when(cyr.cast("double") / n_chr > 0.3, F.lit("ru"))
             .when(sw >= 3, F.lit("en"))
             .otherwise(F.lit("other")))
+
+
+def text_analytics(df, text_col: str = "text",
+                   id_cols: tuple[str, ...] = ("doc_id",)):
+    """The full per-document analytics projection, staged so each
+    distinct count (whitespace tokens, BPE-ish tokens, stopwords,
+    digits, punctuation, Cyrillic chars, length) is computed ONCE and
+    every derived column reuses it — the naive 5-column select
+    recomputes stopword_count 3× and token_count 2× across
+    quality_score/lang_id (r3 VERDICT #6; measured at sf0.1/48k docs:
+    0.61 s staged vs 0.72 s naive, byte-identical values — the
+    remaining cost is the irreducible distinct regex passes, see
+    BENCH.md §4.13).  Output: id_cols + n_tokens, n_bpe_tokens,
+    n_stopwords, quality, lang_pred."""
+    c = F.col(text_col)
+    s1 = df.select(
+        *id_cols,
+        token_count(c).alias("_ntok"),
+        stopword_count(c).alias("_nsw"),
+        digit_count(c).alias("_ndig"),
+        punct_count(c).alias("_npun"),
+        cyrillic_count(c).alias("_ncyr"),
+        bpe_token_count(c).alias("_nbpe"),
+        F.greatest(F.length(c).cast("double"), F.lit(1.0)).alias("_nchr"))
+    dummy = F.lit("")  # every count is substituted; col itself unused
+    return s1.select(
+        *id_cols,
+        F.col("_ntok").cast("long").alias("n_tokens"),
+        F.col("_nbpe").cast("long").alias("n_bpe_tokens"),
+        F.col("_nsw").cast("long").alias("n_stopwords"),
+        quality_score(dummy, n_tok=F.col("_ntok"), n_sw=F.col("_nsw"),
+                      n_dig=F.col("_ndig"), n_punct=F.col("_npun"),
+                      n_chr=F.col("_nchr")).alias("quality"),
+        lang_id(dummy, n_cyr=F.col("_ncyr"), n_sw=F.col("_nsw"),
+                n_chr=F.col("_nchr")).alias("lang_pred"))
 
 
 def normalized_text(col: Column) -> Column:

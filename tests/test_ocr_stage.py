@@ -127,7 +127,9 @@ def test_ocr_stage_improves_failed_rows(phase1):
     n_failed = needs_ocr(out).count()
     assert n_failed > 0
 
-    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(_make_fake_engine()))
+    handles: list = []
+    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(_make_fake_engine()),
+                               cache=handles)
     merged.cache()
     try:
         assert merged.count() == out.count()  # no dupes, no losses
@@ -146,7 +148,7 @@ def test_ocr_stage_improves_failed_rows(phase1):
         assert needs_ocr(merged).count() == n_failed - n_improved
     finally:
         merged.unpersist()
-        unpersist_ocr_cache(merged)
+        unpersist_ocr_cache(handles)
 
 
 def test_partial_improvement_keeps_phase1_row(spark, phase1):
@@ -160,10 +162,12 @@ def test_partial_improvement_keeps_phase1_row(spark, phase1):
             return ["Главный судья Линейный судья", "Иванов Петр мусор"]
         return []  # no goalies found either
 
-    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(weak_engine))
+    handles: list = []
+    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(weak_engine),
+                               cache=handles)
     assert merged.count() == out.count()
     assert merged.filter(F.col("detail") == "ocr_improved").count() == 0
-    unpersist_ocr_cache(merged)
+    unpersist_ocr_cache(handles)
 
 
 def test_with_ocr_fallback_composes_lazily(spark, phase1):
@@ -171,11 +175,13 @@ def test_with_ocr_fallback_composes_lazily(spark, phase1):
     docs, out = phase1
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
-    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(_make_fake_engine()))
+    handles: list = []
+    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(_make_fake_engine()),
+                               cache=handles)
     _ = merged.schema  # analysis only
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
-    unpersist_ocr_cache(merged)
+    unpersist_ocr_cache(handles)
 
 
 def test_ocr_engine_runs_once_per_failed_doc(spark, phase1):
@@ -193,12 +199,14 @@ def test_ocr_engine_runs_once_per_failed_doc(spark, phase1):
                     "Иванов Петр Сидоров Алексей Кузнецов Дмитрий Смирнов Олег"]
         return ["30 Вратарев Лев С"] if kind == "gk_left" else ["1 Страж Прав Р"]
 
-    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(counting_engine))
+    handles: list = []
+    merged = with_ocr_fallback(out, docs, ocr_stage=make_ocr_stage(counting_engine),
+                               cache=handles)
     merged.count()          # materializes anti-join side AND union side
     first = calls.value
     # every failed doc needing refs OCR'd at most once across both branches
     assert 0 < first <= n_failed
-    unpersist_ocr_cache(merged)
+    unpersist_ocr_cache(handles)
 
 
 def test_ocr_stage_mode_threading(spark, fixture_tables):
@@ -207,8 +215,10 @@ def test_ocr_stage_mode_threading(spark, fixture_tables):
     docs_path, _ = fixture_tables
     docs = spark.read.parquet(docs_path)
     out = extract_documents(docs, mode="refs")
+    handles: list = []
     merged = with_ocr_fallback(
-        out, docs, ocr_stage=make_ocr_stage(_make_fake_engine(), mode="refs"))
+        out, docs, ocr_stage=make_ocr_stage(_make_fake_engine(), mode="refs"),
+        cache=handles)
     merged.cache()
     try:
         improved = merged.filter(F.col("detail") == "ocr_improved")
@@ -220,7 +230,7 @@ def test_ocr_stage_mode_threading(spark, fixture_tables):
         assert improved.filter(F.size("goalies.home") > 0).count() == 0
     finally:
         merged.unpersist()
-        unpersist_ocr_cache(merged)
+        unpersist_ocr_cache(handles)
 
 
 def test_debug_ocr_unified_schema(spark, fixture_tables, tmp_path):
