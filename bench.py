@@ -93,6 +93,55 @@ def median_extraction(spark, docs_path: str, out_base: str, runs: int = 3) -> di
     return results[len(results) // 2]
 
 
+def run_extraction_compute_only(spark, docs_path: str) -> dict:
+    """The same extraction job with the parquet write swapped for the
+    noop sink — isolates kernel+scan cost from disk writeback, the
+    variable the r3 VERDICT asked to pin down (write-inclusive runs
+    ranged 4.0k-17.0k docs/s across rounds on this host's shared disk)."""
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet(docs_path)
+    n = docs.count()
+    t0 = time.time()
+    extract_documents(docs).write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    return {"n_docs": n, "elapsed_s": round(elapsed, 3),
+            "docs_per_sec": round(n / elapsed, 2)}
+
+
+def isolate(cpus: int) -> dict:
+    """Same-hour A/B (r3 VERDICT #1): write-inclusive vs compute-only
+    extraction + an unchanged control query, one JSON line.  Run with
+    the machine otherwise idle; compare against BENCH.md §1/§3."""
+    import __spark_entry__ as entrymod
+    from khl_pdf_ocr_spark.session import get_spark
+
+    docs_path = bench_corpus()
+    spark = get_spark(f"bench-isolate-{cpus}", cpus=cpus,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "8388608"})
+    out: dict = {"cpus": cpus, "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                    time.gmtime())}
+    # control: unchanged-since-r1 codegen aggregate (cold then warm)
+    q1 = entrymod.queries()["q1_pricing_summary"](spark, SF_DIR)
+    t0 = time.time(); q1.collect(); out["q1_cold_s"] = round(time.time() - t0, 3)
+    t0 = time.time(); q1.collect(); out["q1_warm_s"] = round(time.time() - t0, 3)
+    # warm-up extraction pass, then interleaved A/B medians (3 each)
+    base = os.path.join(REPO, ".bench_cache", "iso")
+    run_extraction_job(spark, docs_path, base + "_warmup")
+    writes, computes = [], []
+    for i in range(3):
+        writes.append(run_extraction_job(spark, docs_path, f"{base}_w{i}"))
+        computes.append(run_extraction_compute_only(spark, docs_path))
+    writes.sort(key=lambda r: r["elapsed_s"])
+    computes.sort(key=lambda r: r["elapsed_s"])
+    out["write_inclusive"] = writes[1]
+    out["compute_only"] = computes[1]
+    out["write_all_runs"] = [r["docs_per_sec"] for r in writes]
+    out["compute_all_runs"] = [r["docs_per_sec"] for r in computes]
+    spark.stop()
+    return out
+
+
 def extract_only(cpus: int) -> None:
     from khl_pdf_ocr_spark.session import get_spark
 
@@ -133,6 +182,9 @@ def scaling(cpus_big: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--isolate", action="store_true",
+                    help="same-hour write vs compute-only A/B + control "
+                         "query (r3 VERDICT #1)")
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--scaling-big", type=int,
@@ -148,6 +200,10 @@ def main() -> None:
 
     if args.scaling:
         print(json.dumps(scaling(args.scaling_big)))
+        return
+
+    if args.isolate:
+        print(json.dumps(isolate(args.cpus)))
         return
 
     import __spark_entry__ as entrymod

@@ -95,10 +95,28 @@ def lines_from_words(words, tolerance: float = 3.0) -> list[str]:
     eps = tolerance * 1e-9 + 1e-12
     use_bisect = False
     for y, x, t in words:
+        # O(1) exact-key fast path: if y IS an existing cluster key,
+        # that key is provably the first insertion-order match — every
+        # key inserted before it was outside tolerance of this exact y
+        # when it was created (else y's key would never have been
+        # created), and it matches itself at distance 0 before any
+        # later key is reached.  PDF words on one text line share an
+        # identical rounded y, so most words take this path.  (-0.0
+        # hashes/compares equal to 0.0 with identical distances, and a
+        # NaN y misses the dict just as it fails every abs predicate.)
+        row = rows.get(y)
+        if row is not None:
+            row.append((x, t))
+            continue
         key = None
         if not use_bisect:
-            for ky in rows.keys():        # the reference's exact loop
-                if abs(ky - y) <= tolerance:
+            # the reference's exact loop; ``-tol <= d <= tol`` IS
+            # ``abs(d) <= tol`` for every float (incl. ±0/NaN) with d
+            # computed identically — same predicate, no builtin call
+            # (abs() alone was 5% of kernel tottime in the r4 profile)
+            for ky in rows:
+                d = ky - y
+                if -tolerance <= d <= tolerance:
                     key = ky
                     break
         else:
@@ -106,7 +124,8 @@ def lines_from_words(words, tolerance: float = 3.0) -> list[str]:
             hi = bisect.bisect_right(sorted_keys, y + tolerance + eps)
             best = -1
             for ky in sorted_keys[lo:hi]:
-                if abs(ky - y) <= tolerance:  # the exact predicate
+                d = ky - y
+                if -tolerance <= d <= tolerance:  # the exact predicate
                     idx = order[ky]
                     if best == -1 or idx < best:  # FIRST in insertion order
                         best = idx
@@ -122,9 +141,12 @@ def lines_from_words(words, tolerance: float = 3.0) -> list[str]:
                 order = {k: i for i, k in enumerate(rows)}
                 sorted_keys = sorted(rows)
         rows[key].append((x, t))
-    lines = []
+    from operator import itemgetter
+
+    get_x = itemgetter(0)  # stable x-sort; ties keep insertion order,
+    lines = []             # same as the reference's key=lambda
     for ky in sorted(rows.keys()):
-        items = sorted(rows[ky], key=lambda r: r[0])
+        items = sorted(rows[ky], key=get_x)
         line = RE_WS.sub(" ", " ".join(t for _, t in items).strip())
         if line:
             lines.append(line)

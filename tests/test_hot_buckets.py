@@ -122,3 +122,19 @@ def test_ngram_big_block_routes_through_lsh(spark):
     assert guarded == exact
     # no cross-block pairs leaked through the LSH fallback
     assert not any(a < 100 <= b for a, b, _ in guarded)
+
+
+def test_audit_banded_frame_is_persisted(clumped_docs):
+    """Counting the hot-bucket audit AFTER the pairs are materialized
+    must reuse the persisted banded signatures, not re-run the whole
+    signature lineage (r3 ADVICE: clean_cli's post-write stats count
+    nearly doubled job cost)."""
+    audit: dict = {}
+    pairs = minhash_lsh_pairs(clumped_docs, verify_threshold=0.9, audit=audit)
+    cached = audit["persisted"]
+    assert len(cached) == 1
+    assert cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
+    pairs.count()                       # materialize → populates the cache
+    assert audit["hot_buckets"].count() > 0   # served from the cache
+    for frame in cached:
+        frame.unpersist()

@@ -267,3 +267,74 @@ def test_winnow_fingerprint_edit_robustness(spark):
     again = {r["doc_id"]: set(r["winnow_fp"])
              for r in with_winnow_fingerprint(df).collect()}
     assert again == fp
+
+
+# ---------------------------------------------------------------------------
+# video on real bytes: PPMV container (r3 VERDICT #8)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_frame(w, h, shade):
+    """Solid-shade P6 frame — real header + real raster bytes."""
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + bytes([shade % 256, (shade * 3) % 256, (shade * 7) % 256]) * (w * h))
+
+
+def test_ppmv_roundtrip_and_demux():
+    from khl_pdf_ocr_spark.operators.multimodal import (decode_ppm,
+                                                        decode_ppmv,
+                                                        encode_ppmv)
+
+    frames = [_ppm_frame(6, 4, s) for s in (10, 120, 250)]
+    payload = encode_ppmv(frames, fps=2)
+    fps, out = decode_ppmv(payload)
+    assert fps == 2 and len(out) == 3
+    # each demuxed frame identical to decoding it standalone
+    for raw, (w, h, pix) in zip(frames, out):
+        assert (w, h, pix) == decode_ppm(raw)
+
+
+def test_ppmv_rejects_garbage():
+    import pytest as _pt
+
+    from khl_pdf_ocr_spark.operators.multimodal import (decode_ppmv,
+                                                        encode_ppmv)
+
+    with _pt.raises(ValueError):
+        decode_ppmv(b"\x00\x01binary junk")
+    with _pt.raises(ValueError):
+        decode_ppmv(b"PPMV 2\n")                      # zero frames
+    with _pt.raises(ValueError):                      # truncated frame
+        decode_ppmv(encode_ppmv([_ppm_frame(4, 4, 9)], 1)[:-5])
+
+
+def test_video_features_real_bytes(spark):
+    from khl_pdf_ocr_spark.operators.multimodal import (_ahash, MEDIA_SCHEMA,
+                                                        decode_ppmv,
+                                                        encode_ppmv,
+                                                        video_features)
+
+    # 5 frames @ 2 fps = 2500 ms → samples at 0, 1000, 2000 ms
+    # → frame indices 0, 2, 4
+    frames = [_ppm_frame(8, 8, 40 * i) for i in range(5)]
+    good = encode_ppmv(frames, fps=2)
+    rows = [("v_good", "video", good,
+             {"width": None, "height": None, "duration_ms": None,
+              "mime": "video/x-ppmv"}),
+            ("v_bad", "video", b"not a video at all",
+             {"width": None, "height": None, "duration_ms": None,
+              "mime": "video/mp4"})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in video_features(df).collect()}
+
+    g = out["v_good"]
+    assert g["error"] is None
+    assert (g["fps"], g["n_frames"], g["duration_ms"]) == (2, 5, 2500)
+    assert (g["width"], g["height"]) == (8, 8)
+    want = [_ahash(decode_ppmv(good)[1][i][2], 8, 8) for i in (0, 2, 4)]
+    assert g["sample_phashes"] == ",".join(want)
+
+    b = out["v_bad"]
+    assert b["error"] and b["error"].startswith("ValueError")
+    assert b["fps"] is None and b["sample_phashes"] is None
+    assert b["n_bytes"] == len(b"not a video at all")
