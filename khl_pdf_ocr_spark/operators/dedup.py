@@ -23,6 +23,7 @@ from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
 __all__ = ["exact_dedup", "exact_dedup_incremental", "shingles",
            "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
+           "minhash_lsh_incremental",
            "simhash", "simhash_pairs", "hot_band_buckets",
            "connected_components", "DEFAULT_MAX_BUCKET", "CHAIN_WINDOW"]
 
@@ -334,6 +335,21 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                                     ).alias("sig"))
 
 
+def _band_signatures(sigs: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """(id, sig) → (id, band, bh): per-band sub-signature hashes — a
+    pure projection of the signature array, so a persisted signature
+    store re-bands at read time without touching any text."""
+    rows_per_band = num_perm // bands
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)])).alias("bh"))
+        for b in range(bands)])
+    return sigs.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_n: int = 3,
@@ -360,17 +376,9 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     if num_perm % bands:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm}); "
                          "trailing permutations would be silently unused")
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
                               num_perm=num_perm, shingle_n=shingle_n)
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)])).alias("bh"))
-        for b in range(bands)])
-    banded = sigs.select("id", F.explode(band_arr).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _band_signatures(sigs, num_perm=num_perm, bands=bands)
 
     keys = ("band", "bh")
     if block_col is not None:
@@ -397,6 +405,100 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (cand.select("id_a", "id_b", round_half_up(inter / union, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= verify_threshold))
+
+
+def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_n: int = 3,
+                            verify_threshold: float = 0.5,
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                            audit: dict | None = None
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Near-dup detection for a NEW batch against itself AND a
+    persisted signature store — the daily-increment twin of
+    ``exact_dedup_incremental`` for NEAR duplicates (a fresh crawl
+    arrives; docs near-identical to anything already ingested must be
+    flagged without re-scanning a 100 TB corpus).
+
+    ``seen_sigs``: the store — (id, sig array<long>[num_perm]) of every
+    previously kept doc (append ``new_sigs`` each increment; at scale
+    an Iceberg/bucketed table).  History TEXT is never read: band
+    hashes are a pure projection of the stored signature
+    (``_band_signatures``), and history matches are verified by the
+    signature agreement fraction — the unbiased MinHash estimator of
+    Jaccard — instead of exact shingle intersection (the classic
+    store-the-sketch trade; the new-vs-new half still exact-verifies
+    because the batch text is in hand).
+
+    Returns ``(pairs, new_sigs)``:
+    - ``pairs`` — (id_a, id_b, jaccard, match_kind): ``batch`` rows are
+      exact-verified new×new pairs (id_a < id_b, both new); ``history``
+      rows are new-id_a × stored-id_b with estimated jaccard ≥
+      ``verify_threshold``;
+    - ``new_sigs`` — (id, sig) of the batch: append to the store.
+
+    Scale budget: signatures computed for the BATCH only; the history
+    side costs one (band, bh) equi-join against the store projection —
+    partition/bucket the store by band for a co-located probe.  Hot
+    history buckets (> ``max_bucket`` members) are truncated to their
+    ``max_bucket`` smallest ids via the groupBy→broadcast-hot-keys
+    pattern (no full-store window shuffle); ``audit`` gains the lazy
+    ``"hot_history_buckets"`` frame (no-silent-caps).
+    """
+    if num_perm % bands:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    new_sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                                  num_perm=num_perm, shingle_n=shingle_n)
+    batch_pairs = (minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
+                                     num_perm=num_perm, bands=bands,
+                                     shingle_n=shingle_n,
+                                     verify_threshold=verify_threshold,
+                                     max_bucket=max_bucket, audit=audit)
+                   .withColumn("match_kind", F.lit("batch")))
+
+    hist_sigs = seen_sigs.select(F.col("id"), F.col("sig"))
+    banded_new = _band_signatures(new_sigs, num_perm=num_perm, bands=bands)
+    banded_hist = _band_signatures(hist_sigs, num_perm=num_perm, bands=bands)
+
+    if max_bucket is not None:
+        # bound hot HISTORY buckets without shuffling the store: tiny
+        # grouped counts → broadcast the few hot keys → rank only the
+        # hot subset (same discipline as the ngram/embedding guards)
+        counts = banded_hist.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("bucket_size"))
+        hot = counts.filter(F.col("bucket_size") > max_bucket) \
+                    .select("band", "bh", "bucket_size")
+        if audit is not None:
+            audit["hot_history_buckets"] = hot
+        from pyspark.sql import Window
+
+        hot_keys = F.broadcast(hot.select("band", "bh"))
+        cold_part = banded_hist.join(hot_keys, ["band", "bh"], "left_anti")
+        hot_part = banded_hist.join(hot_keys, ["band", "bh"], "left_semi")
+        w = Window.partitionBy("band", "bh").orderBy("id")
+        hot_trunc = (hot_part.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+        banded_hist = cold_part.unionByName(hot_trunc)
+
+    cand = (banded_new.select(F.col("id").alias("id_a"), "band", "bh")
+            .join(banded_hist.select(F.col("id").alias("id_b"), "band", "bh"),
+                  ["band", "bh"])
+            .select("id_a", "id_b").distinct())
+
+    # signature-agreement estimate: mean over permutations of
+    # [sig_a[i] == sig_b[i]] — E[estimate] = true Jaccard (MMDS ch.3)
+    a = new_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = hist_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: x == y), lambda v: v))
+    est = round_half_up(agree.cast("double") / F.lit(float(num_perm)), 6)
+    hist_pairs = (cand.join(a, "id_a").join(b, "id_b")
+                  .select("id_a", "id_b", est.alias("jaccard"))
+                  .filter(F.col("jaccard") >= verify_threshold)
+                  .withColumn("match_kind", F.lit("history")))
+
+    return batch_pairs.unionByName(hist_pairs), new_sigs
 
 
 # ---------------------------------------------------------------------------

@@ -334,3 +334,78 @@ def test_connected_components_string_ids(spark):
             for r in connected_components(pairs).collect()}
     assert all(comp[f"n{i}"] == "n0" for i in range(9))
     assert comp["z1"] == comp["z2"] == "z1"
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash LSH (round 4): new batch vs persisted signature store
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_incremental_batch_and_history(spark):
+    from khl_pdf_ocr_spark.operators.dedup import (minhash_lsh_incremental,
+                                                   minhash_signatures)
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun light")
+    day1 = spark.createDataFrame(
+        [(100, base, "d1"),
+         (101, "completely unrelated text about quantum chromodynamics "
+               "and lattice gauge theory simulations on supercomputers", "d1")],
+        ["doc_id", "text", "source"])
+    store = minhash_signatures(day1)          # (id, sig) — the ledger
+
+    day2 = spark.createDataFrame(
+        [(200, base, "d2"),                                     # dup of 100
+         (201, base + " extra tail words appended here", "d2"), # near-dup
+         (202, "fresh document about gardening tools and seasonal "
+               "planting schedules for temperate climates", "d2"),  # novel
+         (203, "fresh document about gardening tools and seasonal "
+               "planting schedules for temperate climates", "d2")],  # dup in batch
+        ["doc_id", "text", "source"])
+
+    pairs, new_sigs = minhash_lsh_incremental(day2, store,
+                                              verify_threshold=0.5)
+    rows = pairs.collect()
+    hist = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows
+            if r["match_kind"] == "history"}
+    batch = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows
+             if r["match_kind"] == "batch"}
+
+    # identical doc → estimator exactly 1.0 against the stored signature
+    assert hist[(200, 100)] == 1.0
+    # near-dup: high estimate, not tied to the unrelated stored doc
+    assert (201, 100) in hist and hist[(201, 100)] >= 0.5
+    assert all(b != 101 for (_, b) in hist)
+    # novel docs: no history rows; their in-batch duplicate IS found
+    assert all(a not in (202, 203) for (a, _) in hist)
+    assert batch[(202, 203)] == 1.0
+    # the store append half: one signature row per new doc
+    got = new_sigs.collect()
+    assert {r["id"] for r in got} == {200, 201, 202, 203}
+    assert all(len(r["sig"]) == 64 for r in got)
+
+
+def test_minhash_lsh_incremental_hot_history_bucket_bounded(spark):
+    """300 identical docs in the STORE must not explode the new-batch
+    probe into 300 candidates per new doc: hot history buckets truncate
+    to max_bucket members and the audit exposes them."""
+    from khl_pdf_ocr_spark.operators.dedup import (minhash_lsh_incremental,
+                                                   minhash_signatures)
+
+    boiler = "the same boilerplate footer text repeated on every single page " * 4
+    hist_docs = spark.createDataFrame(
+        [(i, boiler, "h") for i in range(300)], ["doc_id", "text", "source"]
+    ).repartition(8)
+    store = minhash_signatures(hist_docs)
+    day2 = spark.createDataFrame([(1000, boiler, "d2")],
+                                 ["doc_id", "text", "source"])
+    audit: dict = {}
+    pairs, _ = minhash_lsh_incremental(day2, store, max_bucket=8,
+                                       audit=audit)
+    hist_rows = [r for r in pairs.collect() if r["match_kind"] == "history"]
+    # every surviving candidate verifies at 1.0, but candidate count is
+    # bounded by the truncated bucket membership, not the full 300
+    assert 0 < len(hist_rows) <= 8
+    assert all(r["jaccard"] == 1.0 for r in hist_rows)
+    hot = audit["hot_history_buckets"].collect()
+    assert hot and all(r["bucket_size"] == 300 for r in hot)
