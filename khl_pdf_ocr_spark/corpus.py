@@ -80,8 +80,16 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     # SQL null semantics (size(split(NULL)) = -1); empty text scores a
     # deterministic 0.3 → quality reject
     scored = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.withColumn("_lang", X.lang_id(scored)) \
-             .withColumn("_q", X.quality_score(scored))
+    # stopword_count/char-length feed BOTH lang_id and quality_score —
+    # compute each shared count once and substitute it (same expression
+    # tree as the standalone calls; see text.text_analytics, r4)
+    n_sw = X.stopword_count(scored)
+    n_chr = F.greatest(F.length(scored).cast("double"), F.lit(1.0))
+    base = (df.withColumn("_nsw", n_sw).withColumn("_nchr", n_chr)
+            .withColumn("_lang", X.lang_id(scored, n_sw=F.col("_nsw"),
+                                           n_chr=F.col("_nchr")))
+            .withColumn("_q", X.quality_score(scored, n_sw=F.col("_nsw"),
+                                              n_chr=F.col("_nchr"))))
 
     lang_bad = base.filter(~F.col("_lang").isin(*allowed_langs)) \
                    .select(F.col(id_col).alias("id"),
@@ -120,7 +128,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     near_bad = drop.select(F.col(id_col).alias("id"),
                            F.lit("near_dup").alias("reject_reason"))
     kept = stage3.join(F.broadcast(drop), id_col, "left_anti") \
-                 .drop("_lang", "_q")
+                 .drop("_lang", "_q", "_nsw", "_nchr")
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
     if url_bad is not None:

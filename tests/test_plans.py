@@ -146,3 +146,33 @@ def test_embedding_guard_plan_never_goes_quadratic(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_enrich_plan_no_cartesian_no_global_sort(spark, queries):
+    """The keyed as-of driver query: parallel window on user_id,
+    never a cross/nested-loop join, never a single-partition sort."""
+    df = queries["events_asof_enrich"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_in_intervals_plan_equi_join_only(spark, queries):
+    """The range-join driver query stays a bin-bucketed equi-join —
+    the θ-predicate never degrades to a cartesian plan."""
+    df = queries["events_in_intervals"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_canonical_urls_all_jvm(spark, queries):
+    """URL canonicalization compiles to pure JVM expressions — no
+    Python worker in the plan (single whole-stage-codegen projection
+    over the scan)."""
+    df = queries["doc_canonical_urls"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, plan
