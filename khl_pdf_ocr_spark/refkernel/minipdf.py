@@ -25,6 +25,7 @@ prefers it for arbitrary wild PDFs — see ``kernel.pdf_words``.
 from __future__ import annotations
 
 import re
+import binascii
 import zlib
 
 __all__ = ["MiniPdfError", "PdfWriter", "build_game_sheet_pdf", "extract_words"]
@@ -208,7 +209,7 @@ def _decode_hex(tok: bytes) -> bytes:
     h = re.sub(rb"\s+", b"", tok[1:-1])
     if len(h) % 2:
         h += b"0"
-    return bytes.fromhex(h.decode("ascii"))
+    return binascii.unhexlify(h)  # == bytes.fromhex; input is whitespace-free
 
 
 _PAGE_OBJ_RE = re.compile(
@@ -428,7 +429,9 @@ def extract_words(pdf_bytes: bytes):
             for size_b, x_b, y_b, hex_b in matches:
                 block_no += 1
                 size, x, y = float(size_b), float(x_b), float(y_b)
-                text = bytes.fromhex(hex_b.decode("ascii")).decode(
+                # unhexlify == fromhex here (the regex admits no
+                # whitespace) minus a per-word ASCII decode
+                text = binascii.unhexlify(hex_b).decode(
                     "utf-8", errors="replace").strip()
                 if not text:
                     continue
