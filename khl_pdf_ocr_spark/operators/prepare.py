@@ -1,0 +1,188 @@
+"""Training-data preparation operators — the post-cleaning stages that
+turn an extracted/deduped corpus into model-ready shards:
+
+- ``chunk_documents``  : split long documents into token-bounded,
+  overlapping chunks (the context-window packing precursor);
+- ``redact_pii``       : deterministic regex scrubbing of emails /
+  phone numbers / IPv4s, with per-kind match counts for audit;
+- ``repetition_stats`` : Gopher/C4-style repetition heuristics
+  (duplicate-line fraction, top word-2-gram fraction) used to drop
+  template/boilerplate junk;
+- ``repetition_filter``: the keep/reject split over those stats;
+- ``hash_split``       : deterministic train/val/test assignment by
+  seeded hash — stable across runs and cluster sizes, no RNG state.
+
+Everything is built-in JVM expressions except ``repetition_stats``'s
+2-gram mode, which is an explode→groupBy (two narrow shuffles over
+(id, gram) pairs) — the per-doc interpreted-HOF alternative is O(n²)
+per document and melts on long docs.
+
+Scale notes: chunking explodes one row per chunk (bounded by
+len/stride); PII redaction is three regexp_replace passes, pure
+codegen; hash_split is a stateless projection (xxhash64 of id+seed),
+so the same row lands in the same split on any cluster, any
+partitioning, any day — the property that matters when the corpus is
+rebuilt incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
+           "repetition_stats", "repetition_filter", "hash_split"]
+
+
+def chunk_documents(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """One row per (doc, chunk): whitespace-token windows of
+    ``max_tokens`` advancing by ``max_tokens - overlap``.
+
+    Output: (id_col, chunk_id, chunk_text, n_tokens).  The final chunk
+    may be short; empty/NULL docs yield zero chunks (filter upstream if
+    they must be ledgered).  Pure array expressions — split once, slice
+    per chunk — no Python, no shuffle (the explode multiplies rows in
+    place; downstream repartition if chunk sizes skew partitions).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens "
+                         f"({max_tokens}) or the stride is non-positive")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)) \
+        .otherwise(F.ceil((n - F.lit(max_tokens)) / F.lit(stride)) + 1) \
+        .cast("int")
+    chunk_ids = F.sequence(F.lit(0), n_chunks - 1)
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & (F.length(F.trim(F.col(text_col))) > 0))
+            .select(F.col(id_col), toks.alias("_toks"),
+                    F.explode(chunk_ids).alias("chunk_id")))
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
+    return base.select(
+        id_col, "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"))
+
+
+# deterministic, intentionally conservative patterns (shared constants
+# so tests / SQL twins can't drift); ORDER is semantic — emails first
+# (digit runs inside an address must not half-redact as phones), then
+# IPv4 BEFORE phone (dotted quads match the looser phone shape)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Replace email / IPv4 / phone matches with typed placeholders and
+    append per-kind match counts (``n_pii_email``...) for run audit —
+    redaction you can't count is redaction you can't verify.  Each
+    kind is COUNTED on the text with earlier kinds already replaced,
+    so the counts sum to what the output actually redacted (an IPv4 is
+    one ``n_pii_ipv4``, never also a phone).  Adds
+    ``<text_col>_redacted``; original column untouched (lineage keeps
+    the raw shard until the write explicitly drops it)."""
+    red = F.col(text_col)
+    counts = []
+    for kind, rx, token in PII_PATTERNS:
+        counts.append(F.coalesce(F.regexp_count(red, F.lit(rx)), F.lit(0))
+                      .alias(f"n_pii_{kind}"))
+        red = F.regexp_replace(red, rx, token)
+    return df.select("*", *counts, red.alias(f"{text_col}_redacted"))
+
+
+def repetition_stats(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition heuristics (Gopher §A.1.1 / C4 flavor):
+
+    - ``dup_line_fraction``  : 1 - distinct_lines/lines (array ops,
+      no shuffle);
+    - ``top_2gram_fraction`` : occurrences of the most frequent word
+      2-gram / total 2-grams — explode → count per (id, gram) → max
+      per id: two narrow shuffles over (id, gram) rows, never a
+      per-doc O(n²) interpreted loop.
+
+    Docs with <2 tokens get 0.0 fractions (nothing to repeat).
+    Output: (id_col, n_lines, dup_line_fraction, top_2gram_fraction).
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    dup_frac = F.when(n_lines > 0,
+                      F.lit(1.0) - F.size(F.array_distinct(lines))
+                      / n_lines.cast("double")).otherwise(F.lit(0.0))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_t"),
+                     n_lines.alias("n_lines"), dup_frac.alias("dup_line_fraction"))
+
+    toks = F.split(F.trim(F.col("_t")), r"\s+")
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(n2, F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    g = (base.select("id", n2.alias("_n2"),
+                     F.explode(F.when(n2 > 0, grams)
+                               .otherwise(F.array())).alias("gram")))
+    top = (g.groupBy("id", "_n2", "gram")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("id", "_n2").agg(F.max("c").alias("top_c"))
+           .select("id", (F.col("top_c") / F.col("_n2").cast("double")
+                          ).alias("top_2gram_fraction")))
+    return (base.drop("_t")
+            .join(top, "id", "left")
+            .select(F.col("id").alias(id_col), "n_lines", "dup_line_fraction",
+                    F.coalesce("top_2gram_fraction", F.lit(0.0))
+                    .alias("top_2gram_fraction")))
+
+
+def repetition_filter(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_dup_line_fraction: float = 0.3,
+                      max_top_2gram_fraction: float = 0.2
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (kept, ledger) on the repetition thresholds —
+    ledger rows carry ``reject_reason`` ``rep_lines`` / ``rep_2gram``
+    (first failing rule wins), composing with clean_corpus's ledger."""
+    stats = repetition_stats(df, text_col=text_col, id_col=id_col)
+    joined = df.join(stats, id_col)
+    reason = (F.when(F.col("dup_line_fraction") > max_dup_line_fraction,
+                     "rep_lines")
+              .when(F.col("top_2gram_fraction") > max_top_2gram_fraction,
+                    "rep_2gram"))
+    tagged = joined.withColumn("_reject", reason)
+    kept = tagged.filter(F.col("_reject").isNull()).select(*df.columns)
+    ledger = (tagged.filter(F.col("_reject").isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.col("_reject").alias("reject_reason")))
+    return kept, ledger
+
+
+def hash_split(df: DataFrame, *, id_col: str = "doc_id",
+               weights: dict[str, float] | None = None,
+               seed: int = 17) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    ``xxhash64(id, seed) mod 10_000``; cumulative weight ranges map
+    buckets to split names.  Stateless projection → the same document
+    always lands in the same split regardless of partitioning, cluster
+    size, or which increment it arrived in (re-sampling with an RNG
+    would leak val docs into train across rebuilds).  Adds ``split``.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

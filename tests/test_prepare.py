@@ -1,0 +1,147 @@
+"""Training-data preparation operators (operators/prepare.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.operators.prepare import (chunk_documents, hash_split,
+                                                 redact_pii,
+                                                 repetition_filter,
+                                                 repetition_stats)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_chunk_documents_matches_duckdb(docs):
+    """Full-corpus equality against an independent DuckDB list-slicing
+    implementation (the pytest-level oracle discipline)."""
+    got = (chunk_documents(docs, max_tokens=50, overlap=10)
+           .orderBy("doc_id", "chunk_id").toPandas())
+    want = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM read_parquet('{DOCS}')
+          WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), counted AS (
+          SELECT doc_id, t,
+                 CASE WHEN len(t) <= 50 THEN 1
+                      ELSE ceil((len(t) - 50) / 40.0)::int + 1 END AS nc
+          FROM toks
+        )
+        SELECT doc_id, k AS chunk_id,
+               array_to_string(t[k*40 + 1 : k*40 + 50], ' ') AS chunk_text,
+               len(t[k*40 + 1 : k*40 + 50]) AS n_tokens
+        FROM counted, unnest(generate_series(0, nc - 1)) AS u(k)
+        ORDER BY doc_id, chunk_id
+    """).df()
+    assert len(got) == len(want) > 0
+    assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_chunk_documents_shapes(spark):
+    rows = [(1, " ".join(f"w{i}" for i in range(130))),  # 130 tokens
+            (2, "short doc"),
+            (3, None), (4, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_id"], r["chunk_id"]): r for r in
+           chunk_documents(df, max_tokens=64, overlap=16).collect()}
+    # 130 tokens, stride 48: chunks at 0,48,96 → 3 chunks
+    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)]["n_tokens"] == 64
+    assert out[(1, 2)]["n_tokens"] == 130 - 96
+    assert out[(1, 0)]["chunk_text"].split()[0] == "w0"
+    assert out[(1, 1)]["chunk_text"].split()[0] == "w48"  # overlap honored
+    assert out[(2, 0)]["chunk_text"] == "short doc"
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "write to john.doe+x@example.co.uk or call +7 (495) 123-45-67"),
+         (2, "server at 192.168.0.1 responded"),
+         (3, "no pii here at all"),
+         (4, None)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["text_redacted"] == "write to <EMAIL> or call <PHONE>"
+    assert out[1]["n_pii_email"] == 1 and out[1]["n_pii_phone"] == 1
+    assert out[2]["text_redacted"] == "server at <IP> responded"
+    assert out[2]["n_pii_ipv4"] == 1
+    assert out[3]["text_redacted"] == "no pii here at all"
+    assert out[3]["n_pii_email"] == 0
+    assert out[4]["text_redacted"] is None  # NULL passes through
+    # original column untouched
+    assert out[1]["text"].startswith("write to john.doe")
+
+
+def test_repetition_stats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),                     # 3 lines, 1 dup
+         (2, "buy now buy now buy now"),           # top 2-gram 'buy now' x3 of 5
+         (3, "all distinct lines\nno repeats here"),
+         (4, "solo")],                             # <2 tokens
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_fraction"] == pytest.approx(1 - 2 / 3)
+    assert out[2]["top_2gram_fraction"] == pytest.approx(3 / 5)
+    assert out[3]["dup_line_fraction"] == 0.0
+    assert out[4]["top_2gram_fraction"] == 0.0
+
+
+def test_repetition_filter_split(spark):
+    df = spark.createDataFrame(
+        [(1, "x y\nx y\nx y\nx y"),        # dup lines → rep_lines
+         (2, "spam spam spam spam spam"),  # top 2-gram 4/4 → rep_2gram
+         (3, "a perfectly normal sentence with varied words")],
+        ["doc_id", "text"])
+    kept, ledger = repetition_filter(df)
+    assert {r["doc_id"] for r in kept.collect()} == {3}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert reasons == {1: "rep_lines", 2: "rep_2gram"}
+    assert kept.columns == df.columns  # no stat columns leak
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # deterministic across runs AND partitionings
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(df.repartition(17), weights={"train": 0.8, "val": 0.1,
+                                                 "test": 0.1}).collect()}
+    assert a == b
+    # different seed → different assignment (not a constant function)
+    c = {r["doc_id"]: r["split"] for r in
+         hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+                    seed=99).collect()}
+    assert a != c
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"train": 0.5, "val": 0.1})
+
+
+def test_chunk_then_split_compose(docs):
+    """Pipeline shape: chunk → hash_split on the PARENT doc id keeps
+    every chunk of one document in the same split (no train/val leak
+    through overlapping chunks)."""
+    chunks = chunk_documents(docs, max_tokens=40, overlap=8)
+    split = hash_split(chunks, id_col="doc_id",
+                       weights={"train": 0.9, "val": 0.1})
+    leak = (split.groupBy("doc_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1).count())
+    assert leak == 0
