@@ -23,7 +23,8 @@ from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
 __all__ = ["exact_dedup", "exact_dedup_incremental", "shingles",
            "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
-           "minhash_lsh_incremental",
+           "minhash_lsh_incremental", "with_minhash_signature",
+           "signature_jaccard_estimate",
            "simhash", "simhash_pairs", "hot_band_buckets",
            "connected_components", "DEFAULT_MAX_BUCKET", "CHAIN_WINDOW"]
 
@@ -335,10 +336,14 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                                     ).alias("sig"))
 
 
-def _band_signatures(sigs: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
-    """(id, sig) → (id, band, bh): per-band sub-signature hashes — a
-    pure projection of the signature array, so a persisted signature
-    store re-bands at read time without touching any text."""
+def _band_signatures(sigs: DataFrame, *, num_perm: int, bands: int,
+                     carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, sig, …) → (id[, carry…], band, bh): per-band sub-signature
+    hashes — a pure projection of the signature array, so a persisted
+    signature store re-bands at read time without touching any text
+    (and a STREAM re-bands statelessly; explode is a narrow op).
+    ``carry`` columns pass through untouched (e.g. the event-time
+    column a streaming watermark needs)."""
     rows_per_band = num_perm // bands
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -346,8 +351,68 @@ def _band_signatures(sigs: DataFrame, *, num_perm: int, bands: int) -> DataFrame
                      ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
                             for r in range(rows_per_band)])).alias("bh"))
         for b in range(bands)])
-    return sigs.select("id", F.explode(band_arr).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return sigs.select("id", *carry, F.explode(band_arr).alias("bb")).select(
+        "id", *carry, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def with_minhash_signature(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id", out_col: str = "sig",
+                           num_perm: int = 64, shingle_n: int = 3) -> DataFrame:
+    """Per-ROW minhash signature as stateless projections — the
+    streaming-safe twin of ``minhash_signatures`` (no explode→groupBy
+    aggregation, so it composes into a structured stream without
+    watermarked state).  The hashed-shingle array is staged ONCE per
+    row; each permutation is an ``array_min`` over a re-hash of that
+    array.  Output values are identical to ``minhash_signatures``
+    (test-asserted); the batch path keeps the explode→agg formulation
+    because interpreted HOFs lose to codegen aggregates on throughput
+    at corpus scale."""
+    staged = df.withColumn(
+        "_hsh", F.transform(shingles(text_col, shingle_n),
+                            lambda s: F.xxhash64(s)))
+
+    def perm_min(i: int):
+        # NB: must be a ONE-arg lambda built in a closure — a two-param
+        # lambda (e.g. `lambda v, i=i`) is interpreted by pyspark's HOF
+        # translator as (element, index) and the permutation number gets
+        # silently rebound to the array index column
+        return F.array_min(F.transform(
+            F.col("_hsh"), lambda v: F.xxhash64(v, F.lit(i))))
+
+    sig = F.array(*[perm_min(i) for i in range(num_perm)])
+    return staged.withColumn(out_col, sig).drop("_hsh")
+
+
+def _truncate_hot_buckets(banded: DataFrame, max_bucket: int,
+                          audit: dict | None = None,
+                          audit_key: str = "hot_history_buckets") -> DataFrame:
+    """Bound hot (band, bh) buckets to their ``max_bucket`` smallest
+    ids WITHOUT shuffling the full frame: tiny grouped counts → the few
+    hot keys broadcast into semi/anti joins → rank only the hot subset
+    (the same discipline as the ngram/embedding block guards)."""
+    counts = banded.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("bucket_size"))
+    hot = counts.filter(F.col("bucket_size") > max_bucket) \
+                .select("band", "bh", "bucket_size")
+    if audit is not None:
+        audit[audit_key] = hot
+    from pyspark.sql import Window
+
+    hot_keys = F.broadcast(hot.select("band", "bh"))
+    cold_part = banded.join(hot_keys, ["band", "bh"], "left_anti")
+    hot_part = banded.join(hot_keys, ["band", "bh"], "left_semi")
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    hot_trunc = (hot_part.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    return cold_part.unionByName(hot_trunc)
+
+
+def signature_jaccard_estimate(sig_a, sig_b, *, num_perm: int = 64):
+    """Column expr: fraction of agreeing permutations — the unbiased
+    MinHash estimator of Jaccard similarity (MMDS ch.3)."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b,
+                                       lambda x, y: x == y), lambda v: v))
+    return round_half_up(agree.cast("double") / F.lit(float(num_perm)), 6)
 
 
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
@@ -462,37 +527,17 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
     banded_hist = _band_signatures(hist_sigs, num_perm=num_perm, bands=bands)
 
     if max_bucket is not None:
-        # bound hot HISTORY buckets without shuffling the store: tiny
-        # grouped counts → broadcast the few hot keys → rank only the
-        # hot subset (same discipline as the ngram/embedding guards)
-        counts = banded_hist.groupBy("band", "bh").agg(
-            F.count(F.lit(1)).alias("bucket_size"))
-        hot = counts.filter(F.col("bucket_size") > max_bucket) \
-                    .select("band", "bh", "bucket_size")
-        if audit is not None:
-            audit["hot_history_buckets"] = hot
-        from pyspark.sql import Window
-
-        hot_keys = F.broadcast(hot.select("band", "bh"))
-        cold_part = banded_hist.join(hot_keys, ["band", "bh"], "left_anti")
-        hot_part = banded_hist.join(hot_keys, ["band", "bh"], "left_semi")
-        w = Window.partitionBy("band", "bh").orderBy("id")
-        hot_trunc = (hot_part.withColumn("_rn", F.row_number().over(w))
-                     .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-        banded_hist = cold_part.unionByName(hot_trunc)
+        banded_hist = _truncate_hot_buckets(banded_hist, max_bucket, audit)
 
     cand = (banded_new.select(F.col("id").alias("id_a"), "band", "bh")
             .join(banded_hist.select(F.col("id").alias("id_b"), "band", "bh"),
                   ["band", "bh"])
             .select("id_a", "id_b").distinct())
 
-    # signature-agreement estimate: mean over permutations of
-    # [sig_a[i] == sig_b[i]] — E[estimate] = true Jaccard (MMDS ch.3)
     a = new_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = hist_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                       lambda x, y: x == y), lambda v: v))
-    est = round_half_up(agree.cast("double") / F.lit(float(num_perm)), 6)
+    est = signature_jaccard_estimate(F.col("sig_a"), F.col("sig_b"),
+                                     num_perm=num_perm)
     hist_pairs = (cand.join(a, "id_a").join(b, "id_b")
                   .select("id_a", "id_b", est.alias("jaccard"))
                   .filter(F.col("jaccard") >= verify_threshold)

@@ -149,3 +149,85 @@ def test_stream_static_enrichment_broadcast(spark, fixture_tables, tmp_path):
         referees)
     assert n == batch.count()
     assert got.filter("known").count() == batch.filter("known").count()
+
+
+def test_streaming_near_dup_matches_batch_incremental(spark, tmp_path):
+    """The streaming flags must equal the batch operator's history half
+    on the same data — per-row signature expressions == the explode→agg
+    signatures, band joins identical, estimates identical."""
+    from datetime import datetime, timedelta
+
+    from khl_pdf_ocr_spark.operators.dedup import (minhash_lsh_incremental,
+                                                   minhash_signatures,
+                                                   with_minhash_signature)
+    from khl_pdf_ocr_spark.streaming.near_dup_stream import \
+        run_streaming_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun light")
+    hist = spark.createDataFrame(
+        [(100, base, "h"),
+         (101, "completely unrelated text about quantum chromodynamics "
+               "and lattice gauge theory simulations on supercomputers", "h")],
+        ["doc_id", "text", "source"])
+    store_path = str(tmp_path / "store")
+    minhash_signatures(hist).write.parquet(store_path)
+
+    t0 = datetime(2024, 6, 1)
+    day2 = [(200, t0, base),                                      # dup
+            (201, t0 + timedelta(minutes=1),
+             base + " extra tail words appended here"),           # near-dup
+            (202, t0 + timedelta(minutes=2),
+             "fresh document about gardening tools and seasonal "
+             "planting schedules for temperate climates"),        # novel
+            (203, t0 + timedelta(minutes=3), None),               # not flaggable
+            (204, t0 + timedelta(minutes=4), "   ")]
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(day2, ["doc_id", "warc_ts", "text"]) \
+        .write.parquet(in_dir)
+
+    run_streaming_near_dup(spark, in_dir, out_dir, store_path)
+    got = {(r["id"], r["id_b"]): r["jaccard"] for r in
+           spark.read.parquet(out_dir + "/data").collect()}
+
+    # per-row signature parity with the batch formulation, first
+    sig_stream = {r["doc_id"]: r["sig"] for r in with_minhash_signature(
+        spark.createDataFrame([(200, base)], ["doc_id", "text"])).collect()}
+    sig_batch = {r["id"]: r["sig"] for r in minhash_signatures(
+        spark.createDataFrame([(200, base)], ["doc_id", "text"])).collect()}
+    assert sig_stream[200] == sig_batch[200]
+
+    # streaming flags == batch history half
+    batch_df = spark.createDataFrame(
+        [(i, t) for i, _, t in day2 if t and t.strip()],
+        ["doc_id", "text"])
+    pairs, _ = minhash_lsh_incremental(batch_df,
+                                       spark.read.parquet(store_path))
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in pairs.collect() if r["match_kind"] == "history"}
+    assert got == want
+    assert got[(200, 100)] == 1.0
+    assert (201, 100) in got and all(b != 101 for (_, b) in got)
+
+
+def test_streaming_near_dup_hot_store_bucket_bounded(spark, tmp_path):
+    """A 300-doc boilerplate clump in the store must not amplify each
+    streamed doc into 300 flag rows."""
+    from datetime import datetime
+
+    from khl_pdf_ocr_spark.operators.dedup import minhash_signatures
+    from khl_pdf_ocr_spark.streaming.near_dup_stream import \
+        run_streaming_near_dup
+
+    boiler = "the same boilerplate footer text repeated on every single page " * 4
+    hist = spark.createDataFrame([(i, boiler, "h") for i in range(300)],
+                                 ["doc_id", "text", "source"]).repartition(8)
+    store_path = str(tmp_path / "store")
+    minhash_signatures(hist).write.parquet(store_path)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame([(1000, datetime(2024, 6, 1), boiler)],
+                          ["doc_id", "warc_ts", "text"]).write.parquet(in_dir)
+    run_streaming_near_dup(spark, in_dir, out_dir, store_path, max_bucket=8)
+    rows = spark.read.parquet(out_dir + "/data").collect()
+    assert 0 < len(rows) <= 8
+    assert all(r["jaccard"] == 1.0 for r in rows)
