@@ -25,7 +25,7 @@ __all__ = ["exact_dedup", "exact_dedup_incremental", "shingles",
            "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs",
            "minhash_lsh_incremental", "with_minhash_signature",
            "signature_jaccard_estimate",
-           "simhash", "simhash_pairs", "hot_band_buckets",
+           "simhash", "simhash_pairs", "simhash_incremental", "hot_band_buckets",
            "connected_components", "DEFAULT_MAX_BUCKET", "CHAIN_WINDOW"]
 
 # Hot-bucket bound for banded LSH self-joins: a band bucket of k rows
@@ -546,6 +546,79 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
     return batch_pairs.unionByName(hist_pairs), new_sigs
 
 
+
+def _band_simhash(sh: DataFrame, *, bits: int, max_hamming: int) -> DataFrame:
+    """(id, simhash, …) → (id, simhash, band, bh): pigeonhole bit-slice
+    bands — a pure projection of the stored 64-bit hash, so a persisted
+    simhash store re-bands at read time (incremental path) exactly like
+    the in-flight frame."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    bands = []
+    for b in range(n_bands):
+        shift = b * width
+        w = width if b < n_bands - 1 else bits - shift
+        mask = (1 << w) - 1
+        bands.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), shift)
+            .bitwiseAND(F.lit(mask)).alias("bh")))
+    return sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")) \
+        .select("id", "simhash", F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh"))
+
+
+def simhash_incremental(df: DataFrame, seen_hashes: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_hamming: int = 3, bits: int = 64,
+                        token_hash=None,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                        audit: dict | None = None
+                        ) -> tuple[DataFrame, DataFrame]:
+    """SimHash near-dup detection for a NEW batch against a persisted
+    hash store — the simhash twin of ``minhash_lsh_incremental``, with
+    one upgrade: history verification is EXACT, because the stored
+    64-bit hash is the complete similarity state (hamming distance on
+    stored values), not a sketch estimate.
+
+    ``seen_hashes``: (id, simhash) of everything previously kept.
+    Returns ``(pairs, new_hashes)``:
+    - ``pairs`` — (id_a, id_b, hamming, match_kind): ``batch`` =
+      new×new via ``simhash_pairs``; ``history`` = new×stored with
+      hamming ≤ ``max_hamming`` (exact);
+    - ``new_hashes`` — (id, simhash) of the batch: append to the store.
+
+    Hot history buckets truncate exactly as in the minhash incremental
+    (``audit["hot_history_buckets"]``); note simhash's narrow pigeonhole
+    bands make hot buckets likelier at scale — raise ``bits`` or
+    partition the store if the audit shows wide truncation.
+    """
+    batch = (simhash_pairs(df, text_col=text_col, id_col=id_col,
+                           max_hamming=max_hamming, bits=bits,
+                           token_hash=token_hash, max_bucket=max_bucket,
+                           audit=audit)
+             .withColumn("match_kind", F.lit("batch")))
+    new_hashes = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
+                         token_hash=token_hash)
+    b_new = _band_simhash(new_hashes, bits=bits, max_hamming=max_hamming)
+    b_hist = _band_simhash(seen_hashes.select("id", "simhash"),
+                           bits=bits, max_hamming=max_hamming)
+    if max_bucket is not None:
+        b_hist = _truncate_hot_buckets(b_hist, max_bucket, audit)
+    cand = (b_new.select(F.col("id").alias("id_a"),
+                         F.col("simhash").alias("simhash_a"), "band", "bh")
+            .join(b_hist.select(F.col("id").alias("id_b"),
+                                F.col("simhash").alias("simhash_b"),
+                                "band", "bh"),
+                  ["band", "bh"])
+            .select("id_a", "id_b", "simhash_a", "simhash_b").distinct())
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    hist = (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .withColumn("match_kind", F.lit("history")))
+    return batch.unionByName(hist), new_hashes
+
+
 # ---------------------------------------------------------------------------
 # connected components over near-dup pairs
 # ---------------------------------------------------------------------------
@@ -686,20 +759,9 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     that scale raise ``bits``/``max_bucket`` or partition the corpus.
     ``audit``: as in ``minhash_lsh_pairs`` — a lazy ``"hot_buckets"``
     frame of every chain-bounded bucket."""
-    n_bands = max_hamming + 1
-    width = bits // n_bands
     sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
                  token_hash=token_hash)
-    bands = []
-    for b in range(n_bands):
-        shift = b * width
-        w = width if b < n_bands - 1 else bits - shift
-        mask = (1 << w) - 1
-        bands.append(F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("bh")))
-    banded = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("bb")) \
-        .select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _band_simhash(sh, bits=bits, max_hamming=max_hamming)
     if audit is not None and max_bucket is not None:
         banded = banded.persist()  # see minhash_lsh_pairs: audit re-scan
         audit.setdefault("persisted", []).append(banded)

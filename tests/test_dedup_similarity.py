@@ -409,3 +409,46 @@ def test_minhash_lsh_incremental_hot_history_bucket_bounded(spark):
     assert all(r["jaccard"] == 1.0 for r in hist_rows)
     hot = audit["hot_history_buckets"].collect()
     assert hot and all(r["bucket_size"] == 300 for r in hot)
+
+
+def test_simhash_incremental_exact_history_verification(spark):
+    """The simhash store carries the COMPLETE similarity state, so
+    history matches verify exactly (hamming on stored hashes) — no
+    estimator involved."""
+    from khl_pdf_ocr_spark.operators.dedup import (simhash,
+                                                   simhash_incremental)
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun light")
+    day1 = spark.createDataFrame(
+        [(100, base, "h"),
+         (101, "completely unrelated text about quantum chromodynamics "
+               "and lattice gauge theory simulations on supercomputers", "h")],
+        ["doc_id", "text", "source"])
+    store = simhash(day1)
+
+    day2 = spark.createDataFrame(
+        [(200, base, "d"),                                      # identical
+         (201, base.replace("afternoon", "morning"), "d"),      # near
+         (202, "fresh document about gardening tools and seasonal "
+               "planting schedules for temperate climates", "d"),
+         (203, "fresh document about gardening tools and seasonal "
+               "planting schedules for temperate climates", "d")],
+        ["doc_id", "text", "source"])
+    pairs, new_hashes = simhash_incremental(day2, store, max_hamming=6)
+    rows = pairs.collect()
+    hist = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows
+            if r["match_kind"] == "history"}
+    batch = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows
+             if r["match_kind"] == "batch"}
+    assert hist[(200, 100)] == 0                  # identical → distance 0
+    assert (201, 100) in hist and 0 < hist[(201, 100)] <= 6
+    assert all(b != 101 for (_, b) in hist)       # unrelated never matches
+    assert all(a not in (202, 203) for (a, _) in hist)
+    assert batch[(202, 203)] == 0                 # in-batch dup still found
+    # exactness cross-check: hamming equals the direct XOR popcount of
+    # the stored and new hashes
+    sh_store = {r["id"]: r["simhash"] for r in store.collect()}
+    sh_new = {r["id"]: r["simhash"] for r in new_hashes.collect()}
+    want = bin((sh_new[201] ^ sh_store[100]) & ((1 << 64) - 1)).count("1")
+    assert hist[(201, 100)] == want
