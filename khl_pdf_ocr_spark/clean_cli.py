@@ -43,6 +43,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--url-col", default=None,
                     help="dedup on the canonical url first (stage 0); "
                          "drops land as url_dup in the ledger")
+    ap.add_argument("--repetition", action="store_true",
+                    help="append the Gopher-style repetition filter "
+                         "(rep_lines/rep_2gram ledger reasons)")
+    ap.add_argument("--max-dup-line-fraction", type=float, default=0.3)
+    ap.add_argument("--max-top-2gram-fraction", type=float, default=0.2)
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="replace email/IPv4/phone matches in the kept "
+                         "text (counts land in run stats)")
+    ap.add_argument("--split", default=None,
+                    help="deterministic split assignment, e.g. "
+                         "'train=0.98,val=0.01,test=0.01'; kept output "
+                         "gains a split column and is partitioned by it")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -55,6 +67,39 @@ def main(argv: list[str] | None = None) -> int:
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy, url_col=args.url_col, audit=audit)
+
+        if args.repetition:
+            from khl_pdf_ocr_spark.operators.prepare import repetition_filter
+
+            kept, rep_ledger = repetition_filter(
+                kept, text_col=args.text_col, id_col=args.id_col,
+                max_dup_line_fraction=args.max_dup_line_fraction,
+                max_top_2gram_fraction=args.max_top_2gram_fraction)
+            ledger = ledger.unionByName(rep_ledger)
+        pii_cols = []
+        if args.redact_pii:
+            from khl_pdf_ocr_spark.operators.prepare import (PII_PATTERNS,
+                                                             redact_pii)
+
+            pii_cols = [f"n_pii_{kind}" for kind, _, _ in PII_PATTERNS]
+            # redact IN PLACE: the kept table's text column becomes the
+            # scrubbed one (the raw shard stays in --input; a cleaned
+            # corpus with live PII next to a _redacted twin is the worst
+            # of both)
+            kept = (redact_pii(kept, text_col=args.text_col)
+                    .drop(args.text_col)
+                    .withColumnRenamed(f"{args.text_col}_redacted",
+                                       args.text_col))
+        partition_by: tuple = ()
+        if args.split:
+            from khl_pdf_ocr_spark.operators.prepare import hash_split
+
+            weights = {}
+            for part in args.split.split(","):
+                name, w = part.split("=")
+                weights[name.strip()] = float(w)
+            kept = hash_split(kept, id_col=args.id_col, weights=weights)
+            partition_by = ("split",)
         # iceberg targets are TABLE IDENTIFIERS (no slashes — writeTo
         # would throw ParseException AFTER the whole job computed);
         # parquet targets are subdirectories
@@ -63,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             base = args.output.rstrip("/")
             kept_t, ledger_t = f"{base}/kept", f"{base}/ledger"
-        write_output(kept, kept_t, args.format)
+        write_output(kept, kept_t, args.format, partition_by=partition_by)
         write_output(ledger, ledger_t, args.format)
 
         from pyspark.sql import functions as F
@@ -88,6 +133,14 @@ def main(argv: list[str] | None = None) -> int:
             "hot_buckets": (audit["hot_buckets"].count()
                             if "hot_buckets" in audit else 0),
         }
+        if pii_cols:  # redaction you can't count is redaction you
+            row = kept_rb.agg(*[F.sum(c).alias(c)   # can't verify
+                                for c in pii_cols]).first()
+            stats["pii_redacted"] = {c: int(row[c] or 0) for c in pii_cols}
+        if args.split:
+            stats["splits"] = {r["split"]: r["n"] for r in
+                               kept_rb.groupBy("split")
+                               .agg(F.count(F.lit(1)).alias("n")).collect()}
         for cached in audit.get("persisted", ()):
             cached.unpersist()
         print(json.dumps(stats))

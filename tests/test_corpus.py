@@ -146,3 +146,53 @@ def test_clean_cli_end_to_end(spark, tmp_path):
     assert 0 in kept_ids and (1, "exact_dup") in ledger
     # every input row is accounted for exactly once (kept ∪ ledger)
     assert len(kept_ids) + len(ledger) == 4
+
+
+def test_clean_cli_prepare_stages(spark, tmp_path):
+    """--repetition / --redact-pii / --split wire the prepare operators
+    into the product CLI: repetition drops ledger with their reasons,
+    kept text is scrubbed in place with audited counts, and the kept
+    output is partitioned by a deterministic split column."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    good = ("a perfectly normal english document with plenty of varied "
+            "words about the weather the seasons and the garden it also "
+            "mentions the mail address bob@example.com for contact")
+    rows = [(i, good + f" variant {i} with extra words {i*7}", "s")
+            for i in range(8)]
+    # must survive the lang ('the' x4 -> en) and quality stages so it
+    # reaches the repetition filter; 'buy the' is 4/15 2-grams > 0.2
+    rows.append((100, "buy the spam now buy the spam now buy the spam "
+                      "now buy the spam now", "s"))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--cpus", "4",
+         "--repetition", "--redact-pii",
+         "--split", "train=0.75,val=0.25"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    # the spam doc fell to a repetition reason
+    assert stats["rejected"].get("rep_2gram", 0) \
+        + stats["rejected"].get("rep_lines", 0) >= 1
+    # redaction counted AND applied in place
+    assert stats["pii_redacted"]["n_pii_email"] >= 1
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.filter(kept["text"].contains("bob@example.com")).count() == 0
+    assert kept.filter(kept["text"].contains("<EMAIL>")).count() >= 1
+    # split column materialized via partitioned layout, stats reported
+    assert set(stats["splits"]) <= {"train", "val"}
+    assert sum(stats["splits"].values()) == stats["n_kept"]
+    assert "split" in kept.columns
