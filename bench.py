@@ -118,7 +118,8 @@ def isolate(cpus: int) -> dict:
 
     docs_path = bench_corpus()
     spark = get_spark(f"bench-isolate-{cpus}", cpus=cpus,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "8388608"})
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "6291456",
+                                  "spark.sql.files.openCostInBytes": "1048576"})
     out: dict = {"cpus": cpus, "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                     time.gmtime())}
     # control: unchanged-since-r1 codegen aggregate (cold then warm)
@@ -211,9 +212,13 @@ def main() -> None:
 
     docs_path = bench_corpus()
     # fine scan splits for the local corpus (128 MB default would give
-    # ~3 tasks for a ~300 MB corpus → idle cores)
+    # ~3 tasks for a ~300 MB corpus → idle cores).  openCostInBytes must
+    # drop with maxPartitionBytes: the default 4 MB open-cost padding
+    # packed the corpus into 23 splits on 32 cores (9 idle); 6 MB + 1 MB
+    # yields 32 — interleaved A/B measured +15% (BENCH.md §4.15)
     spark = get_spark("bench", cpus=args.cpus,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "8388608"})
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "6291456",
+                                  "spark.sql.files.openCostInBytes": "1048576"})
     qmap = entrymod.queries()
 
     timings: dict[str, float] = {}
