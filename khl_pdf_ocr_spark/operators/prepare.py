@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
-           "repetition_stats", "repetition_filter", "hash_split"]
+           "repetition_stats", "repetition_filter", "pack_sequences", "hash_split"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -159,6 +159,77 @@ def repetition_filter(df: DataFrame, *, text_col: str = "text",
               .select(F.col(id_col).alias("id"),
                       F.col("_reject").alias("reject_reason")))
     return kept, ledger
+
+
+def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
+                   capacity: int = 2048, bucket_col: str = "doc_id",
+                   n_buckets: int | None = None) -> DataFrame:
+    """Greedy sequence packing: assign token-counted chunks to packs of
+    at most ``capacity`` tokens — the context-window packing stage
+    between chunking and shard writing (unpacked short sequences waste
+    padding FLOPs at train time).
+
+    Bin packing is inherently sequential, so the distributed shape is
+    bucket-then-pack: chunks hash-bucket by ``bucket_col`` (chunks of
+    one document co-bucket, so they can share packs), and each bucket
+    packs independently with first-fit-decreasing inside an
+    ``applyInPandas`` group — the (b) tier of the custom-operator
+    ladder (no built-in composition expresses FFD).  One shuffle on the
+    bucket key; state per task is one bucket's chunk list.
+
+    Output: input columns + ``pack_id`` (globally unique: bucket
+    interleaved into the high bits).  Deterministic: bucket assignment
+    is a hash, the in-bucket order is (len desc, remaining columns
+    asc), and FFD is deterministic given an order.  FFD guarantee
+    (tested): at most ONE pack per bucket ends ≤ half full.
+
+    A chunk longer than ``capacity`` raises with a clear message (no
+    silent truncation — resize upstream with ``chunk_documents``).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = chunks.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism * 4
+    in_cols = chunks.columns
+    if len_col not in in_cols:
+        raise ValueError(f"len_col {len_col!r} not in {in_cols}")
+    bucketed = chunks.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(bucket_col), F.lit(7)),
+                          F.lit(n_buckets)).cast("int"))
+    out_schema = T.StructType(
+        list(bucketed.schema.fields)
+        + [T.StructField("pack_id", T.LongType(), False)])
+    order_cols = [len_col] + [c for c in in_cols if c != len_col]
+    ascending = [False] + [True] * (len(order_cols) - 1)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ascending=ascending,
+                              kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["_bucket"].iloc[0])
+        loads: list[int] = []          # current token load per pack
+        assign: list[int] = []
+        for n in pdf[len_col]:
+            n = int(n)
+            if n > capacity:
+                raise ValueError(
+                    f"chunk of {n} tokens exceeds pack capacity "
+                    f"{capacity}; re-chunk upstream (chunk_documents "
+                    f"max_tokens <= capacity)")
+            for i, load in enumerate(loads):   # first fit
+                if load + n <= capacity:
+                    loads[i] = load + n
+                    assign.append(i)
+                    break
+            else:
+                loads.append(n)
+                assign.append(len(loads) - 1)
+        pdf["pack_id"] = [bucket * (1 << 32) + a for a in assign]
+        return pdf
+
+    return (bucketed.groupBy("_bucket").applyInPandas(pack, out_schema)
+            .drop("_bucket"))
 
 
 def hash_split(df: DataFrame, *, id_col: str = "doc_id",

@@ -145,3 +145,48 @@ def test_chunk_then_split_compose(docs):
             .agg(F.countDistinct("split").alias("k"))
             .filter(F.col("k") > 1).count())
     assert leak == 0
+
+
+def test_pack_sequences_ffd_invariants(docs, spark):
+    from pyspark.sql.utils import PythonException
+
+    from khl_pdf_ocr_spark.operators.prepare import (chunk_documents,
+                                                     pack_sequences)
+
+    chunks = chunk_documents(docs, max_tokens=48, overlap=8)
+    packed = pack_sequences(chunks, capacity=128, n_buckets=16).cache()
+    try:
+        # every chunk assigned exactly once
+        assert packed.count() == chunks.count() > 0
+        assert packed.select("doc_id", "chunk_id").distinct().count() \
+            == chunks.count()
+        loads = (packed.groupBy("pack_id")
+                 .agg(F.sum("n_tokens").alias("load")).cache())
+        assert loads.filter(F.col("load") > 128).count() == 0
+        # FFD guarantee: ≤1 pack per bucket ends at most half full
+        half = (loads.withColumn("bucket",
+                                 (F.col("pack_id") / (1 << 32)).cast("long"))
+                .filter(F.col("load") <= 64)
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("k")))
+        assert half.filter(F.col("k") > 1).count() == 0
+        # all chunks of one doc share a bucket (co-packable)
+        spread = (packed.withColumn("bucket",
+                                    (F.col("pack_id") / (1 << 32)).cast("long"))
+                  .groupBy("doc_id")
+                  .agg(F.countDistinct("bucket").alias("nb"))
+                  .filter(F.col("nb") > 1).count())
+        assert spread == 0
+        # deterministic across input partitioning
+        a = {(r["doc_id"], r["chunk_id"]): r["pack_id"]
+             for r in packed.collect()}
+        b = {(r["doc_id"], r["chunk_id"]): r["pack_id"]
+             for r in pack_sequences(chunks.repartition(13), capacity=128,
+                                     n_buckets=16).collect()}
+        assert a == b
+    finally:
+        packed.unpersist()
+
+    # oversized chunk → loud failure, never silent truncation
+    big = chunk_documents(docs, max_tokens=48, overlap=8)
+    with pytest.raises(PythonException, match="exceeds pack capacity"):
+        pack_sequences(big, capacity=32).count()
