@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
-           "repetition_stats", "repetition_filter", "pack_sequences", "hash_split"]
+           "repetition_stats", "repetition_filter", "pack_sequences",
+           "decontaminate", "deterministic_sample", "hash_split"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -159,6 +160,70 @@ def repetition_filter(df: DataFrame, *, text_col: str = "text",
               .select(F.col(id_col).alias("id"),
                       F.col("_reject").alias("reject_reason")))
     return kept, ledger
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", n: int = 13,
+                  min_hits: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop corpus documents sharing any
+    ``n``-gram with an evaluation set (the GPT-3/PaLM-style 13-gram
+    rule) — training on eval data silently inflates benchmark scores,
+    and at 100 TB the overlap is never zero.
+
+    Returns ``(kept, flagged)``; ``flagged`` is (id, n_hits) — the
+    count of distinct contaminated n-grams per dropped doc, because a
+    decontamination pass you can't audit is indistinguishable from a
+    bug.
+
+    Scale shape: the benchmark is eval-set-sized (KB–MB) → its hashed
+    n-gram set builds in one tiny aggregation and BROADCASTS; the
+    corpus side is one shingle projection + a broadcast join — the
+    corpus itself never shuffles.  Normalization (lowercase, punct
+    strip, whitespace collapse) applies to BOTH sides so cosmetic
+    edits don't hide contamination.
+    """
+    from khl_pdf_ocr_spark.operators.dedup import shingles
+
+    bench_grams = (benchmark
+                   .select(F.explode(shingles(bench_text_col, n)).alias("g"))
+                   .select(F.xxhash64("g").alias("gh")).distinct())
+    corpus_grams = (corpus.select(F.col(id_col).alias("id"),
+                                  F.explode(shingles(text_col, n)).alias("g"))
+                    .select("id", F.xxhash64("g").alias("gh")))
+    hits = (corpus_grams.join(F.broadcast(bench_grams), "gh")
+            .groupBy("id").agg(F.count_distinct("gh").alias("n_hits"))
+            .filter(F.col("n_hits") >= min_hits))
+    flagged_ids = hits.select("id")
+    kept = corpus.join(F.broadcast(flagged_ids),
+                       corpus[id_col] == flagged_ids["id"], "left_anti")
+    return kept, hits
+
+
+def deterministic_sample(df: DataFrame, fractions: dict[str, float], *,
+                         strata_col: str = "source", id_col: str = "doc_id",
+                         seed: int = 23) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixture stage
+    (e.g. web 60 %, books 2×-upsampled corpora elsewhere): keep a row
+    iff ``xxhash64(id, seed) mod 10^6 < fraction·10^6`` for its
+    stratum.  Unlike ``df.sample``, membership is a pure function of
+    the row — stable under re-runs, repartitioning, cluster resizing,
+    and incremental rebuilds, and a document sampled into the corpus
+    stays sampled (no eval-set churn between builds).  Strata absent
+    from ``fractions`` are DROPPED (explicit mixture, no silent
+    pass-through); fractions must be in [0, 1].
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    expr = None
+    for name, frac in fractions.items():
+        cond = (F.col(strata_col) == name) & (bucket < int(frac * 1_000_000))
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        raise ValueError("fractions must name at least one stratum")
+    return df.filter(expr)
 
 
 def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",

@@ -190,3 +190,58 @@ def test_pack_sequences_ffd_invariants(docs, spark):
     big = chunk_documents(docs, max_tokens=48, overlap=8)
     with pytest.raises(PythonException, match="exceeds pack capacity"):
         pack_sequences(big, capacity=32).count()
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from khl_pdf_ocr_spark.operators.prepare import decontaminate
+
+    bench_q = ("what is the capital of france and which river flows "
+               "through the city of paris on its way to the sea")
+    corpus = spark.createDataFrame(
+        [(1, "students often ask " + bench_q + " during geography class"),
+         (2, "Students often ask, WHAT IS THE CAPITAL OF FRANCE and which "
+             "river flows through the city of Paris on its way to the sea?"),
+         (3, "a completely clean document about cooking pasta with garlic "
+             "and olive oil in a large pan over medium heat tonight"),
+         (4, "france paris river sea capital city")],   # words, no 13-gram
+        ["doc_id", "text"])
+    benchmark = spark.createDataFrame([(0, bench_q)], ["qid", "text"])
+    kept, flagged = decontaminate(corpus, benchmark, n=13)
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4}
+    hits = {r["id"]: r["n_hits"] for r in flagged.collect()}
+    # doc 2 differs only in case/punctuation — normalization catches it
+    assert set(hits) == {1, 2} and all(v >= 1 for v in hits.values())
+
+
+def test_decontaminate_never_shuffles_corpus_payload(spark, docs):
+    """Plan check: the corpus side must reach the join via broadcast,
+    never a corpus-wide exchange of the flagged-id side."""
+    from khl_pdf_ocr_spark.operators.prepare import decontaminate
+
+    bench = docs.limit(3).select("doc_id", "text")
+    kept, _ = decontaminate(docs, bench)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_mixture(spark):
+    from khl_pdf_ocr_spark.operators.prepare import deterministic_sample
+
+    rows = [(i, "web" if i % 2 else "books") for i in range(40_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = deterministic_sample(df, {"web": 0.5, "books": 1.0})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["books"] == 20_000                      # fraction 1.0 = all
+    assert abs(counts["web"] / 20_000 - 0.5) < 0.02
+    # stable under repartitioning; strata not named are dropped
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(df.repartition(9), {"web": 0.5, "books": 1.0}
+                              ).collect()}
+    assert a == b
+    only_web = deterministic_sample(df, {"web": 0.5})
+    assert only_web.filter(F.col("source") == "books").count() == 0
+    with pytest.raises(ValueError):
+        deterministic_sample(df, {"web": 1.5})
