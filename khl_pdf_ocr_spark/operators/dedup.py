@@ -421,7 +421,8 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       verify_threshold: float = 0.5,
                       max_bucket: int | None = DEFAULT_MAX_BUCKET,
                       block_col: str | None = None,
-                      audit: dict | None = None) -> DataFrame:
+                      audit: dict | None = None,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate pairs verified by exact shingle Jaccard.
 
     num_perm/bands rows per band; a pair is a candidate iff some band's
@@ -441,8 +442,11 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     if num_perm % bands:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm}); "
                          "trailing permutations would be silently unused")
-    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
-                              num_perm=num_perm, shingle_n=shingle_n)
+    if sigs is None:  # ``sigs``: precomputed (id, sig) — MUST match
+        # num_perm/shingle_n; lets incremental callers avoid a second
+        # signature pass over the batch text (r4 review)
+        sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                                  num_perm=num_perm, shingle_n=shingle_n)
     banded = _band_signatures(sigs, num_perm=num_perm, bands=bands)
 
     keys = ("band", "bh")
@@ -501,7 +505,8 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
       exact-verified new×new pairs (id_a < id_b, both new); ``history``
       rows are new-id_a × stored-id_b with estimated jaccard ≥
       ``verify_threshold``;
-    - ``new_sigs`` — (id, sig) of the batch: append to the store.
+    - ``new_sigs`` — (id, sig) of the batch, PERSISTED (it feeds both
+      pair halves): append to the store, then ``new_sigs.unpersist()``.
 
     Scale budget: signatures computed for the BATCH only; the history
     side costs one (band, bh) equi-join against the store projection —
@@ -513,13 +518,30 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
     """
     if num_perm % bands:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    # fail fast on a store written with a different num_perm: mismatched
+    # widths would silently band over NULL tail elements and divide the
+    # agreement estimate by the wrong denominator — a true duplicate
+    # could score ~0.5 and escape the threshold (r4 review).  One tiny
+    # first() probe; this operator is not lazy-pure anyway (persist).
+    probe = seen_sigs.select(F.size("sig").alias("n")).first()
+    if probe is not None and probe["n"] != num_perm:
+        raise ValueError(
+            f"signature store width {probe['n']} != num_perm {num_perm}; "
+            "probe with the num_perm the store was written with")
+    # the batch's text→shingle→hash pass is the dominant cost of an
+    # increment — compute it ONCE, persist, and feed both the batch
+    # self-join and the history probe (r4 review: it ran 2-3×).  The
+    # returned new_sigs IS the persisted handle; unpersist it after
+    # appending to the store.
     new_sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
-                                  num_perm=num_perm, shingle_n=shingle_n)
+                                  num_perm=num_perm, shingle_n=shingle_n
+                                  ).persist()
     batch_pairs = (minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
                                      num_perm=num_perm, bands=bands,
                                      shingle_n=shingle_n,
                                      verify_threshold=verify_threshold,
-                                     max_bucket=max_bucket, audit=audit)
+                                     max_bucket=max_bucket, audit=audit,
+                                     sigs=new_sigs)
                    .withColumn("match_kind", F.lit("batch")))
 
     hist_sigs = seen_sigs.select(F.col("id"), F.col("sig"))
@@ -586,20 +608,24 @@ def simhash_incremental(df: DataFrame, seen_hashes: DataFrame, *,
     - ``pairs`` — (id_a, id_b, hamming, match_kind): ``batch`` =
       new×new via ``simhash_pairs``; ``history`` = new×stored with
       hamming ≤ ``max_hamming`` (exact);
-    - ``new_hashes`` — (id, simhash) of the batch: append to the store.
+    - ``new_hashes`` — (id, simhash) of the batch, PERSISTED: append
+      to the store, then ``new_hashes.unpersist()``.
 
     Hot history buckets truncate exactly as in the minhash incremental
     (``audit["hot_history_buckets"]``); note simhash's narrow pigeonhole
     bands make hot buckets likelier at scale — raise ``bits`` or
     partition the store if the audit shows wide truncation.
     """
+    # one simhash pass over the batch text, persisted and shared by the
+    # self-join and the history probe; returned handle = the persisted
+    # frame (unpersist after appending to the store)
+    new_hashes = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
+                         token_hash=token_hash).persist()
     batch = (simhash_pairs(df, text_col=text_col, id_col=id_col,
                            max_hamming=max_hamming, bits=bits,
                            token_hash=token_hash, max_bucket=max_bucket,
-                           audit=audit)
+                           audit=audit, hashes=new_hashes)
              .withColumn("match_kind", F.lit("batch")))
-    new_hashes = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
-                         token_hash=token_hash)
     b_new = _band_simhash(new_hashes, bits=bits, max_hamming=max_hamming)
     b_hist = _band_simhash(seen_hashes.select("id", "simhash"),
                            bits=bits, max_hamming=max_hamming)
@@ -739,7 +765,8 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
                   max_hamming: int = 3,
                   max_bucket: int | None = DEFAULT_MAX_BUCKET,
                   bits: int = 64, token_hash=None,
-                  audit: dict | None = None) -> DataFrame:
+                  audit: dict | None = None,
+                  hashes: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split ``bits`` bits into (max_hamming+1) bands;
@@ -759,8 +786,9 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     that scale raise ``bits``/``max_bucket`` or partition the corpus.
     ``audit``: as in ``minhash_lsh_pairs`` — a lazy ``"hot_buckets"``
     frame of every chain-bounded bucket."""
-    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
-                 token_hash=token_hash)
+    sh = hashes if hashes is not None else simhash(
+        df, text_col=text_col, id_col=id_col, bits=bits,
+        token_hash=token_hash)
     banded = _band_simhash(sh, bits=bits, max_hamming=max_hamming)
     if audit is not None and max_bucket is not None:
         banded = banded.persist()  # see minhash_lsh_pairs: audit re-scan

@@ -51,14 +51,19 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
         raise ValueError(f"overlap ({overlap}) must be < max_tokens "
                          f"({max_tokens}) or the stride is non-positive")
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # strip ALL edge whitespace before splitting: F.trim removes only
+    # spaces, so a leading "\n" would otherwise yield a phantom empty
+    # first token (and a "\n\n"-only doc a phantom 1-token chunk —
+    # r4 review); the emptiness guard is rlike(\\S) for the same reason
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.split(stripped, r"\s+")
     n = F.size(toks)
     n_chunks = F.when(n <= max_tokens, F.lit(1)) \
         .otherwise(F.ceil((n - F.lit(max_tokens)) / F.lit(stride)) + 1) \
         .cast("int")
     chunk_ids = F.sequence(F.lit(0), n_chunks - 1)
     base = (df.filter(F.col(text_col).isNotNull()
-                      & (F.length(F.trim(F.col(text_col))) > 0))
+                      & F.col(text_col).rlike(r"\S"))
             .select(F.col(id_col), toks.alias("_toks"),
                     F.explode(chunk_ids).alias("chunk_id")))
     piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
@@ -75,7 +80,15 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # phone requires an explicit phone MARKER — a leading + or a
+    # parenthesized area code — not just >=9 mixed digits: the loose
+    # digit-run form also matches ISO dates ("2024-05-06") and numeric
+    # score/stat tables, which are pervasive in this corpus and would
+    # be destroyed corpus-wide by the in-place redaction (r4 review).
+    # Conservative by design: a bare "4951234567" stays; a false
+    # negative is recoverable, a shredded date column is not.
+    ("phone", r"\+\d[\d\s().-]{7,}\d|\(\d{3,5}\)[\s.-]?[\d\s.-]{5,}\d",
+     "<PHONE>"),
 )
 
 
@@ -195,7 +208,11 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
             .groupBy("id").agg(F.count_distinct("gh").alias("n_hits"))
             .filter(F.col("n_hits") >= min_hits))
     flagged_ids = hits.select("id")
-    kept = corpus.join(F.broadcast(flagged_ids),
+    # flagged_ids is CORPUS-derived and unbounded (a boilerplate
+    # sentence shared with the eval set can flag millions of docs) —
+    # never force-broadcast it; AQE broadcasts at runtime when it is
+    # actually small (r4 review)
+    kept = corpus.join(flagged_ids,
                        corpus[id_col] == flagged_ids["id"], "left_anti")
     return kept, hits
 
@@ -219,7 +236,11 @@ def deterministic_sample(df: DataFrame, fractions: dict[str, float], *,
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
     expr = None
     for name, frac in fractions.items():
-        cond = (F.col(strata_col) == name) & (bucket < int(frac * 1_000_000))
+        # round, don't truncate: int(0.29*1e6) is 289999 under binary
+        # floats, silently losing a bucket and disagreeing with
+        # hash_split's cutoffs on the same weights (r4 review)
+        cond = (F.col(strata_col) == name) \
+            & (bucket < int(round(frac * 1_000_000)))
         expr = cond if expr is None else expr | cond
     if expr is None:
         raise ValueError("fractions must name at least one stratum")

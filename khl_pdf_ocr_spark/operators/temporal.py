@@ -41,7 +41,8 @@ def _epoch_sec(c):
     return c.cast("timestamp").cast("double")
 
 
-def _asof_nokey(u: DataFrame, direction: str, split_parts: int | None) -> DataFrame:
+def _asof_nokey(u: DataFrame, direction: str, split_parts: int | None,
+                cache: list | None = None) -> DataFrame:
     """No-key as-of core: range-pre-split the time axis so no single
     task ever sorts the whole union (the ``by=None`` global-window
     hazard, r3 VERDICT).
@@ -60,8 +61,20 @@ def _asof_nokey(u: DataFrame, direction: str, split_parts: int | None) -> DataFr
        metadata (one row per range), never data-dependent state.
 
     Output is row-for-row identical to the single global window.
+
+    The union is persisted here: this path is NOT a lazy-pure
+    transformation — the quantile sample and the per-range extrema run
+    as (small) jobs at BUILD time, and the caller's action is a third
+    pass; without the persist each pass would recompute the full
+    left∪right lineage (r4 review).  The persisted handle is appended
+    to ``cache`` when the caller passes a list (release with
+    ``frame.unpersist()`` after materializing; otherwise it lives
+    until session end).
     """
     spark = u.sparkSession
+    u = u.persist()
+    if cache is not None:
+        cache.append(u)
     parts = split_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = max(2, min(int(parts), 512))  # boundaries stay driver-tiny
     probs = [i / parts for i in range(1, parts)]
@@ -127,7 +140,8 @@ def _asof_nokey(u: DataFrame, direction: str, split_parts: int | None) -> DataFr
 def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
               by: str | None = None, tolerance_sec: float | None = None,
               direction: str = "backward",
-              right_prefix: str = "r_", split_parts: int | None = None) -> DataFrame:
+              right_prefix: str = "r_", split_parts: int | None = None,
+              cache: list | None = None) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``on`` ≤ left's ``on`` (``direction="backward"``; ``"forward"``
     gives the least ≥), optionally per ``by`` key and within
@@ -145,6 +159,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
     ≤ ``split_parts`` tiny rows + a broadcast join.  Output is
     identical to the global window; no single-task sort remains.
     ``split_parts`` defaults to the session's shuffle partitions.
+
+    NOTE: the no-key path is NOT lazy — it runs two small driver-
+    visible jobs (quantile sample + per-range extrema) when the join is
+    BUILT, and persists the union so those passes and the caller's
+    action share one computation; pass ``cache=[]`` to receive the
+    persisted handle for release (every keyed call stays fully lazy).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -185,7 +205,7 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
         out = (u.withColumn("_m", matched)
                .filter(F.col("_tag") == 1))
     else:
-        out = _asof_nokey(u, direction, split_parts)
+        out = _asof_nokey(u, direction, split_parts, cache)
     if tolerance_sec is not None:
         # timestamp→double keeps sub-second precision; unix_timestamp
         # truncates to whole seconds and both admits matches beyond a

@@ -84,11 +84,18 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    *, mode: str = "all", num_partitions: int | None = None,
                    salt: bool = False, input_format: str = "parquet",
                    run_id: str | None = None, write_metrics: bool = True,
-                   ocr_stage=None, debug: bool = False):
+                   ocr_stage=None, debug: bool = False,
+                   cache: list | None = None):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
-    (callers compose further operators on it).
+    (callers compose further operators on it).  If ``ocr_stage`` is
+    also set on that path, pass ``cache=[]`` and release the lazily
+    persisted OCR subset with ``unpersist_ocr_cache(cache)`` after
+    materializing — the persisted handle reaches the caller ONLY
+    through this list (the DataFrame-attribute side-channel was
+    removed, r3 VERDICT #7), so omitting it leaks the cache for the
+    session's lifetime in long-lived drivers.
 
     ``salt=False`` by default: byte-balanced scan splits already balance
     task cost for text-layer extraction; pay the payload shuffle only
@@ -115,8 +122,9 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     out = extract_documents(docs, mode=mode, debug=debug)
     if ocr_stage is not None and not output_path:
         # un-materialized composition: the caller is responsible for
-        # caching phase 1 (its lineage feeds three merge branches)
-        out = with_ocr_fallback(out, docs, ocr_stage=ocr_stage)
+        # caching phase 1 (its lineage feeds three merge branches) and
+        # for releasing the OCR-subset persist via the cache list
+        out = with_ocr_fallback(out, docs, ocr_stage=ocr_stage, cache=cache)
 
     stats: dict = {"run_id": run_id}
     if output_path:

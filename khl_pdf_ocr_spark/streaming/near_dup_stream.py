@@ -58,7 +58,9 @@ def streaming_near_dup_flags(stream: DataFrame, seen_sigs: DataFrame, *,
     passthrough/dedup stream for those; this operator only ANSWERS
     "is this near-identical to something already ingested?"."""
     eligible = stream.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        # rlike(\S): F.trim strips only spaces — a "\n"-only doc must
+        # not slip past the not-flaggable filter (r4 review)
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
         & F.col(ts_col).isNotNull())
     sigged = with_minhash_signature(eligible, text_col=text_col,
                                     id_col=id_col, num_perm=num_perm,
@@ -68,11 +70,18 @@ def streaming_near_dup_flags(stream: DataFrame, seen_sigs: DataFrame, *,
         num_perm=num_perm, bands=bands, carry=(ts_col, "sig"))
 
     hist_sigs = seen_sigs.select("id", "sig")
-    h_banded = _band_signatures(hist_sigs, num_perm=num_perm, bands=bands)
+    probe = hist_sigs.select(F.size("sig").alias("n")).first()
+    if probe is not None and probe["n"] != num_perm:
+        raise ValueError(
+            f"signature store width {probe['n']} != num_perm {num_perm}")
+    # carry= keeps sig attached through the band explode — a pure
+    # projection, not a second store join per micro-batch (r4 review)
+    h_banded = _band_signatures(hist_sigs, num_perm=num_perm, bands=bands,
+                                carry=("sig",))
     if max_bucket is not None:
         h_banded = _truncate_hot_buckets(h_banded, max_bucket, audit)
-    h_side = (h_banded.join(hist_sigs.withColumnRenamed("sig", "sig_b"), "id")
-              .select(F.col("id").alias("id_b"), "band", "bh", "sig_b"))
+    h_side = h_banded.select(F.col("id").alias("id_b"), "band", "bh",
+                             F.col("sig").alias("sig_b"))
 
     est = signature_jaccard_estimate(F.col("sig"), F.col("sig_b"),
                                      num_perm=num_perm)

@@ -49,12 +49,17 @@ def test_chunk_documents_matches_duckdb(docs):
 def test_chunk_documents_shapes(spark):
     rows = [(1, " ".join(f"w{i}" for i in range(130))),  # 130 tokens
             (2, "short doc"),
-            (3, None), (4, "   ")]
+            (3, None), (4, "   "), (5, "\n\t \n"),   # whitespace-only
+            (6, "\n\nleading newlines here")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {(r["doc_id"], r["chunk_id"]): r for r in
            chunk_documents(df, max_tokens=64, overlap=16).collect()}
-    # 130 tokens, stride 48: chunks at 0,48,96 → 3 chunks
-    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    # 130 tokens, stride 48: chunks at 0,48,96 → 3 chunks; doc 5 is
+    # whitespace-only (newlines/tabs — NOT just spaces) → zero chunks;
+    # doc 6's leading newlines must not create a phantom empty token
+    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0), (6, 0)}
+    assert out[(6, 0)]["chunk_text"] == "leading newlines here"
+    assert out[(6, 0)]["n_tokens"] == 3
     assert out[(1, 0)]["n_tokens"] == 64
     assert out[(1, 2)]["n_tokens"] == 130 - 96
     assert out[(1, 0)]["chunk_text"].split()[0] == "w0"
@@ -81,6 +86,24 @@ def test_redact_pii_planted(spark):
     assert out[4]["text_redacted"] is None  # NULL passes through
     # original column untouched
     assert out[1]["text"].startswith("write to john.doe")
+
+
+def test_redact_pii_leaves_dates_and_numeric_tables(spark):
+    """The phone pattern requires an explicit marker (+ or a
+    parenthesized area code): ISO dates and numeric stat runs —
+    pervasive in this corpus — must survive in-place redaction
+    (r4 review finding)."""
+    df = spark.createDataFrame(
+        [(1, "released on 2024-05-06 in build 10 20 30 40 50"),
+         (2, "score line 12-34-56-78-90 stays"),
+         (3, "call (495) 123-45-67 or +7 495 1234567")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["text_redacted"] == out[1]["text"]
+    assert out[1]["n_pii_phone"] == 0
+    assert out[2]["text_redacted"] == out[2]["text"]
+    assert out[3]["n_pii_phone"] == 2
+    assert out[3]["text_redacted"] == "call <PHONE> or <PHONE>"
 
 
 def test_repetition_stats_hand_checked(spark):
