@@ -268,3 +268,71 @@ def test_deterministic_sample_mixture(spark):
     assert only_web.filter(F.col("source") == "books").count() == 0
     with pytest.raises(ValueError):
         deterministic_sample(df, {"web": 1.5})
+
+
+def test_chunk_reconstruction_fuzz(spark):
+    """Seeded fuzz over messy whitespace: concatenating chunk 0 with
+    each later chunk minus its overlap must reproduce the stripped
+    token stream exactly, every chunk is <= max_tokens, and each
+    chunk's first `overlap` tokens equal the previous chunk's last
+    `overlap` (when the previous chunk is full)."""
+    import random
+
+    from khl_pdf_ocr_spark.operators.prepare import chunk_documents
+
+    rng = random.Random(1234)
+    ws = [" ", "  ", "\n", "\t", " \n "]
+    rows = []
+    for i in range(150):
+        n = rng.randrange(0, 220)
+        toks = [f"t{i}_{j}" for j in range(n)]
+        body = "".join(t + rng.choice(ws) for t in toks)
+        lead = rng.choice(["", " ", "\n\n", "\t"])
+        rows.append((i, lead + body))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    mt, ov = 32, 8
+    out = chunk_documents(df, max_tokens=mt, overlap=ov)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for i, text in rows:
+        want = text.split()
+        got_chunks = by_doc.get(i, {})
+        if not want:
+            assert got_chunks == {}, i
+            continue
+        ordered = [got_chunks[k] for k in sorted(got_chunks)]
+        assert all(c["n_tokens"] <= mt for c in ordered)
+        rebuilt = ordered[0]["chunk_text"].split()
+        for prev, cur in zip(ordered, ordered[1:]):
+            cur_toks = cur["chunk_text"].split()
+            if prev["n_tokens"] == mt:
+                assert cur_toks[:ov] == prev["chunk_text"].split()[-ov:]
+            rebuilt += cur_toks[ov:]
+        assert rebuilt == want, i
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """canonical(canonical(u)) == canonical(u) — a dedup key that moves
+    on re-canonicalization corrupts incremental ledgers."""
+    import random
+
+    from khl_pdf_ocr_spark.functions.urls import canonical_url
+
+    rng = random.Random(77)
+    hosts = ["Example.com", "SUB.site.ORG:443", "x.io:8080", "a.b.c.de:80"]
+    paths = ["", "/", "/p", "/p/q/", "/p//q", "/Case/Path"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&a=1&fbclid=z",
+               "?z=9&y=8&", "?lone"]
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["http", "HTTPS", "ftp"])
+        u = (f"{scheme}://{rng.choice(hosts)}{rng.choice(paths)}"
+             f"{rng.choice(queries)}" + rng.choice(["", "#frag", "#a#b"]))
+        urls.append((i, u))
+    urls += [(900, "no scheme here #x"), (901, "")]
+    df = spark.createDataFrame(urls, ["i", "u"])
+    out = df.select("i", canonical_url(F.col("u")).alias("c1"),
+                    canonical_url(canonical_url(F.col("u"))).alias("c2"))
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad
