@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from khl_pdf_ocr_spark.functions import text as X
 
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
-           "top_terms_per_group"]
+           "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores"]
 
 
 def top_terms_per_group(df: DataFrame, *, text_col: str = "text",
@@ -76,3 +76,72 @@ def quality_filter(df: DataFrame, text_col: str = "text",
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col),
                      X.fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def train_unigram_lm(df: DataFrame, *, text_col: str = "text",
+                     vocab_size: int = 65_536) -> DataFrame:
+    """Corpus unigram language model: (token, logprob) over the
+    ``vocab_size`` most frequent normalized tokens — the honest
+    dependency-free stand-in for CCNet's KenLM perplexity filter
+    (tokens = whitespace split of ``normalized_text``; probabilities
+    are counts over ALL token occurrences, so out-of-vocab mass stays
+    unassigned and OOV scoring is explicit in the scorer).
+
+    One explode→groupBy over (token) with map-side combine; the top-V
+    cut is ``orderBy(count desc, token asc).limit(V)`` — Spark plans
+    TakeOrderedAndProject (distributed per-partition top-V + merge),
+    never a full vocabulary sort shuffle.  Deterministic tie-break on
+    the token string.  Persist/write the result; it broadcasts into
+    ``unigram_logprob_scores`` (V ≤ 64k rows ≈ KBs–MBs).
+    """
+    toks = (df.select(F.explode(
+        F.split(X.normalized_text(F.col(text_col)), r"\s+")).alias("token"))
+        .filter(F.length("token") > 0))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).first()[0] or 1
+    return (counts.orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(vocab_size)
+            .select("token",
+                    (F.log(F.col("n").cast("double")) - F.log(F.lit(float(total)))
+                     ).alias("logprob")))
+
+
+def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           oov_logprob: float | None = None) -> DataFrame:
+    """Per-document mean token log-probability under a
+    ``train_unigram_lm`` model — the CCNet-style quality signal: fluent
+    prose scores near the corpus average, gibberish / rare-token dumps
+    score far more negative, and pathologically repetitive boilerplate
+    scores suspiciously HIGH (CCNet keeps the middle of the
+    distribution; threshold both tails).
+
+    ``oov_logprob`` defaults to (min in-vocab logprob) − ln 10 — one
+    decade below the rarest modeled token; the lookup is computed once
+    on the tiny lm frame.  The lm broadcasts (≤ vocab_size rows); the
+    corpus side is one explode + broadcast join + per-doc aggregate —
+    narrow (id, token) rows, never a corpus shuffle.
+
+    Output: (id_col, n_scored_tokens, avg_logprob); docs with zero
+    scorable tokens (NULL/whitespace text) return NULL avg_logprob
+    with n_scored_tokens 0, never silently vanish.
+    """
+    if oov_logprob is None:
+        row = lm.agg(F.min("logprob")).first()
+        base = row[0] if row and row[0] is not None else -20.0
+        oov_logprob = float(base) - 2.302585092994046  # − ln 10
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.filter(
+            F.split(X.normalized_text(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+"),
+            lambda t: F.length(t) > 0)).alias("token"))
+    scored = (toks.join(F.broadcast(lm), "token", "left")
+              .select("id", F.when(F.col("token").isNull(), None)
+                      .otherwise(F.coalesce(F.col("logprob"),
+                                            F.lit(oov_logprob))).alias("lp")))
+    return (scored.groupBy("id")
+            .agg(F.count("lp").alias("n_scored_tokens"),
+                 F.avg("lp").alias("avg_logprob"))
+            .select(F.col("id").alias(id_col), "n_scored_tokens",
+                    "avg_logprob"))

@@ -338,3 +338,89 @@ def test_video_features_real_bytes(spark):
     assert b["error"] and b["error"].startswith("ValueError")
     assert b["fps"] is None and b["sample_phashes"] is None
     assert b["n_bytes"] == len(b"not a video at all")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (round 4): CCNet-style perplexity stand-in
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_scores_match_duckdb(spark):
+    import duckdb
+    import pytest as _pt
+
+    from khl_pdf_ocr_spark.operators.textstats import (
+        train_unigram_lm, unigram_logprob_scores)
+
+    DOCS = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(DOCS)
+    lm = train_unigram_lm(docs, vocab_size=500)
+    got = {r["doc_id"]: r for r in
+           unigram_logprob_scores(docs, lm).collect()}
+
+    oov = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+                 t -> length(t) > 0)) AS token
+          FROM read_parquet('{DOCS}') WHERE text IS NOT NULL
+        ), counts AS (
+          SELECT token, count(*) AS n FROM toks GROUP BY token
+        ), lm AS (
+          SELECT token, ln(n) - ln((SELECT sum(n) FROM counts)) AS logprob
+          FROM counts ORDER BY n DESC, token ASC LIMIT 500
+        )
+        SELECT min(logprob) - ln(10) FROM lm
+    """).fetchone()[0]
+    want = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+                 t -> length(t) > 0)) AS token
+          FROM read_parquet('{DOCS}') WHERE text IS NOT NULL
+        ), counts AS (
+          SELECT token, count(*) AS n FROM toks GROUP BY token
+        ), lm AS (
+          SELECT token, ln(n) - ln((SELECT sum(n) FROM counts)) AS logprob
+          FROM counts ORDER BY n DESC, token ASC LIMIT 500
+        )
+        SELECT t.doc_id, count(*) AS n_scored,
+               avg(coalesce(lm.logprob, {oov})) AS avg_lp
+        FROM toks t LEFT JOIN lm USING (token)
+        GROUP BY t.doc_id
+    """).df().set_index("doc_id")
+    assert len(want) > 0
+    for doc_id, row in want.iterrows():
+        g = got[doc_id]
+        assert g["n_scored_tokens"] == row["n_scored"]
+        assert g["avg_logprob"] == _pt.approx(row["avg_lp"], rel=1e-9)
+
+
+def test_unigram_scores_rank_junk_below_prose(spark):
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.operators.textstats import (
+        train_unigram_lm, unigram_logprob_scores)
+
+    prose = ("the quick brown fox jumps over the lazy dog and the cat "
+             "sits near the warm fire in the old house by the river")
+    corpus = spark.createDataFrame(
+        [(i, prose + f" day {i}") for i in range(20)]
+        + [(100, "zxqv kjwpj qqoxz mmvnb hgftr lkjhg")   # gibberish
+           , (101, None), (102, "   ")],
+        ["doc_id", "text"])
+    lm = train_unigram_lm(corpus, vocab_size=100)
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_scores(corpus, lm).collect()}
+    assert out[100]["avg_logprob"] < out[0]["avg_logprob"]   # junk scores lower
+    assert out[101]["n_scored_tokens"] == 0                  # NULL text kept,
+    assert out[101]["avg_logprob"] is None                   # never vanished
+    assert out[102]["n_scored_tokens"] == 0
+    assert len(out) == 23
+    # lm is bounded and broadcastable
+    assert lm.count() <= 100
+    plan = unigram_logprob_scores(corpus, lm) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
