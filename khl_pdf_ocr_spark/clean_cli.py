@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--url-col", default=None,
                     help="dedup on the canonical url first (stage 0); "
                          "drops land as url_dup in the ledger")
+    ap.add_argument("--decontaminate-against", default=None,
+                    help="parquet path of an eval set (text column): "
+                         "drop docs sharing any 13-gram with it "
+                         "(contaminated ledger reason)")
     ap.add_argument("--repetition", action="store_true",
                     help="append the Gopher-style repetition filter "
                          "(rep_lines/rep_2gram ledger reasons)")
@@ -62,11 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         docs = read_documents(spark, args.input, args.format)
         audit: dict = {}
+        benchmark = (spark.read.parquet(args.decontaminate_against)
+                     if args.decontaminate_against else None)
         kept, ledger = clean_corpus(
             docs, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
-            near_dup_policy=args.policy, url_col=args.url_col, audit=audit)
+            near_dup_policy=args.policy, url_col=args.url_col,
+            benchmark=benchmark, audit=audit)
 
         if args.repetition:
             from khl_pdf_ocr_spark.operators.prepare import repetition_filter

@@ -31,6 +31,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  near_dup_threshold: float = 0.8,
                  near_dup_policy: str = "pairs",
                  url_col: str | None = None,
+                 benchmark: DataFrame | None = None,
                  audit: dict | None = None) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept, ledger)``.
 
@@ -45,6 +46,10 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  ``"hot_buckets"`` frame (band buckets whose candidate
                  generation was chain-bounded — the no-silent-caps
                  audit; count it into run stats).
+    ``benchmark`` — optional eval-set frame with a ``text`` column:
+                 runs ``prepare.decontaminate`` as the LAST stage (so
+                 no later stage can reintroduce eval text); drops land
+                 as ``contaminated`` in the ledger.
 
     ``near_dup_policy``:
     - ``"pairs"`` (default): drop ``id_b`` of every confirmed pair.
@@ -131,6 +136,14 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  .drop("_lang", "_q", "_nsw", "_nchr")
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
+    if benchmark is not None:
+        from khl_pdf_ocr_spark.operators.prepare import decontaminate
+
+        kept, flagged = decontaminate(kept, benchmark, text_col=text_col,
+                                      id_col=id_col)
+        ledger = ledger.unionByName(
+            flagged.select(F.col("id"),
+                           F.lit("contaminated").alias("reject_reason")))
     if url_bad is not None:
         ledger = url_bad.unionByName(ledger)
     return kept, ledger

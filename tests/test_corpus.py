@@ -196,3 +196,27 @@ def test_clean_cli_prepare_stages(spark, tmp_path):
     assert set(stats["splits"]) <= {"train", "val"}
     assert sum(stats["splits"].values()) == stats["n_kept"]
     assert "split" in kept.columns
+
+
+def test_clean_corpus_decontaminates_last(spark):
+    """benchmark= runs decontamination as the final stage; overlapping
+    docs land in the ledger as 'contaminated' and every input row is
+    still accounted for exactly once."""
+    from khl_pdf_ocr_spark.corpus import clean_corpus
+
+    bench_q = ("which team won the gagarin cup final in the khl playoff "
+               "season and who scored the winning goal in overtime then")
+    rows = [(0, "the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep green forest with all of its friends",
+             "s"),
+            (1, "fans often wonder " + bench_q + " every single spring", "s"),
+            (2, "tiny", "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    benchmark = spark.createDataFrame([(0, bench_q)], ["qid", "text"])
+    kept, ledger = clean_corpus(docs, allowed_langs=("en",),
+                                min_quality=0.1, benchmark=benchmark)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert kept_ids == {0}
+    assert reasons[1] == "contaminated"
+    assert len(kept_ids) + len(reasons) == 3

@@ -1,0 +1,83 @@
+"""Two-day increment e2e: the daily-ingestion CLI keeps the state
+stores describing exactly the kept corpus and rejects history
+duplicates without re-reading any history text."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light "
+        "and the birds sing in the tall green trees beside the house")
+NOVEL = ("a completely different long document about glaciers and the "
+         "slow drift of the continental plates over many of the years "
+         "with the usual english words the a of and to in for quality")
+
+
+def _run(inp, state, out):
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", inp, "--state", state, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.6", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p.returncode == 0, p.stderr[-3000:]
+    return json.loads([ln for ln in p.stdout.splitlines()
+                       if ln.startswith("{")][-1])
+
+
+def test_two_day_increment(spark, tmp_path):
+    state = str(tmp_path / "state")
+
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, BASE, "s"), (1, NOVEL, "s")],
+        ["doc_id", "text", "source"]).write.parquet(day1)
+    s1 = _run(day1, state, str(tmp_path / "out1"))
+    assert s1["first_run"] is True
+    assert s1["n_kept"] == 2
+    assert s1["state_fingerprints"] == 2 and s1["state_signatures"] == 2
+
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(100, NOVEL, "s"),                               # exact hist dup
+         # near-hist dup of BASE — nothing else BASE-like in the batch,
+         # so the BATCH near-dup stage can't claim it first
+         (101, BASE + " with a small appended tail", "s"),
+         (102, "fresh text about gardening tools and the seasonal "
+               "planting schedule for the temperate climates of the "
+               "north with the usual english words in it today", "s"),
+         (103, "fresh text about gardening tools and the seasonal "
+               "planting schedule for the temperate climates of the "
+               "north with the usual english words in it today", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day2)
+    s2 = _run(day2, state, str(tmp_path / "out2"))
+    assert s2["first_run"] is False
+    assert s2["n_kept"] == 1                              # only one gardening doc
+    assert s2["rejected"].get("exact_dup_history") == 1   # doc 100
+    assert s2["rejected"].get("near_dup_history") == 1    # doc 101
+    assert s2["rejected"].get("exact_dup") == 1           # doc 103 in-batch
+    # state grew by exactly the kept docs
+    assert s2["state_fingerprints"] == 3
+    assert s2["state_signatures"] == 3
+
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out2" / "kept")).collect()}
+    assert kept2 == {102}
+
+    # day 3: an exact copy of day 2's kept doc is now history
+    day3 = str(tmp_path / "day3")
+    spark.createDataFrame(
+        [(200, "fresh text about gardening tools and the seasonal "
+               "planting schedule for the temperate climates of the "
+               "north with the usual english words in it today", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day3)
+    s3 = _run(day3, state, str(tmp_path / "out3"))
+    assert s3["n_kept"] == 0
+    assert s3["rejected"].get("exact_dup_history") == 1
+    assert s3["state_fingerprints"] == 3                  # unchanged
