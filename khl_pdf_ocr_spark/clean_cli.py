@@ -1,7 +1,7 @@
 """Corpus-cleaning job entry point — the training-data twin of cli.py.
 
     spark-submit --py-files khl_pdf_ocr_spark.zip \
-        -m khl_pdf_ocr_spark.clean_cli \
+        khl_pdf_ocr_spark/clean_cli.py \
         --input  /data/extracted          # parquet dir or iceberg table
         --output /data/cleaned \
         --langs en ru --min-quality 0.3 \

@@ -1,7 +1,7 @@
 """Daily-increment ingestion job — the incremental twin of clean_cli.
 
     spark-submit --py-files khl_pdf_ocr_spark.zip \
-        -m khl_pdf_ocr_spark.increment_cli \
+        khl_pdf_ocr_spark/increment_cli.py \
         --input  /crawl/2026-08-17        # today's new batch
         --state  /corpora/main/_state     # fingerprint + signature stores
         --output /corpora/main/2026-08-17
@@ -10,20 +10,29 @@ Pipeline per increment (every stage is an existing operator):
 
     clean_corpus(batch)                   lang/quality + batch-internal
                                           exact+near dedup (+ optional
-                                          url stage / decontamination)
+                                          url stage)
     exact_dedup_incremental(·, state)     drop exact copies of anything
                                           EVER kept (exact_dup_history)
-    minhash_lsh_incremental(·, state)     drop near-dups of anything
-                                          ever kept (near_dup_history;
-                                          signature-estimate verified)
-    append kept rows → <output>/kept, full ledger → <output>/ledger,
+    minhash_lsh_incremental(·, state,     drop near-dups of anything
+        include_batch_pairs=False)        ever kept (near_dup_history;
+                                          the batch self-join already
+                                          ran inside clean_corpus)
+    write kept rows → <output>/kept, full ledger → <output>/ledger,
     and the KEPT docs' fingerprints + signatures → the state stores.
 
+Idempotent reruns (the property a scheduler retry needs): both stores
+are PARTITIONED BY ``increment_id`` (default: the input path's
+basename, stable across retries).  A run (a) EXCLUDES its own
+increment's partitions from the history probe — so a retry never
+rejects the day's docs against the half-written state of the crashed
+attempt — and (b) commits its state with a dynamic partition
+overwrite, swapping exactly its own partitions and touching no other
+increment's.  A crash anywhere simply reruns.
+
 The state stores describe exactly the kept corpus: fingerprints are
-recomputed over the surviving rows (one cheap map pass) and signatures
-are the already-persisted batch signatures semi-joined to survivors —
-so a document dropped THIS increment never pollutes the stores.
-Document ids must be globally unique across increments (crawl ids are).
+recomputed over the surviving rows and signatures are the persisted
+batch signatures semi-joined to survivors.  Document ids must be
+globally unique across increments (crawl ids are).
 
 History text is never read: both probes run against the KB-per-million
 -doc stores, so increment cost is O(new batch), not O(corpus) — the
@@ -35,12 +44,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 from khl_pdf_ocr_spark.corpus import clean_corpus
 from khl_pdf_ocr_spark.functions import text as X
 from khl_pdf_ocr_spark.operators.dedup import (exact_dedup_incremental,
-                                               minhash_lsh_incremental)
+                                               minhash_lsh_incremental,
+                                               minhash_signatures)
 from khl_pdf_ocr_spark.session import get_spark
 from khl_pdf_ocr_spark.sources.readers import read_documents
 
@@ -50,8 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--state", required=True,
                     help="state directory: <state>/fingerprints, "
-                         "<state>/signatures (created on first run)")
+                         "<state>/signatures (created on first run; "
+                         "partitioned by increment_id)")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--increment-id", default=None,
+                    help="stable id of this increment (default: input "
+                         "basename) — reruns with the same id are "
+                         "idempotent")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--langs", nargs="+", default=["en", "ru"])
@@ -63,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    inc_id = args.increment_id or re.sub(
+        r"[^A-Za-z0-9._-]", "_",
+        os.path.basename(args.input.rstrip("/"))) or "increment"
+
     spark = get_spark("khl-increment", cpus=args.cpus)
     try:
         fp_store = os.path.join(args.state, "fingerprints")
@@ -70,18 +90,23 @@ def main(argv: list[str] | None = None) -> int:
         first_run = not _exists(spark, fp_store)
 
         batch = read_documents(spark, args.input)
-        audit: dict = {}
+        audit_clean: dict = {}
         kept1, ledger = clean_corpus(
             batch, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
-            url_col=args.url_col, audit=audit)
+            url_col=args.url_col, audit=audit_clean)
 
+        audit_inc: dict = {}
         if first_run:
             kept = kept1
             new_sigs = None
         else:
-            seen_fp = spark.read.parquet(fp_store)
+            # exclude THIS increment's own partitions: a rerun after a
+            # crashed attempt must not reject the day against the
+            # half-written state it wrote itself
+            seen_fp = (spark.read.parquet(fp_store)
+                       .filter(F.col("increment_id") != inc_id))
             kept2, _fps, hist_exact = exact_dedup_incremental(
                 kept1, seen_fp, text_col=args.text_col, id_col=args.id_col)
             # kept1 is already batch-deduped → only history rows remain
@@ -89,68 +114,85 @@ def main(argv: list[str] | None = None) -> int:
                 hist_exact.filter(F.col("reject_reason")
                                   == "exact_dup_history"))
 
-            seen_sigs = spark.read.parquet(sig_store)
+            seen_sigs = (spark.read.parquet(sig_store)
+                         .filter(F.col("increment_id") != inc_id))
+            # batch self-pairs already handled by clean_corpus at the
+            # same threshold — only the history half runs (r4 review)
             pairs, new_sigs = minhash_lsh_incremental(
                 kept2, seen_sigs, text_col=args.text_col,
                 id_col=args.id_col,
-                verify_threshold=args.near_dup_threshold, audit=audit)
-            hist_drop = (pairs.filter(F.col("match_kind") == "history")
-                         .select(F.col("id_a").alias(args.id_col)).distinct())
+                verify_threshold=args.near_dup_threshold,
+                audit=audit_inc, include_batch_pairs=False)
+            hist_drop = (pairs.select(F.col("id_a").alias(args.id_col))
+                         .distinct())
             ledger = ledger.unionByName(
                 hist_drop.select(F.col(args.id_col).alias("id"),
                                  F.lit("near_dup_history")
                                  .alias("reject_reason")))
-            kept = kept2.join(F.broadcast(hist_drop), args.id_col,
-                              "left_anti")
+            # no broadcast hint: hist_drop is history-derived and
+            # unbounded (a re-crawl day can near-match most of the
+            # batch); AQE picks the strategy (r4 review)
+            kept = kept2.join(hist_drop, args.id_col, "left_anti")
 
         base = args.output.rstrip("/")
         kept.write.mode("overwrite").parquet(f"{base}/kept")
         ledger.write.mode("overwrite").parquet(f"{base}/ledger")
 
-        # state append describes exactly the KEPT corpus: recompute
-        # fingerprints over survivors; restrict the persisted batch
-        # signatures to survivors.  BOTH append frames are
-        # localCheckpoint'ed (lineage severed) BEFORE any store write:
-        # appending to fp_store fires Spark's recacheByPath, which
-        # invalidates every cached plan reading that path — including
-        # the persisted new_sigs, whose lineage goes through the
-        # pre-append fp_store; an invalidated cache would silently
-        # RECOMPUTE against the mutated store and drop this increment's
-        # own docs as "history" duplicates (found by the two-day e2e
-        # test: the kept doc's signature append came back empty).
+        # ALL audit/ledger counts BEFORE any state write: appending to
+        # a store fires recacheByPath, invalidating every cached frame
+        # whose lineage reads it — a post-append count would silently
+        # recompute against the mutated store (r4 review; same class as
+        # the localCheckpoint'ed state appends below)
         kept_rb = spark.read.parquet(f"{base}/kept")
-        fp_append = (kept_rb.select(X.fingerprint(F.col(args.text_col))
-                                    .alias("fingerprint"))
-                     .filter(F.col("fingerprint").isNotNull())
-                     .localCheckpoint())
-        if new_sigs is not None:
-            keep_ids = kept_rb.select(F.col(args.id_col).alias("id"))
-            sig_append = (new_sigs.join(F.broadcast(keep_ids), "id",
-                                        "left_semi").localCheckpoint())
-            new_sigs.unpersist()
-        else:
-            from khl_pdf_ocr_spark.operators.dedup import minhash_signatures
-
-            sig_append = minhash_signatures(
-                kept_rb, text_col=args.text_col,
-                id_col=args.id_col).localCheckpoint()
-        fp_append.write.mode("append").parquet(fp_store)
-        sig_append.write.mode("append").parquet(sig_store)
-
         ledger_rb = spark.read.parquet(f"{base}/ledger")
         stats = {
             "first_run": first_run,
+            "increment_id": inc_id,
             "n_kept": kept_rb.count(),
             "rejected": {r["reject_reason"]: r["n"] for r in
                          ledger_rb.groupBy("reject_reason")
                          .agg(F.count(F.lit(1)).alias("n")).collect()},
-            "state_fingerprints": spark.read.parquet(fp_store).count(),
-            "state_signatures": spark.read.parquet(sig_store).count(),
-            "hot_buckets": (audit["hot_buckets"].count()
-                            if "hot_buckets" in audit else 0),
+            # no-silent-caps: the batch-clean stage and the history
+            # probe audit SEPARATELY (one shared dict would let the
+            # second write clobber the first)
+            "hot_buckets": (audit_clean["hot_buckets"].count()
+                            if "hot_buckets" in audit_clean else 0),
+            "hot_history_buckets": (
+                audit_inc["hot_history_buckets"].count()
+                if "hot_history_buckets" in audit_inc else 0),
         }
-        for cached in audit.get("persisted", ()):
-            cached.unpersist()
+        for aud in (audit_clean, audit_inc):
+            for cached in aud.get("persisted", ()):
+                cached.unpersist()
+
+        # state commit: localCheckpoint severs lineage from the stores
+        # (see recacheByPath note above), then a dynamic partition
+        # overwrite swaps exactly THIS increment's partitions — rerun-
+        # idempotent, other increments untouched
+        fp_append = (kept_rb.select(X.fingerprint(F.col(args.text_col))
+                                    .alias("fingerprint"))
+                     .filter(F.col("fingerprint").isNotNull())
+                     .withColumn("increment_id", F.lit(inc_id))
+                     .localCheckpoint())
+        if new_sigs is not None:
+            keep_ids = kept_rb.select(F.col(args.id_col).alias("id"))
+            sig_append = (new_sigs.join(keep_ids, "id", "left_semi")
+                          .withColumn("increment_id", F.lit(inc_id))
+                          .localCheckpoint())
+            new_sigs.unpersist()
+        else:
+            sig_append = (minhash_signatures(kept_rb,
+                                             text_col=args.text_col,
+                                             id_col=args.id_col)
+                          .withColumn("increment_id", F.lit(inc_id))
+                          .localCheckpoint())
+        for frame, store in ((fp_append, fp_store), (sig_append, sig_store)):
+            (frame.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("increment_id").parquet(store))
+
+        stats["state_fingerprints"] = spark.read.parquet(fp_store).count()
+        stats["state_signatures"] = spark.read.parquet(sig_store).count()
         print(json.dumps(stats))
         return 0
     finally:

@@ -482,7 +482,8 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
                             shingle_n: int = 3,
                             verify_threshold: float = 0.5,
                             max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                            audit: dict | None = None
+                            audit: dict | None = None,
+                            include_batch_pairs: bool = True
                             ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection for a NEW batch against itself AND a
     persisted signature store — the daily-increment twin of
@@ -507,6 +508,11 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
       ``verify_threshold``;
     - ``new_sigs`` — (id, sig) of the batch, PERSISTED (it feeds both
       pair halves): append to the store, then ``new_sigs.unpersist()``.
+
+    ``include_batch_pairs=False`` skips the new×new half entirely —
+    for callers that already batch-deduped (e.g. after ``clean_corpus``,
+    whose near-dup stage ran at the same threshold) the self-join and
+    its exact verification would be pure duplicate work (r4 review).
 
     Scale budget: signatures computed for the BATCH only; the history
     side costs one (band, bh) equi-join against the store projection —
@@ -536,13 +542,16 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
     new_sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
                                   num_perm=num_perm, shingle_n=shingle_n
                                   ).persist()
-    batch_pairs = (minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
-                                     num_perm=num_perm, bands=bands,
-                                     shingle_n=shingle_n,
-                                     verify_threshold=verify_threshold,
-                                     max_bucket=max_bucket, audit=audit,
-                                     sigs=new_sigs)
-                   .withColumn("match_kind", F.lit("batch")))
+    batch_pairs = None
+    if include_batch_pairs:
+        batch_pairs = (minhash_lsh_pairs(df, text_col=text_col,
+                                         id_col=id_col,
+                                         num_perm=num_perm, bands=bands,
+                                         shingle_n=shingle_n,
+                                         verify_threshold=verify_threshold,
+                                         max_bucket=max_bucket, audit=audit,
+                                         sigs=new_sigs)
+                       .withColumn("match_kind", F.lit("batch")))
 
     hist_sigs = seen_sigs.select(F.col("id"), F.col("sig"))
     banded_new = _band_signatures(new_sigs, num_perm=num_perm, bands=bands)
@@ -565,6 +574,8 @@ def minhash_lsh_incremental(df: DataFrame, seen_sigs: DataFrame, *,
                   .filter(F.col("jaccard") >= verify_threshold)
                   .withColumn("match_kind", F.lit("history")))
 
+    if batch_pairs is None:
+        return hist_pairs, new_sigs
     return batch_pairs.unionByName(hist_pairs), new_sigs
 
 

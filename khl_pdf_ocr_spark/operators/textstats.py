@@ -91,19 +91,30 @@ def train_unigram_lm(df: DataFrame, *, text_col: str = "text",
     cut is ``orderBy(count desc, token asc).limit(V)`` — Spark plans
     TakeOrderedAndProject (distributed per-partition top-V + merge),
     never a full vocabulary sort shuffle.  Deterministic tie-break on
-    the token string.  Persist/write the result; it broadcasts into
-    ``unigram_logprob_scores`` (V ≤ 64k rows ≈ KBs–MBs).
+    the token string.  The returned frame is localCheckpoint'ed —
+    self-contained and tiny (V ≤ 64k rows ≈ KBs–MBs); it broadcasts
+    into ``unigram_logprob_scores``.
     """
     toks = (df.select(F.explode(
         F.split(X.normalized_text(F.col(text_col)), r"\s+")).alias("token"))
         .filter(F.length("token") > 0))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n")).first()[0] or 1
-    return (counts.orderBy(F.col("n").desc(), F.col("token").asc())
-            .limit(vocab_size)
-            .select("token",
-                    (F.log(F.col("n").cast("double")) - F.log(F.lit(float(total)))
-                     ).alias("logprob")))
+    # ONE corpus pass: the grouped counts are persisted, the total and
+    # the top-V cut both read the cache, and the tiny result is
+    # localCheckpoint'ed (self-contained — no lineage back to the
+    # corpus, nothing left persisted) before the cache is released
+    # (r4 review: the eager total + a lazy return re-ran the full
+    # explode→groupBy 2-3×)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        total = counts.agg(F.sum("n")).first()[0] or 1
+        return (counts.orderBy(F.col("n").desc(), F.col("token").asc())
+                .limit(vocab_size)
+                .select("token",
+                        (F.log(F.col("n").cast("double"))
+                         - F.log(F.lit(float(total)))).alias("logprob"))
+                .localCheckpoint())
+    finally:
+        counts.unpersist()
 
 
 def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,

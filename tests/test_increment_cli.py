@@ -81,3 +81,37 @@ def test_two_day_increment(spark, tmp_path):
     assert s3["n_kept"] == 0
     assert s3["rejected"].get("exact_dup_history") == 1
     assert s3["state_fingerprints"] == 3                  # unchanged
+
+
+def test_increment_rerun_is_idempotent(spark, tmp_path):
+    """A scheduler retry of the SAME increment must reproduce the same
+    kept set and leave the state stores unchanged — the run excludes
+    its own increment's partitions from the probe and commits state
+    with a dynamic partition overwrite (r4 review: a naive append made
+    a rerun reject the whole day against its own fingerprints and
+    overwrite the kept output with zero rows)."""
+    state = str(tmp_path / "state")
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, BASE, "s"), (1, NOVEL, "s")],
+        ["doc_id", "text", "source"]).write.parquet(day1)
+    _run(day1, state, str(tmp_path / "out1"))
+
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(100, NOVEL, "s"),                        # exact hist dup
+         (102, "fresh text about gardening tools and the seasonal "
+               "planting schedule for the temperate climates of the "
+               "north with the usual english words in it today", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day2)
+    s_first = _run(day2, state, str(tmp_path / "out2"))
+    s_retry = _run(day2, state, str(tmp_path / "out2"))  # same increment
+
+    assert s_retry["n_kept"] == s_first["n_kept"] == 1
+    assert s_retry["rejected"] == s_first["rejected"] \
+        == {"exact_dup_history": 1}
+    assert s_retry["state_fingerprints"] == s_first["state_fingerprints"] == 3
+    assert s_retry["state_signatures"] == s_first["state_signatures"] == 3
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out2" / "kept")).collect()}
+    assert kept == {102}
