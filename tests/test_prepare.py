@@ -336,3 +336,43 @@ def test_canonical_url_idempotent_fuzz(spark):
                     canonical_url(canonical_url(F.col("u"))).alias("c2"))
     bad = out.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad
+
+
+def test_shard_cli_end_to_end(spark, tmp_path):
+    """chunk → split → pack → partitioned shards, with measured fill
+    rate; packs never mix splits and every chunk lands exactly once."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "kept")
+    spark.read.parquet(DOCS).write.parquet(inp)
+    out = str(tmp_path / "shards")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+         "--input", inp, "--output", out,
+         "--max-tokens", "48", "--overlap", "8", "--capacity", "128",
+         "--split", "train=0.8,val=0.2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert set(stats["splits"]) == {"train", "val"}
+    assert all(0 < v["fill_rate"] <= 1.0 for v in stats["splits"].values())
+
+    rb = spark.read.parquet(out)
+    want = chunk_documents(spark.read.parquet(inp),
+                           max_tokens=48, overlap=8).count()
+    assert rb.count() == stats["n_chunks"] == want
+    # a pack id never appears under two splits
+    mixed = (rb.groupBy("pack_id")
+             .agg(F.countDistinct("split").alias("k"))
+             .filter(F.col("k") > 1).count())
+    assert mixed == 0
+    # capacity respected in the read-back too
+    over = (rb.groupBy("split", "pack_id")
+            .agg(F.sum("n_tokens").alias("load"))
+            .filter(F.col("load") > 128).count())
+    assert over == 0
