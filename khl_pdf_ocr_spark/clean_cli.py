@@ -99,13 +99,11 @@ def main(argv: list[str] | None = None) -> int:
                                        args.text_col))
         partition_by: tuple = ()
         if args.split:
-            from khl_pdf_ocr_spark.operators.prepare import hash_split
+            from khl_pdf_ocr_spark.operators.prepare import (
+                hash_split, parse_split_weights)
 
-            weights = {}
-            for part in args.split.split(","):
-                name, w = part.split("=")
-                weights[name.strip()] = float(w)
-            kept = hash_split(kept, id_col=args.id_col, weights=weights)
+            kept = hash_split(kept, id_col=args.id_col,
+                              weights=parse_split_weights(args.split))
             partition_by = ("split",)
         # iceberg targets are TABLE IDENTIFIERS (no slashes — writeTo
         # would throw ParseException AFTER the whole job computed);

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
            "repetition_stats", "repetition_filter", "pack_sequences",
-           "decontaminate", "deterministic_sample", "hash_split"]
+           "decontaminate", "deterministic_sample", "hash_split",
+           "parse_split_weights"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -247,9 +248,28 @@ def deterministic_sample(df: DataFrame, fractions: dict[str, float], *,
     return df.filter(expr)
 
 
+def parse_split_weights(spec: str) -> dict[str, float]:
+    """Parse ``"train=0.98,val=0.01,test=0.01"`` — the shared CLI
+    weight-spec format of clean_cli/shard_cli.  Duplicate split names
+    are rejected here (silently overwriting one would otherwise
+    surface later as a confusing weights-must-sum-to-1 error)."""
+    weights: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        name = name.strip()
+        if not name or not w:
+            raise ValueError(f"bad split spec segment {part!r} "
+                             "(want name=weight)")
+        if name in weights:
+            raise ValueError(f"duplicate split name {name!r} in {spec!r}")
+        weights[name] = float(w)
+    return weights
+
+
 def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
                    capacity: int = 2048, bucket_col: str = "doc_id",
-                   n_buckets: int | None = None) -> DataFrame:
+                   n_buckets: int | None = None,
+                   group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Greedy sequence packing: assign token-counted chunks to packs of
     at most ``capacity`` tokens — the context-window packing stage
     between chunking and shard writing (unpacked short sequences waste
@@ -263,11 +283,19 @@ def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
     ladder (no built-in composition expresses FFD).  One shuffle on the
     bucket key; state per task is one bucket's chunk list.
 
-    Output: input columns + ``pack_id`` (globally unique: bucket
-    interleaved into the high bits).  Deterministic: bucket assignment
-    is a hash, the in-bucket order is (len desc, remaining columns
-    asc), and FFD is deterministic given an order.  FFD guarantee
-    (tested): at most ONE pack per bucket ends ≤ half full.
+    ``group_cols`` adds hard packing boundaries (e.g. ``("split",)``
+    so a pack never mixes train and val rows): packing groups are
+    (*group_cols, bucket), all in ONE grouped job — callers must not
+    emulate this with per-group filters, which re-run the upstream
+    chunking lineage once per group.
+
+    Output: input columns + ``pack_id``.  ``pack_id`` is unique WITHIN
+    a ``group_cols`` combination (globally unique when ``group_cols``
+    is empty) — consumers key packs by (*group_cols, pack_id); the
+    output already carries those columns.  Deterministic: bucket
+    assignment is a hash, the in-bucket order is (len desc, remaining
+    columns asc), and FFD is deterministic given an order.  FFD
+    guarantee (tested): at most ONE pack per bucket ends ≤ half full.
 
     A chunk longer than ``capacity`` raises with a clear message (no
     silent truncation — resize upstream with ``chunk_documents``).
@@ -314,7 +342,8 @@ def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
         pdf["pack_id"] = [bucket * (1 << 32) + a for a in assign]
         return pdf
 
-    return (bucketed.groupBy("_bucket").applyInPandas(pack, out_schema)
+    return (bucketed.groupBy(*group_cols, "_bucket")
+            .applyInPandas(pack, out_schema)
             .drop("_bucket"))
 
 

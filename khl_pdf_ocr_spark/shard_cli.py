@@ -31,7 +31,8 @@ import json
 import sys
 
 from khl_pdf_ocr_spark.operators.prepare import (chunk_documents, hash_split,
-                                                 pack_sequences)
+                                                 pack_sequences,
+                                                 parse_split_weights)
 from khl_pdf_ocr_spark.session import get_spark
 
 
@@ -51,13 +52,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.capacity < args.max_tokens:
         ap.error(f"--capacity ({args.capacity}) must be >= --max-tokens "
                  f"({args.max_tokens}): a full chunk must fit one pack")
+    if args.overlap >= args.max_tokens:
+        ap.error(f"--overlap ({args.overlap}) must be < --max-tokens "
+                 f"({args.max_tokens}) or the chunk stride is "
+                 "non-positive")
 
     from pyspark.sql import functions as F
 
-    weights = {}
-    for part in args.split.split(","):
-        name, w = part.split("=")
-        weights[name.strip()] = float(w)
+    try:
+        weights = parse_split_weights(args.split)
+    except ValueError as e:
+        ap.error(str(e))
 
     spark = get_spark("khl-shard", cpus=args.cpus)
     try:
@@ -68,20 +73,16 @@ def main(argv: list[str] | None = None) -> int:
                                  overlap=args.overlap)
         split = hash_split(chunks, id_col=args.id_col, weights=weights,
                            seed=args.seed)
-        # pack WITHIN each split: a pack must never mix train and val
-        # rows, so each split packs in its own pass; the split index is
-        # folded into the high bits so pack ids stay GLOBALLY unique
-        # (per-split passes reuse the same bucket space — ids < 2^40,
-        # offset stride 2^44)
-        packed = None
-        for idx, name in enumerate(sorted(weights)):
-            part = (pack_sequences(split.filter(F.col("split") == name),
-                                   len_col="n_tokens",
-                                   capacity=args.capacity,
-                                   bucket_col=args.id_col)
-                    .withColumn("pack_id",
-                                F.col("pack_id") + F.lit(idx << 44)))
-            packed = part if packed is None else packed.unionByName(part)
+        # pack WITHIN each split via group_cols: a pack never mixes
+        # train and val rows, and the whole dataset packs in ONE
+        # grouped job (a per-split filter loop would re-run the
+        # chunking lineage once per split — r4 review).  pack_id is
+        # unique within a split; the pack key is (split, pack_id), and
+        # the output is partitioned by split accordingly.
+        packed = pack_sequences(split, len_col="n_tokens",
+                                capacity=args.capacity,
+                                bucket_col=args.id_col,
+                                group_cols=("split",))
 
         out = args.output.rstrip("/")
         packed.write.mode("overwrite").partitionBy("split").parquet(out)
@@ -93,11 +94,17 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(F.count(F.lit(1)).alias("n_packs"),
                      (F.avg("load") / F.lit(float(args.capacity))
                       ).alias("fill_rate")))
+        by_split = {r["split"]: {"n_packs": r["n_packs"],
+                                 "fill_rate": round(r["fill_rate"], 4)}
+                    for r in fill.collect()}
+        # every REQUESTED split appears, even empty ones — a split that
+        # produced nothing must show n_packs 0 in telemetry, not vanish
+        # (no-silent-caps; r4 review)
+        for name in weights:
+            by_split.setdefault(name, {"n_packs": 0, "fill_rate": None})
         stats = {
             "n_chunks": rb.count(),
-            "splits": {r["split"]: {"n_packs": r["n_packs"],
-                                    "fill_rate": round(r["fill_rate"], 4)}
-                       for r in fill.collect()},
+            "splits": by_split,
             "capacity": args.capacity,
         }
         print(json.dumps(stats))

@@ -360,19 +360,46 @@ def test_shard_cli_end_to_end(spark, tmp_path):
     stats = json.loads([ln for ln in p.stdout.splitlines()
                         if ln.startswith("{")][-1])
     assert set(stats["splits"]) == {"train", "val"}
-    assert all(0 < v["fill_rate"] <= 1.0 for v in stats["splits"].values())
+    assert all(v["n_packs"] == 0 or 0 < v["fill_rate"] <= 1.0
+               for v in stats["splits"].values())
 
     rb = spark.read.parquet(out)
     want = chunk_documents(spark.read.parquet(inp),
                            max_tokens=48, overlap=8).count()
     assert rb.count() == stats["n_chunks"] == want
-    # a pack id never appears under two splits
-    mixed = (rb.groupBy("pack_id")
-             .agg(F.countDistinct("split").alias("k"))
-             .filter(F.col("k") > 1).count())
-    assert mixed == 0
-    # capacity respected in the read-back too
+    # pack key is (split, pack_id); within it, no doc crosses splits
+    # (chunks split by PARENT doc id) and capacity holds on read-back
+    leak = (rb.groupBy("doc_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1).count())
+    assert leak == 0
     over = (rb.groupBy("split", "pack_id")
             .agg(F.sum("n_tokens").alias("load"))
             .filter(F.col("load") > 128).count())
     assert over == 0
+
+
+def test_shard_cli_reports_empty_split(spark, tmp_path):
+    """A requested split that receives zero docs must still appear in
+    the stats with n_packs 0 — never silently vanish (r4 review)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "kept")
+    spark.createDataFrame([(1, "just one tiny document with words")],
+                          ["doc_id", "text"]).write.parquet(inp)
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+         "--input", inp, "--output", str(tmp_path / "shards"),
+         "--max-tokens", "48", "--overlap", "8", "--capacity", "128",
+         "--split", "train=0.999,val=0.001", "--cpus", "2"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert set(stats["splits"]) == {"train", "val"}
+    empties = [v for v in stats["splits"].values() if v["n_packs"] == 0]
+    assert len(empties) == 1 and empties[0]["fill_rate"] is None
