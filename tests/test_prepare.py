@@ -403,3 +403,14 @@ def test_shard_cli_reports_empty_split(spark, tmp_path):
     assert set(stats["splits"]) == {"train", "val"}
     empties = [v for v in stats["splits"].values() if v["n_packs"] == 0]
     assert len(empties) == 1 and empties[0]["fill_rate"] is None
+
+
+def test_parse_split_weights():
+    from khl_pdf_ocr_spark.operators.prepare import parse_split_weights
+
+    assert parse_split_weights("train=0.98,val=0.01,test=0.01") == {
+        "train": 0.98, "val": 0.01, "test": 0.01}
+    with pytest.raises(ValueError, match="duplicate split name"):
+        parse_split_weights("train=0.5,train=0.5")
+    with pytest.raises(ValueError, match="bad split spec"):
+        parse_split_weights("train=0.5,oops")
