@@ -87,7 +87,17 @@ def main(argv: list[str] | None = None) -> int:
     try:
         fp_store = os.path.join(args.state, "fingerprints")
         sig_store = os.path.join(args.state, "signatures")
-        first_run = not _exists(spark, fp_store)
+        have_fp, have_sig = _exists(spark, fp_store), _exists(spark, sig_store)
+        if have_fp != have_sig:
+            # half-present state = a corrupted/foreign directory; probing
+            # against one store but not the other would silently let
+            # near-dups (or exact dups) of history back in
+            raise SystemExit(
+                f"inconsistent state at {args.state!r}: "
+                f"fingerprints {'present' if have_fp else 'MISSING'}, "
+                f"signatures {'present' if have_sig else 'MISSING'} — "
+                "restore both stores or point --state at a fresh directory")
+        first_run = not have_fp
 
         batch = read_documents(spark, args.input)
         audit_clean: dict = {}
