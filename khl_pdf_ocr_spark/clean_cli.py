@@ -52,6 +52,24 @@ def main(argv: list[str] | None = None) -> int:
                          "(rep_lines/rep_2gram ledger reasons)")
     ap.add_argument("--max-dup-line-fraction", type=float, default=0.3)
     ap.add_argument("--max-top-2gram-fraction", type=float, default=0.2)
+    ap.add_argument("--quality-lm", default=None, metavar="train|PATH",
+                    help="append the CCNet-style unigram-LM quality "
+                         "stage: 'train' fits the LM on this batch; a "
+                         "path loads a persisted (token, logprob) "
+                         "parquet.  Drops land as lm_quality")
+    ap.add_argument("--lm-tails", default="0.05,0.95", metavar="LO,HI",
+                    help="batch quantiles of avg_logprob to keep "
+                         "between (CCNet keeps the middle; both tails "
+                         "are junk)")
+    ap.add_argument("--lm-cutoffs", default=None, metavar="LO,HI",
+                    help="absolute avg_logprob bounds instead of batch "
+                         "quantiles ('none' for an open side, e.g. "
+                         "'-9.5,none') — the increment shape: frozen "
+                         "cutoffs from a reference batch, fully lazy")
+    ap.add_argument("--save-lm", default=None,
+                    help="with --quality-lm train: persist the trained "
+                         "(token, logprob) LM parquet here for reuse "
+                         "by later increments")
     ap.add_argument("--redact-pii", action="store_true",
                     help="replace email/IPv4/phone matches in the kept "
                          "text (counts land in run stats)")
@@ -62,18 +80,67 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
+    def parse_bounds(spec: str) -> tuple[float | None, float | None]:
+        parts = spec.split(",")
+        if len(parts) != 2:
+            ap.error(f"want LO,HI, got {spec!r}")
+        try:
+            lo, hi = (None if p.strip().lower() == "none" else float(p)
+                      for p in parts)
+        except ValueError as e:
+            ap.error(str(e))
+        return lo, hi
+
+    lm_tails = lm_cutoffs = None
+    if args.quality_lm:
+        if args.lm_cutoffs:
+            lm_cutoffs = parse_bounds(args.lm_cutoffs)
+        else:
+            lm_tails = parse_bounds(args.lm_tails)
+            if None in lm_tails or not 0 <= lm_tails[0] < lm_tails[1] <= 1:
+                ap.error(f"--lm-tails must be quantiles with LO < HI, "
+                         f"got {args.lm_tails!r}")
+    elif args.save_lm or args.lm_cutoffs:
+        ap.error("--save-lm/--lm-cutoffs require --quality-lm")
+    if args.save_lm and args.quality_lm != "train":
+        ap.error("--save-lm only applies to --quality-lm train")
+    split_weights = None
+    if args.split:
+        from khl_pdf_ocr_spark.operators.prepare import parse_split_weights
+
+        try:  # clean usage error BEFORE the JVM starts (r4 ADVICE)
+            split_weights = parse_split_weights(args.split)
+        except ValueError as e:
+            ap.error(str(e))
+
     spark = get_spark("khl-clean", cpus=args.cpus)
     try:
         docs = read_documents(spark, args.input, args.format)
         audit: dict = {}
         benchmark = (spark.read.parquet(args.decontaminate_against)
                      if args.decontaminate_against else None)
+        lm = None
+        if args.quality_lm == "train":
+            from khl_pdf_ocr_spark.operators.textstats import \
+                train_unigram_lm
+
+            # trained on the raw batch (the honest self-referential
+            # stand-in for CCNet's reference-corpus KenLM); the frame
+            # is localCheckpoint'ed inside train_unigram_lm — tiny and
+            # lineage-free, safe to reuse across the stats actions
+            lm = train_unigram_lm(docs, text_col=args.text_col)
+            if args.save_lm:
+                lm.write.parquet(args.save_lm)
+        elif args.quality_lm:
+            lm = spark.read.parquet(args.quality_lm)
         kept, ledger = clean_corpus(
             docs, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy, url_col=args.url_col,
-            benchmark=benchmark, audit=audit)
+            benchmark=benchmark, lm=lm,
+            **({"lm_tails": lm_tails} if lm_tails else {}),
+            lm_cutoffs=lm_cutoffs, audit=audit)
 
         if args.repetition:
             from khl_pdf_ocr_spark.operators.prepare import repetition_filter
@@ -98,12 +165,11 @@ def main(argv: list[str] | None = None) -> int:
                     .withColumnRenamed(f"{args.text_col}_redacted",
                                        args.text_col))
         partition_by: tuple = ()
-        if args.split:
-            from khl_pdf_ocr_spark.operators.prepare import (
-                hash_split, parse_split_weights)
+        if split_weights:
+            from khl_pdf_ocr_spark.operators.prepare import hash_split
 
             kept = hash_split(kept, id_col=args.id_col,
-                              weights=parse_split_weights(args.split))
+                              weights=split_weights)
             partition_by = ("split",)
         # iceberg targets are TABLE IDENTIFIERS (no slashes — writeTo
         # would throw ParseException AFTER the whole job computed);
@@ -138,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
             "hot_buckets": (audit["hot_buckets"].count()
                             if "hot_buckets" in audit else 0),
         }
+        if "lm_cutoffs" in audit:
+            stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
         if pii_cols:  # redaction you can't count is redaction you
             row = kept_rb.agg(*[F.sum(c).alias(c)   # can't verify
                                 for c in pii_cols]).first()

@@ -32,6 +32,9 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  near_dup_policy: str = "pairs",
                  url_col: str | None = None,
                  benchmark: DataFrame | None = None,
+                 lm: DataFrame | None = None,
+                 lm_tails: tuple[float, float] = (0.05, 0.95),
+                 lm_cutoffs: tuple[float | None, float | None] | None = None,
                  audit: dict | None = None) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept, ledger)``.
 
@@ -50,6 +53,29 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  runs ``prepare.decontaminate`` as the LAST stage (so
                  no later stage can reintroduce eval text); drops land
                  as ``contaminated`` in the ledger.
+    ``lm``     — optional (token, logprob) frame from
+                 ``textstats.train_unigram_lm``: appends the
+                 CCNet-style LM quality stage after near-dup removal —
+                 score every surviving doc with
+                 ``unigram_logprob_scores`` and KEEP THE MIDDLE of the
+                 ``avg_logprob`` distribution (gibberish scores far
+                 negative, pathologically repetitive boilerplate
+                 suspiciously high — both tails are junk).  Drops land
+                 as ``lm_quality``; docs with zero scorable tokens are
+                 dropped too (a row never vanishes from both outputs).
+    ``lm_tails`` — (lo_q, hi_q) batch quantiles defining the kept
+                 middle when ``lm_cutoffs`` is not given.  Computing
+                 them is an ACTION: the pipeline up to the LM stage is
+                 persisted (handle appended to ``audit["persisted"]``)
+                 so the cutoff pass and the final write don't each
+                 re-run the upstream dedup lineage.
+    ``lm_cutoffs`` — absolute (lo, hi) ``avg_logprob`` bounds (either
+                 side None = unbounded).  Overrides ``lm_tails`` and
+                 keeps the whole pipeline LAZY (no quantile action, no
+                 persist) — the production increment shape: freeze
+                 cutoffs from a reference batch, apply them to every
+                 daily increment so the accept band doesn't drift with
+                 batch composition.
 
     ``near_dup_policy``:
     - ``"pairs"`` (default): drop ``id_b`` of every confirmed pair.
@@ -136,6 +162,40 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  .drop("_lang", "_q", "_nsw", "_nchr")
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
+    if lm is not None:
+        from khl_pdf_ocr_spark.operators.textstats import \
+            unigram_logprob_scores
+
+        kept_cols = kept.columns
+        if lm_cutoffs is None:
+            # quantile cutoffs need an action over the scored batch;
+            # persist the pre-LM survivors so that action and the
+            # eventual output write share one run of the upstream
+            # lang/quality/dedup lineage (caller unpersists via audit)
+            kept = kept.persist()
+            if audit is not None:
+                audit.setdefault("persisted", []).append(kept)
+            scores = unigram_logprob_scores(kept, lm, text_col=text_col,
+                                            id_col=id_col)
+            lo, hi = scores.filter(F.col("avg_logprob").isNotNull()) \
+                .approxQuantile("avg_logprob", list(lm_tails), 0.001)
+        else:
+            lo, hi = lm_cutoffs
+            scores = unigram_logprob_scores(kept, lm, text_col=text_col,
+                                            id_col=id_col)
+        if audit is not None:
+            audit["lm_cutoffs"] = (lo, hi)
+        bad = F.col("avg_logprob").isNull()
+        if lo is not None:
+            bad = bad | (F.col("avg_logprob") < lo)
+        if hi is not None:
+            bad = bad | (F.col("avg_logprob") > hi)
+        rescored = kept.join(scores, id_col, "left")
+        lm_bad = rescored.filter(bad).select(
+            F.col(id_col).alias("id"),
+            F.lit("lm_quality").alias("reject_reason"))
+        kept = rescored.filter(~bad).select(*kept_cols)
+        ledger = ledger.unionByName(lm_bad)
     if benchmark is not None:
         from khl_pdf_ocr_spark.operators.prepare import decontaminate
 

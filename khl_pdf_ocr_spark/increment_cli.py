@@ -27,7 +27,13 @@ increment's partitions from the history probe — so a retry never
 rejects the day's docs against the half-written state of the crashed
 attempt — and (b) commits its state with a dynamic partition
 overwrite, swapping exactly its own partitions and touching no other
-increment's.  A crash anywhere simply reruns.
+increment's.  A crash anywhere simply reruns — including the one
+half-present-state shape a crash can legitimately create: a FIRST run
+that died between the two store writes leaves one store whose only
+partition is this increment's, which the rerun self-heals (it holds no
+other history to protect).  Any other half-present state — a lone
+store carrying foreign increments — fails fast: probing one store but
+not the other would silently re-admit history duplicates.
 
 The state stores describe exactly the kept corpus: fingerprints are
 recomputed over the surviving rows and signatures are the persisted
@@ -88,16 +94,29 @@ def main(argv: list[str] | None = None) -> int:
         fp_store = os.path.join(args.state, "fingerprints")
         sig_store = os.path.join(args.state, "signatures")
         have_fp, have_sig = _exists(spark, fp_store), _exists(spark, sig_store)
-        if have_fp != have_sig:
-            # half-present state = a corrupted/foreign directory; probing
-            # against one store but not the other would silently let
-            # near-dups (or exact dups) of history back in
-            raise SystemExit(
-                f"inconsistent state at {args.state!r}: "
-                f"fingerprints {'present' if have_fp else 'MISSING'}, "
-                f"signatures {'present' if have_sig else 'MISSING'} — "
-                "restore both stores or point --state at a fresh directory")
         first_run = not have_fp
+        if have_fp != have_sig:
+            # half-present state: USUALLY a corrupted/foreign directory
+            # (probing one store but not the other would silently let
+            # near-dups of history back in) — but a first run that
+            # crashed between the two store writes leaves exactly this
+            # shape.  That one case is provably safe to self-heal: if
+            # the lone store holds ONLY this increment's partition,
+            # there is no other history to protect, and this rerun's
+            # dynamic partition overwrite replaces the half-written
+            # partition wholesale.  Anything else stays fail-fast.
+            present = fp_store if have_fp else sig_store
+            parts = _increment_partitions(spark, present)
+            if parts <= {inc_id}:
+                first_run = True  # crashed first attempt → clean redo
+            else:
+                raise SystemExit(
+                    f"inconsistent state at {args.state!r}: "
+                    f"fingerprints {'present' if have_fp else 'MISSING'}, "
+                    f"signatures {'present' if have_sig else 'MISSING'}, "
+                    f"with foreign increments {sorted(parts - {inc_id})} "
+                    "— restore both stores or point --state at a fresh "
+                    "directory")
 
         batch = read_documents(spark, args.input)
         audit_clean: dict = {}
@@ -207,6 +226,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     finally:
         spark.stop()
+
+
+def _increment_partitions(spark, store: str) -> set[str]:
+    """increment_id partition values present in a store directory
+    (Hadoop-FS listing, so hdfs:///s3a:// work too; values are
+    URL-unescaped the way Spark escapes partition dir names)."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(store)
+    fs = p.getFileSystem(conf)
+    out: set[str] = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("increment_id="):
+            out.add(unquote(name.split("=", 1)[1]))
+    return out
 
 
 def _exists(spark, path: str) -> bool:

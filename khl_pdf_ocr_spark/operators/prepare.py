@@ -44,9 +44,20 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
 
     Output: (id_col, chunk_id, chunk_text, n_tokens).  The final chunk
     may be short; empty/NULL docs yield zero chunks (filter upstream if
-    they must be ledgered).  Pure array expressions — split once, slice
-    per chunk — no Python, no shuffle (the explode multiplies rows in
-    place; downstream repartition if chunk sizes skew partitions).
+    they must be ledgered).  Pure array expressions, no Python, no
+    shuffle (the explode multiplies rows in place; downstream
+    repartition if chunk sizes skew partitions).
+
+    Scale shape: the pieces are SLICED BEFORE the explode — the
+    generator emits ``struct(chunk_id, piece)`` elements, never the
+    whole-document token array.  Spark's ``Generate`` copies every
+    carried column once per generated row, so the naive form (explode
+    chunk ids, slice afterwards) materializes O(tokens x chunks) bytes
+    per document — quadratic in document length, an executor OOM on a
+    book-length doc at 100 TB even though it is invisible at bench
+    scale.  Pre-slicing caps the amplification at
+    ``max_tokens / stride`` (~1.14x at the 512/64 defaults): each token
+    is copied only into the chunks that actually contain it.
     """
     if overlap >= max_tokens:
         raise ValueError(f"overlap ({overlap}) must be < max_tokens "
@@ -62,16 +73,20 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
     n_chunks = F.when(n <= max_tokens, F.lit(1)) \
         .otherwise(F.ceil((n - F.lit(max_tokens)) / F.lit(stride)) + 1) \
         .cast("int")
-    chunk_ids = F.sequence(F.lit(0), n_chunks - 1)
+    # 1-arg lambda on purpose: a 2-arg transform lambda means
+    # (element, index) and silently rebinds closures (r4 gotcha)
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, i * stride + 1, max_tokens).alias("piece")))
     base = (df.filter(F.col(text_col).isNotNull()
                       & F.col(text_col).rlike(r"\S"))
-            .select(F.col(id_col), toks.alias("_toks"),
-                    F.explode(chunk_ids).alias("chunk_id")))
-    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
+            .select(F.col(id_col), F.explode(pieces).alias("_c")))
     return base.select(
-        id_col, "chunk_id",
-        F.concat_ws(" ", piece).alias("chunk_text"),
-        F.size(piece).alias("n_tokens"))
+        id_col, F.col("_c.chunk_id").alias("chunk_id"),
+        F.concat_ws(" ", "_c.piece").alias("chunk_text"),
+        F.size("_c.piece").alias("n_tokens"))
 
 
 # deterministic, intentionally conservative patterns (shared constants
@@ -86,9 +101,17 @@ PII_PATTERNS = (
     # digit-run form also matches ISO dates ("2024-05-06") and numeric
     # score/stat tables, which are pervasive in this corpus and would
     # be destroyed corpus-wide by the in-place redaction (r4 review).
+    # Structure is bounded, not an open [\d\s.-]{7,} run (r4 ADVICE):
+    # after the 1-3 digit country code a MANDATORY 3-5 digit area-code
+    # group (optionally parenthesized), then 1-3 short digit groups
+    # with at most one separator each — so a plus-minus stat row
+    # ("IVANOV +2 10 23 45 67 89": every group 2 digits) never
+    # matches, and a match can run past a real phone by at most one
+    # short group instead of to the last digit on the line.
     # Conservative by design: a bare "4951234567" stays; a false
-    # negative is recoverable, a shredded date column is not.
-    ("phone", r"\+\d[\d\s().-]{7,}\d|\(\d{3,5}\)[\s.-]?[\d\s.-]{5,}\d",
+    # negative is recoverable, a shredded stat column is not.
+    ("phone", r"\+\d{1,3}[\s.-]?\(?\d{3,5}\)?(?:[\s.-]?\d{2,4}){1,3}"
+              r"|\(\d{3,5}\)(?:[\s.-]?\d{2,4}){2,4}",
      "<PHONE>"),
 )
 
@@ -269,7 +292,9 @@ def parse_split_weights(spec: str) -> dict[str, float]:
 def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
                    capacity: int = 2048, bucket_col: str = "doc_id",
                    n_buckets: int | None = None,
-                   group_cols: tuple[str, ...] = ()) -> DataFrame:
+                   max_bucket_rows: int = 50_000,
+                   group_cols: tuple[str, ...] = (),
+                   audit: dict | None = None) -> DataFrame:
     """Greedy sequence packing: assign token-counted chunks to packs of
     at most ``capacity`` tokens — the context-window packing stage
     between chunking and shard writing (unpacked short sequences waste
@@ -299,13 +324,33 @@ def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
 
     A chunk longer than ``capacity`` raises with a clear message (no
     silent truncation — resize upstream with ``chunk_documents``).
+
+    Bucket sizing must scale with the CORPUS, not the cluster: a
+    parallelism-only default ties bucket size to cluster width, so at
+    fixed width buckets balloon linearly with data — and FFD's
+    first-fit scan is O(chunks × open packs) per bucket (r4 verdict).
+    When ``n_buckets`` is not given it is derived from ONE ``count()``
+    of ``chunks``: ``max(4 × parallelism, ceil(rows /
+    max_bucket_rows))``.  That count is an ACTION over the input
+    lineage — callers with an expensive upstream (chunking a 100 TB
+    corpus) should persist the input first (shard_cli does) or pass
+    ``n_buckets`` explicitly.  ``audit`` (optional dict) receives
+    ``pack_n_buckets`` and, when derived, ``pack_n_rows`` — the
+    telemetry that makes a ballooned bucket visible in run stats.
     """
     import pandas as pd
 
     from pyspark.sql import types as T
 
     spark = chunks.sparkSession
-    n_buckets = n_buckets or spark.sparkContext.defaultParallelism * 4
+    if n_buckets is None:
+        n_rows = chunks.count()
+        n_buckets = max(spark.sparkContext.defaultParallelism * 4,
+                        -(-n_rows // max_bucket_rows))
+        if audit is not None:
+            audit["pack_n_rows"] = n_rows
+    if audit is not None:
+        audit["pack_n_buckets"] = n_buckets
     in_cols = chunks.columns
     if len_col not in in_cols:
         raise ValueError(f"len_col {len_col!r} not in {in_cols}")

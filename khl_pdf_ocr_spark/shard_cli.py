@@ -79,13 +79,20 @@ def main(argv: list[str] | None = None) -> int:
         # chunking lineage once per split — r4 review).  pack_id is
         # unique within a split; the pack key is (split, pack_id), and
         # the output is partitioned by split accordingly.
+        #
+        # persist first: pack_sequences derives its corpus-scaled
+        # n_buckets from one count() — without the persist that action
+        # and the packing job would each run the chunking lineage
+        split = split.persist()
+        audit: dict = {}
         packed = pack_sequences(split, len_col="n_tokens",
                                 capacity=args.capacity,
                                 bucket_col=args.id_col,
-                                group_cols=("split",))
+                                group_cols=("split",), audit=audit)
 
         out = args.output.rstrip("/")
         packed.write.mode("overwrite").partitionBy("split").parquet(out)
+        split.unpersist()
 
         rb = spark.read.parquet(out)
         fill = (rb.groupBy("split", "pack_id")
@@ -106,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
             "n_chunks": rb.count(),
             "splits": by_split,
             "capacity": args.capacity,
+            # bucket telemetry: the corpus-scaled bucket count chosen
+            # by pack_sequences (a ballooned bucket shows here, not
+            # just in straggler task times)
+            "n_buckets": audit.get("pack_n_buckets"),
         }
         print(json.dumps(stats))
         return 0

@@ -220,3 +220,158 @@ def test_clean_corpus_decontaminates_last(spark):
     assert kept_ids == {0}
     assert reasons[1] == "contaminated"
     assert len(kept_ids) + len(reasons) == 3
+
+
+def _lm_corpus(spark):
+    """30 fluent docs sharing a common vocabulary, one rare-token
+    gibberish doc (passes the lang gate via embedded stopwords), one
+    ultra-common-token boilerplate doc — the two tails of the
+    avg_logprob distribution under a batch-trained unigram LM."""
+    themes = ["weather", "garden", "river", "market", "season", "harbor",
+              "meadow", "valley", "orchard", "village"]
+    rows = []
+    for i in range(30):
+        t = themes[i % len(themes)]
+        rows.append((i, f"the {t} report number {i} tells of the calm "
+                        f"and pleasant days in the {t} with many people "
+                        f"walking and talking about the {t} while the "
+                        f"children play in the open air near the {t}",
+                     "s"))
+    rows.append((100, "the zq9kvx of wjp3nn and vv7zzt the qq2bnm of "
+                      "xx8plw and rr4jjd the mm6ttk of hh1ggf and ss5ccv "
+                      "the kk3rrn of pp7mmx and tt2vvb the gg8hhj of "
+                      "nn4ssw and bb6ddq", "s"))       # rare-token tail
+    rows.append((101, "the of and to the of and to the of and to the of "
+                      "and to the of and to the of and to the of and to "
+                      "the of and to the of and to the of and to", "s"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_clean_corpus_lm_quality_tails(spark):
+    """lm= appends the CCNet-style stage: batch-quantile cutoffs keep
+    the MIDDLE of the avg_logprob distribution — the rare-token
+    gibberish (bottom tail) and the stopword-soup boilerplate (top
+    tail) both land in the ledger as lm_quality; conservation holds."""
+    from khl_pdf_ocr_spark.operators.textstats import train_unigram_lm
+
+    docs = _lm_corpus(spark)
+    lm = train_unigram_lm(docs)
+    audit: dict = {}
+    kept, ledger = clean_corpus(docs, allowed_langs=("en",),
+                                min_quality=0.1, near_dup_threshold=0.95,
+                                lm=lm, lm_tails=(0.1, 0.9), audit=audit)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert reasons.get(100) == "lm_quality"   # gibberish: bottom tail
+    assert reasons.get(101) == "lm_quality"   # boilerplate: top tail
+    assert len(kept_ids) >= 20                # the middle survives
+    assert kept_ids | set(reasons) == {r["doc_id"]
+                                       for r in docs.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(reasons)
+    lo, hi = audit["lm_cutoffs"]
+    # the 30 template docs share one avg_logprob value, so both
+    # quantiles may legitimately coincide on it — the middle band
+    # collapses to a point and still keeps the fluent docs
+    assert lo <= hi and lo is not None and hi is not None
+    for cached in audit.get("persisted", ()):
+        cached.unpersist()
+
+
+def test_clean_corpus_lm_cutoffs_lazy(spark):
+    """Absolute lm_cutoffs keep the pipeline fully lazy (no persist, no
+    quantile action) — the frozen-cutoff increment shape; one-sided
+    None bounds are honored."""
+    from khl_pdf_ocr_spark.operators.textstats import train_unigram_lm
+
+    docs = _lm_corpus(spark)
+    lm = train_unigram_lm(docs)
+    audit: dict = {}
+    # only the BOTTOM tail bounded: boilerplate survives, gibberish dies
+    # baseline: which frames does the pipeline persist WITHOUT the LM
+    # stage (the minhash audit registers banded signatures either way)
+    base_audit: dict = {}
+    clean_corpus(docs, allowed_langs=("en",), min_quality=0.1,
+                 near_dup_threshold=0.95, audit=base_audit)
+    kept, ledger = clean_corpus(docs, allowed_langs=("en",),
+                                min_quality=0.1, near_dup_threshold=0.95,
+                                lm=lm, lm_cutoffs=(-4.0, None), audit=audit)
+    # absolute cutoffs add NO persist beyond the dedup stage's own —
+    # the LM stage stayed fully lazy (no quantile action)
+    assert len(audit.get("persisted", ())) \
+        == len(base_audit.get("persisted", ()))
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert reasons.get(100) == "lm_quality"
+    assert 101 in kept_ids
+    assert audit["lm_cutoffs"] == (-4.0, None)
+
+
+def test_clean_cli_quality_lm(spark, tmp_path):
+    """--quality-lm train: the LM trains on the batch, both tails drop
+    as lm_quality in stats, cutoffs are reported, and --save-lm
+    persists a (token, logprob) parquet reusable via --quality-lm PATH
+    + --lm-cutoffs with identical drops (the increment shape)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "docs")
+    _lm_corpus(spark).write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+    lm_path = str(tmp_path / "lm")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--cpus", "4",
+         "--quality-lm", "train", "--lm-tails", "0.1,0.9",
+         "--save-lm", lm_path],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("lm_quality", 0) >= 2
+    lo, hi = stats["lm_cutoffs"]
+    assert lo <= hi  # template docs share one value; band may be a point
+    ledger = {(r["id"], r["reject_reason"]) for r in
+              spark.read.parquet(f"{out}/ledger").collect()}
+    assert (100, "lm_quality") in ledger and (101, "lm_quality") in ledger
+    lm = spark.read.parquet(lm_path)
+    assert set(lm.columns) == {"token", "logprob"}
+    assert lm.count() > 10
+
+    # second run: persisted LM + frozen absolute cutoffs (lazy path)
+    out2 = str(tmp_path / "cleaned2")
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out2,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--cpus", "4",
+         "--quality-lm", lm_path, f"--lm-cutoffs={lo!r},{hi!r}"],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    stats2 = json.loads([ln for ln in p2.stdout.splitlines()
+                         if ln.startswith("{")][-1])
+    assert stats2["rejected"].get("lm_quality", 0) \
+        == stats["rejected"]["lm_quality"]
+    assert stats2["lm_cutoffs"] == [lo, hi]
+
+
+def test_clean_cli_bad_split_spec_usage_error(tmp_path):
+    """A malformed --split surfaces as a clean argparse usage error
+    (exit 2), not a raw ValueError traceback (r4 ADVICE)."""
+    import os
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", str(tmp_path / "x"), "--output", str(tmp_path / "y"),
+         "--split", "train=0.9,train=0.1", "--cpus", "2"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 2
+    assert "duplicate split name" in p.stderr
+    assert "Traceback" not in p.stderr

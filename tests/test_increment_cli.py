@@ -115,3 +115,67 @@ def test_increment_rerun_is_idempotent(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(str(tmp_path / "out2" / "kept")).collect()}
     assert kept == {102}
+
+
+def test_crashed_first_run_self_heals(spark, tmp_path):
+    """A first run that crashed between the fingerprints write and the
+    signatures write leaves one store whose only partition is this
+    increment's — the rerun must self-heal (no other history exists to
+    protect), ending with both stores consistent (r4 ADVICE)."""
+    state = str(tmp_path / "state")
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, BASE, "s"), (1, NOVEL, "s")],
+        ["doc_id", "text", "source"]).write.parquet(day1)
+
+    # simulate the crash: fingerprints written for THIS increment only,
+    # signatures never written
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.functions.text import fingerprint
+    (spark.read.parquet(day1)
+     .select(fingerprint(F.col("text")).alias("fingerprint"))
+     .withColumn("increment_id", F.lit("day1"))
+     .write.partitionBy("increment_id")
+     .parquet(os.path.join(state, "fingerprints")))
+
+    s1 = _run(day1, state, str(tmp_path / "out1"))
+    assert s1["first_run"] is True          # treated as a clean first run
+    assert s1["n_kept"] == 2                # nothing rejected against self
+    assert s1["state_fingerprints"] == 2 and s1["state_signatures"] == 2
+
+    # and the healed state behaves as real history on day 2
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame([(100, NOVEL, "s")],
+                          ["doc_id", "text", "source"]).write.parquet(day2)
+    s2 = _run(day2, state, str(tmp_path / "out2"))
+    assert s2["rejected"].get("exact_dup_history") == 1
+
+
+def test_half_present_foreign_state_fails_fast(spark, tmp_path):
+    """A lone store carrying a FOREIGN increment's partition is real
+    corruption — the run must fail fast, not silently probe one store
+    (which would re-admit near-dups of history)."""
+    state = str(tmp_path / "state")
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame([(100, NOVEL, "s")],
+                          ["doc_id", "text", "source"]).write.parquet(day2)
+
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.functions.text import fingerprint
+    (spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+     .select(fingerprint(F.col("text")).alias("fingerprint"))
+     .withColumn("increment_id", F.lit("some_other_day"))
+     .write.partitionBy("increment_id")
+     .parquet(os.path.join(state, "fingerprints")))
+
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day2, "--state", state,
+         "--output", str(tmp_path / "out2"),
+         "--langs", "en", "--min-quality", "0.1", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p.returncode != 0
+    assert "inconsistent state" in p.stderr
+    assert "some_other_day" in p.stderr

@@ -69,6 +69,48 @@ def test_chunk_documents_shapes(spark):
         chunk_documents(df, max_tokens=10, overlap=10)
 
 
+def test_chunk_documents_long_doc_pre_sliced_generate(spark):
+    """The 100-TB shape assertion (r4 verdict #1): a book-length doc
+    must NOT carry its full token array across the Generate.  The
+    naive explode-then-slice form copies the whole-document array once
+    per chunk row (O(tokens x chunks) bytes — ~tens of GB transient
+    for ONE 200k-token doc at 512/64); the fixed form slices BEFORE
+    exploding, so each token is materialized ~max_tokens/stride times.
+    """
+    import math
+
+    n_tok = 200_000
+    doc = " ".join(f"t{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=512, overlap=64)
+
+    # plan shape: slicing happens INSIDE the generator expression —
+    # the Generate line itself contains the slice, and no whole-doc
+    # token-array column exists anywhere in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_toks" not in plan
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert len(gen_lines) == 1
+    assert "slice(" in gen_lines[0], (
+        "pieces must be sliced inside the generator, not after it:\n"
+        + gen_lines[0])
+
+    # functional: correct chunk count + per-chunk token accounting on
+    # the long doc (completes in seconds; the quadratic form would
+    # churn through ~90 GB of array copies here)
+    stride = 512 - 64
+    n_chunks = math.ceil((n_tok - 512) / stride) + 1
+    agg = out.agg(F.count(F.lit(1)).alias("c"),
+                  F.sum("n_tokens").alias("s")).collect()[0]
+    assert agg["c"] == n_chunks
+    last = n_tok - (n_chunks - 1) * stride
+    assert agg["s"] == (n_chunks - 1) * 512 + last
+    first, second = (out.orderBy("chunk_id").limit(2)
+                     .select("chunk_text").collect())
+    assert first["chunk_text"].split()[0] == "t0"
+    assert second["chunk_text"].split()[0] == f"t{stride}"
+
+
 def test_redact_pii_planted(spark):
     df = spark.createDataFrame(
         [(1, "write to john.doe+x@example.co.uk or call +7 (495) 123-45-67"),
@@ -104,6 +146,27 @@ def test_redact_pii_leaves_dates_and_numeric_tables(spark):
     assert out[2]["text_redacted"] == out[2]["text"]
     assert out[3]["n_pii_phone"] == 2
     assert out[3]["text_redacted"] == "call <PHONE> or <PHONE>"
+
+
+def test_redact_pii_leaves_plus_minus_stat_rows(spark):
+    """A leading + is ALSO the plus-minus marker of hockey stat rows —
+    the phone pattern must demand phone-like grouping (a 3-5 digit
+    area code after the country code), not any +-prefixed digit run,
+    or game-sheet stat lines are shredded corpus-wide when
+    --redact-pii rewrites in place (r4 ADVICE, medium)."""
+    df = spark.createDataFrame(
+        [(1, "IVANOV +2 10 23 45 67 89"),          # plus-minus +2
+         (2, "PETROV +10 5 12 34 56 78 90 12"),    # double-digit +/-
+         (3, "stats +3 21-43-65 and a real +7 (812) 555-12-34 after")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["text_redacted"] == out[1]["text"]
+    assert out[1]["n_pii_phone"] == 0
+    assert out[2]["text_redacted"] == out[2]["text"]
+    assert out[2]["n_pii_phone"] == 0
+    # the stat prefix survives while the genuine phone is redacted
+    assert out[3]["text_redacted"] == "stats +3 21-43-65 and a real <PHONE> after"
+    assert out[3]["n_pii_phone"] == 1
 
 
 def test_repetition_stats_hand_checked(spark):
@@ -213,6 +276,39 @@ def test_pack_sequences_ffd_invariants(docs, spark):
     big = chunk_documents(docs, max_tokens=48, overlap=8)
     with pytest.raises(PythonException, match="exceeds pack capacity"):
         pack_sequences(big, capacity=32).count()
+
+
+def test_pack_sequences_corpus_scaled_buckets(spark):
+    """Default bucket count scales with the CORPUS, not the cluster
+    (r4 verdict #6): at fixed cluster width, buckets must stay bounded
+    at ~max_bucket_rows as the data grows, or FFD's first-fit scan
+    (O(chunks x open packs) per bucket) balloons.  audit surfaces the
+    chosen n_buckets so run telemetry shows it."""
+    from khl_pdf_ocr_spark.operators.prepare import pack_sequences
+
+    # 1000 docs x 4 chunks — far more rows than 4 x parallelism buckets
+    rows = [(f"d{i}", j, 10 + (i * 7 + j * 3) % 40)
+            for i in range(1000) for j in range(4)]
+    chunks = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tokens"])
+    audit: dict = {}
+    packed = pack_sequences(chunks, capacity=64, max_bucket_rows=10,
+                            audit=audit)
+    floor_ = spark.sparkContext.defaultParallelism * 4
+    assert audit["pack_n_rows"] == 4000
+    assert audit["pack_n_buckets"] == max(floor_, 400)
+    # per-bucket rows bounded near the target (hash variance + whole
+    # docs co-bucketing allow a small factor, never linear growth)
+    sizes = (packed.withColumn("bucket",
+                               (F.col("pack_id") / (1 << 32)).cast("long"))
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    assert sizes.agg(F.max("n")).first()[0] <= 60
+    assert packed.count() == 4000
+
+    # explicit n_buckets skips the sizing count entirely (no action on
+    # the input lineage — the contract expensive callers rely on)
+    audit2: dict = {}
+    pack_sequences(chunks, capacity=64, n_buckets=16, audit=audit2)
+    assert audit2 == {"pack_n_buckets": 16}
 
 
 def test_decontaminate_flags_benchmark_overlap(spark):
@@ -362,6 +458,7 @@ def test_shard_cli_end_to_end(spark, tmp_path):
     assert set(stats["splits"]) == {"train", "val"}
     assert all(v["n_packs"] == 0 or 0 < v["fill_rate"] <= 1.0
                for v in stats["splits"].values())
+    assert stats["n_buckets"] >= 1  # bucket telemetry surfaced
 
     rb = spark.read.parquet(out)
     want = chunk_documents(spark.read.parquet(inp),
