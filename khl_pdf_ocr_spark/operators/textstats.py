@@ -119,7 +119,8 @@ def train_unigram_lm(df: DataFrame, *, text_col: str = "text",
 
 def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,
                            text_col: str = "text", id_col: str = "doc_id",
-                           oov_logprob: float | None = None) -> DataFrame:
+                           oov_logprob: float | None = None,
+                           deterministic_fold: bool = False) -> DataFrame:
     """Per-document mean token log-probability under a
     ``train_unigram_lm`` model — the CCNet-style quality signal: fluent
     prose scores near the corpus average, gibberish / rare-token dumps
@@ -136,6 +137,16 @@ def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,
     Output: (id_col, n_scored_tokens, avg_logprob); docs with zero
     scorable tokens (NULL/whitespace text) return NULL avg_logprob
     with n_scored_tokens 0, never silently vanish.
+
+    ``deterministic_fold``: sum the per-token logprobs in a CANONICAL
+    order (sorted ascending, sequential left fold) instead of
+    ``F.avg`` — float addition isn't associative, so the default avg
+    depends on partition/arrival order and differs across runs and
+    engines in the last ulps.  The fold is bit-reproducible given the
+    same logprob values, which is what an exact-value oracle (the
+    driver's DuckDB twin, which folds the same sorted list) needs.
+    Costs a per-doc collect_list + sort; use the default for bulk
+    filtering, the fold for oracle-gated scoring.
     """
     if oov_logprob is None:
         row = lm.agg(F.min("logprob")).first()
@@ -151,6 +162,18 @@ def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,
               .select("id", F.when(F.col("token").isNull(), None)
                       .otherwise(F.coalesce(F.col("logprob"),
                                             F.lit(oov_logprob))).alias("lp")))
+    if deterministic_fold:
+        # collect_list drops NULL lp (the explode_outer sentinel of an
+        # empty doc), so size() is the non-null token count and the
+        # empty array folds to the NULL-avg case
+        return (scored.groupBy("id")
+                .agg(F.sort_array(F.collect_list("lp")).alias("_lps"))
+                .select(F.col("id").alias(id_col),
+                        F.size("_lps").cast("long").alias("n_scored_tokens"),
+                        F.when(F.size("_lps") > 0,
+                               F.aggregate("_lps", F.lit(0.0),
+                                           lambda a, v: a + v)
+                               / F.size("_lps")).alias("avg_logprob")))
     return (scored.groupBy("id")
             .agg(F.count("lp").alias("n_scored_tokens"),
                  F.avg("lp").alias("avg_logprob"))

@@ -424,3 +424,36 @@ def test_unigram_scores_rank_junk_below_prose(spark):
     plan = unigram_logprob_scores(corpus, lm) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_scores_deterministic_fold_matches_default(spark):
+    """deterministic_fold sums logprobs in canonical sorted order —
+    same values as the default F.avg path to float tolerance, same
+    n_scored_tokens exactly, same NULL semantics for empty docs, and
+    bit-identical across repartitionings (the property the driver's
+    exact-value oracle needs; the default avg is only
+    order-of-arrival-stable)."""
+    from khl_pdf_ocr_spark.operators.textstats import (
+        train_unigram_lm, unigram_logprob_scores)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = train_unigram_lm(docs, vocab_size=500)
+    default = {r["doc_id"]: r for r in
+               unigram_logprob_scores(docs, lm).collect()}
+    folded = {r["doc_id"]: r for r in
+              unigram_logprob_scores(docs, lm,
+                                     deterministic_fold=True).collect()}
+    assert set(default) == set(folded)
+    for i in default:
+        assert default[i]["n_scored_tokens"] == folded[i]["n_scored_tokens"]
+        a, b = default[i]["avg_logprob"], folded[i]["avg_logprob"]
+        if a is None:
+            assert b is None
+        else:
+            assert abs(a - b) < 1e-9
+    refolded = {r["doc_id"]: r["avg_logprob"] for r in
+                unigram_logprob_scores(docs.repartition(13), lm,
+                                       deterministic_fold=True).collect()}
+    # bit-identical, not approximately equal: the fold order is
+    # canonical, so partitioning cannot perturb the sum
+    assert refolded == {i: folded[i]["avg_logprob"] for i in folded}
