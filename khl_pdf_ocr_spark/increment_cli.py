@@ -10,7 +10,9 @@ Pipeline per increment (every stage is an existing operator):
 
     clean_corpus(batch)                   lang/quality + batch-internal
                                           exact+near dedup (+ optional
-                                          url stage)
+                                          url stage, frozen-cutoff
+                                          unigram-LM quality stage, and
+                                          eval-set decontamination)
     exact_dedup_incremental(·, state)     drop exact copies of anything
                                           EVER kept (exact_dup_history)
     minhash_lsh_incremental(·, state,     drop near-dups of anything
@@ -62,7 +64,11 @@ from khl_pdf_ocr_spark.session import get_spark
 from khl_pdf_ocr_spark.sources.readers import read_documents
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """``spark=None`` (the CLI path) creates and stops its own session;
+    passing a session runs the same pipeline on it and leaves it
+    running — the embedding hook bench.py's increment-scaling mode
+    uses to time repeated increments without JVM churn."""
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
     ap.add_argument("--state", required=True,
@@ -80,8 +86,39 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.4)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument("--url-col", default=None)
+    ap.add_argument("--quality-lm", default=None, metavar="PATH",
+                    help="persisted (token, logprob) LM parquet: append "
+                         "the unigram-LM quality stage with FROZEN "
+                         "absolute cutoffs (--lm-cutoffs, required).  "
+                         "Increments never use batch quantiles — the "
+                         "accept band must not drift with daily batch "
+                         "composition")
+    ap.add_argument("--lm-cutoffs", default=None, metavar="LO,HI",
+                    help="absolute avg_logprob bounds ('none' for an "
+                         "open side); required with --quality-lm")
+    ap.add_argument("--decontaminate-against", default=None,
+                    help="parquet path of an eval set (text column): "
+                         "drop batch docs sharing any 13-gram with it")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    lm_cutoffs = None
+    if args.quality_lm:
+        if not args.lm_cutoffs:
+            ap.error("--quality-lm requires --lm-cutoffs (frozen "
+                     "absolute bounds; train + quantiles belong to "
+                     "clean_cli on a reference batch)")
+        parts = args.lm_cutoffs.split(",")
+        if len(parts) != 2:
+            ap.error(f"want LO,HI, got {args.lm_cutoffs!r}")
+        try:
+            lm_cutoffs = tuple(
+                None if p.strip().lower() == "none" else float(p)
+                for p in parts)
+        except ValueError as e:
+            ap.error(str(e))
+    elif args.lm_cutoffs:
+        ap.error("--lm-cutoffs requires --quality-lm")
 
     from pyspark.sql import functions as F
 
@@ -89,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
         r"[^A-Za-z0-9._-]", "_",
         os.path.basename(args.input.rstrip("/"))) or "increment"
 
-    spark = get_spark("khl-increment", cpus=args.cpus)
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark("khl-increment", cpus=args.cpus)
     try:
         fp_store = os.path.join(args.state, "fingerprints")
         sig_store = os.path.join(args.state, "signatures")
@@ -120,11 +159,19 @@ def main(argv: list[str] | None = None) -> int:
 
         batch = read_documents(spark, args.input)
         audit_clean: dict = {}
+        lm = (spark.read.parquet(args.quality_lm)
+              if args.quality_lm else None)
+        benchmark = (spark.read.parquet(args.decontaminate_against)
+                     if args.decontaminate_against else None)
+        # frozen lm_cutoffs keep the LM stage fully lazy inside
+        # clean_corpus — no quantile action, no extra persist, so the
+        # increment's one-pass shape is preserved
         kept1, ledger = clean_corpus(
             batch, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
-            url_col=args.url_col, audit=audit_clean)
+            url_col=args.url_col, lm=lm, lm_cutoffs=lm_cutoffs,
+            benchmark=benchmark, audit=audit_clean)
 
         audit_inc: dict = {}
         if first_run:
@@ -225,7 +272,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
         return 0
     finally:
-        spark.stop()
+        if owns_spark:
+            spark.stop()
 
 
 def _increment_partitions(spark, store: str) -> set[str]:

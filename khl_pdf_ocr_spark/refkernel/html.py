@@ -182,21 +182,35 @@ class _BlockParser(HTMLParser):
             self._cur.link_chars += n
 
 
-def _score_keep(block: _Block) -> bool:
+def _keep_text(block: _Block) -> str | None:
+    """The block's text if it passes the keep rules, else None.
+
+    Output-identical refactor of the original boolean `_score_keep` +
+    re-`text()` pair (r5, BENCH.md §4.16): the normalize-regex `text()`
+    ran TWICE for every kept block (once to score, once to emit).  The
+    cheap gates that don't need the text (`chars == 0` ⟺ empty
+    normalized text, since chars sums per-chunk stripped lengths;
+    non-heading nav blocks) run first, then the text materializes once
+    and is both scored and returned.
+    """
+    if block.chars == 0:
+        return None
+    heading = block.tag in HEADING_TAGS
+    if block.in_nav and not heading:
+        return None
     text = block.text()
     if not text:
-        return False
+        return None
     chars = len(text)
     link_ratio = block.link_chars / max(1, block.chars)
-    if block.tag in HEADING_TAGS:
-        return link_ratio <= MAX_LINK_RATIO and chars >= 3
-    if block.in_nav:
-        return False
+    if heading:
+        return text if (link_ratio <= MAX_LINK_RATIO and chars >= 3) \
+            else None
     if chars < MIN_CHARS or link_ratio > MAX_LINK_RATIO:
-        return False
+        return None
     words = len(text.split())
     lines = max(1.0, math.ceil(chars / WRAP_COLS))
-    return (words / lines) >= MIN_DENSITY
+    return text if (words / lines) >= MIN_DENSITY else None
 
 
 def strip_boilerplate(html_text: str) -> str:
@@ -209,7 +223,7 @@ def strip_boilerplate(html_text: str) -> str:
         # html.parser is forgiving; anything fatal → best-effort tag strip
         flat = RE_WS.sub(" ", re.sub(r"<[^>]*>", " ", unescape(html_text))).strip()
         return flat
-    kept = [b.text() for b in parser.blocks if _score_keep(b)]
+    kept = [t for t in map(_keep_text, parser.blocks) if t is not None]
     return "\n".join(kept)
 
 

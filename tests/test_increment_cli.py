@@ -179,3 +179,76 @@ def test_half_present_foreign_state_fails_fast(spark, tmp_path):
     assert p.returncode != 0
     assert "inconsistent state" in p.stderr
     assert "some_other_day" in p.stderr
+
+
+def test_increment_quality_lm_and_decontamination(spark, tmp_path):
+    """The increment CLI composes the frozen-cutoff LM quality stage
+    and eval-set decontamination into the daily job: a gibberish doc
+    lands as lm_quality (scored against a PERSISTED reference-batch
+    LM with absolute cutoffs — no quantiles, so the accept band can't
+    drift with batch composition) and an eval-overlapping doc as
+    contaminated; quantile mode is rejected at argparse time."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from khl_pdf_ocr_spark.operators.textstats import train_unigram_lm
+
+    # reference LM trained on a fluent corpus, persisted
+    themes = ["weather", "garden", "river", "market", "harbor"]
+    ref_rows = [(i, f"the {t} report tells of the calm and pleasant "
+                    f"days with many people walking and talking about "
+                    f"the {t} while the children play near the {t}", "s")
+                for i, t in enumerate(themes * 6)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text", "source"])
+    lm_path = str(tmp_path / "lm")
+    train_unigram_lm(ref).write.parquet(lm_path)
+
+    # the eval sentence reuses the REFERENCE vocabulary in a fresh
+    # order: it must be flagged by 13-gram overlap, not starve on OOV
+    # tokens and fall to the LM stage first (stage order: lm before
+    # decontamination).  Measured scores: fluent -3.25, eval-overlap
+    # -3.57, gibberish -4.28 -> cutoff -3.9 separates cleanly.
+    bench_q = ("the children play near the harbor while the people are "
+               "walking about the calm days of the market and the river "
+               "report tells of more pleasant days")
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame([(0, bench_q)], ["qid", "text"]) \
+        .write.parquet(bench_path)
+
+    day = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, ref_rows[0][1] + " and one fresh tail", "s"),   # fluent: kept
+         (1, "the zq9kvx of wjp3nn and vv7zzt the qq2bnm of xx8plw "
+             "and rr4jjd the mm6ttk of hh1ggf and ss5ccv", "s"),  # gibberish
+         (2, "fans often wonder and " + bench_q + " every spring", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day)
+
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day, "--state", str(tmp_path / "state"),
+         "--output", str(tmp_path / "out1"),
+         "--langs", "en", "--min-quality", "0.1",
+         "--quality-lm", lm_path, "--lm-cutoffs=-3.9,none",
+         "--decontaminate-against", bench_path, "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = _json.loads([ln for ln in p.stdout.splitlines()
+                         if ln.startswith("{")][-1])
+    assert stats["rejected"].get("lm_quality") == 1
+    assert stats["rejected"].get("contaminated") == 1
+    assert stats["n_kept"] == 1
+    # state describes exactly the kept corpus — rejected docs must not
+    # enter the fingerprint/signature stores
+    assert stats["state_fingerprints"] == 1
+    assert stats["state_signatures"] == 1
+
+    # quantile mode is a clean usage error on the increment path
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day, "--state", str(tmp_path / "state2"),
+         "--output", str(tmp_path / "out2"),
+         "--quality-lm", lm_path, "--cpus", "4"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert p2.returncode == 2
+    assert "requires --lm-cutoffs" in p2.stderr
