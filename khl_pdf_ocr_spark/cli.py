@@ -33,7 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=False)
     ap.add_argument("--mode", default="all",
                     choices=["all", "words", "refs", "gk", "goalies"])
-    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "warc"],
+                    help="warc: extract straight from raw crawl "
+                         "archives (*.warc / *.warc.gz) — the ingest "
+                         "front door, no staging table needed")
     ap.add_argument("--resume", action="store_true",
                     help="bucketed run with checkpointed manifests")
     ap.add_argument("--buckets", type=int, default=64)

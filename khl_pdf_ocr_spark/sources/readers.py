@@ -38,7 +38,14 @@ def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     the runtime jar is absent the reader degrades to parquet with a
     stderr warning (a silent fallback would mask a misconfigured
     cluster).  With the jar present, real read errors propagate.
+    ``fmt="warc"`` reads raw Common-Crawl-style archives (plain or
+    ``.warc.gz``) through ``sources.warc.read_warc`` — the ingest
+    front door, yielding the same (url, warc_ts, html, …) shape.
     """
+    if fmt == "warc":
+        from khl_pdf_ocr_spark.sources.warc import read_warc
+
+        return read_warc(spark, path)
     if fmt == "iceberg":
         if iceberg_available(spark):
             return spark.read.format("iceberg").load(path)
