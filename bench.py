@@ -194,7 +194,11 @@ def increment_only(cpus: int) -> None:
     # days — so day 3 genuinely exercises the steady-state history
     # near-dup path against two days of persisted signatures.
     K = int(os.environ.get("SPARK_GRAFT_INC_REPLICATE", "16"))
-    days_dir = os.path.join(REPO, ".bench_cache", f"inc_days_x{K}")
+    # cache key carries BOTH the sf and the replicate factor — keying
+    # on K alone silently reused stale day tables after an SF_DIR
+    # change (r5 review)
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    days_dir = os.path.join(REPO, ".bench_cache", f"inc_days_{sf_tag}_x{K}")
     if not os.path.exists(os.path.join(days_dir, "_done")):
         raw = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         other = [c for c in raw.columns if c not in ("doc_id", "text")]

@@ -80,16 +80,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from khl_pdf_ocr_spark.operators.prepare import parse_float_bounds
+
     def parse_bounds(spec: str) -> tuple[float | None, float | None]:
-        parts = spec.split(",")
-        if len(parts) != 2:
-            ap.error(f"want LO,HI, got {spec!r}")
-        try:
-            lo, hi = (None if p.strip().lower() == "none" else float(p)
-                      for p in parts)
+        try:  # shared spec parser (prepare.parse_float_bounds) so the
+            return parse_float_bounds(spec)  # sibling CLIs can't drift
         except ValueError as e:
             ap.error(str(e))
-        return lo, hi
 
     lm_tails = lm_cutoffs = None
     if args.quality_lm:
@@ -130,7 +127,10 @@ def main(argv: list[str] | None = None) -> int:
             # lineage-free, safe to reuse across the stats actions
             lm = train_unigram_lm(docs, text_col=args.text_col)
             if args.save_lm:
-                lm.write.parquet(args.save_lm)
+                # overwrite like every other output of this CLI — a
+                # retried nightly run with an unchanged --save-lm path
+                # must not crash after the training pass (r5 review)
+                lm.write.mode("overwrite").parquet(args.save_lm)
         elif args.quality_lm:
             lm = spark.read.parquet(args.quality_lm)
         kept, ledger = clean_corpus(

@@ -177,8 +177,14 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                 audit.setdefault("persisted", []).append(kept)
             scores = unigram_logprob_scores(kept, lm, text_col=text_col,
                                             id_col=id_col)
-            lo, hi = scores.filter(F.col("avg_logprob").isNotNull()) \
+            cuts = scores.filter(F.col("avg_logprob").isNotNull()) \
                 .approxQuantile("avg_logprob", list(lm_tails), 0.001)
+            # approxQuantile returns [] when NO doc has a score (every
+            # row already rejected upstream, or all-unscorable text) —
+            # unbounded cutoffs then drop only the NULL-score rows
+            # instead of crashing the run after the expensive upstream
+            # pipeline already executed (r5 review, reproduced)
+            lo, hi = cuts if cuts else (None, None)
         else:
             lo, hi = lm_cutoffs
             scores = unigram_logprob_scores(kept, lm, text_col=text_col,

@@ -108,13 +108,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ap.error("--quality-lm requires --lm-cutoffs (frozen "
                      "absolute bounds; train + quantiles belong to "
                      "clean_cli on a reference batch)")
-        parts = args.lm_cutoffs.split(",")
-        if len(parts) != 2:
-            ap.error(f"want LO,HI, got {args.lm_cutoffs!r}")
-        try:
-            lm_cutoffs = tuple(
-                None if p.strip().lower() == "none" else float(p)
-                for p in parts)
+        from khl_pdf_ocr_spark.operators.prepare import parse_float_bounds
+
+        try:  # shared spec parser — clean_cli uses the same one
+            lm_cutoffs = parse_float_bounds(args.lm_cutoffs)
         except ValueError as e:
             ap.error(str(e))
     elif args.lm_cutoffs:
@@ -146,7 +143,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # partition wholesale.  Anything else stays fail-fast.
             present = fp_store if have_fp else sig_store
             parts = _increment_partitions(spark, present)
-            if parts <= {inc_id}:
+            # EXACTLY this increment's partition — an empty set means a
+            # foreign NON-partitioned dataset squatting at the store
+            # path (a crashed attempt always leaves its own partition
+            # dir), and writing into it would interleave partition dirs
+            # among flat files (r5 review)
+            if parts == {inc_id}:
                 first_run = True  # crashed first attempt → clean redo
             else:
                 raise SystemExit(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
            "repetition_stats", "repetition_filter", "pack_sequences",
            "decontaminate", "deterministic_sample", "hash_split",
-           "parse_split_weights"]
+           "parse_split_weights", "parse_float_bounds"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -269,6 +269,19 @@ def deterministic_sample(df: DataFrame, fractions: dict[str, float], *,
     if expr is None:
         raise ValueError("fractions must name at least one stratum")
     return df.filter(expr)
+
+
+def parse_float_bounds(spec: str) -> tuple[float | None, float | None]:
+    """Parse ``"LO,HI"`` with ``none`` for an open side (e.g.
+    ``"-3.9,none"``) — the shared ``--lm-cutoffs``/``--lm-tails`` spec
+    of clean_cli and increment_cli (one parser so the two CLIs can't
+    drift; r5 review).  Raises ValueError; CLIs wrap with ap.error."""
+    parts = spec.split(",")
+    if len(parts) != 2:
+        raise ValueError(f"want LO,HI, got {spec!r}")
+    lo, hi = (None if p.strip().lower() == "none" else float(p)
+              for p in parts)
+    return lo, hi
 
 
 def parse_split_weights(spec: str) -> dict[str, float]:

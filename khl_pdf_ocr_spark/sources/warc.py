@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 
 CRLF = b"\r\n"
@@ -89,6 +90,12 @@ def iter_warc_records(payload: bytes):
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length would move the parse position BACKWARDS
+            # — on a crafted/corrupt record that cycles back to the
+            # record start, the loop would re-yield the same record
+            # forever inside a Spark task (r5 review, reproduced)
+            return
         body_start = hdr_end + len(_HDR_END)
         if body_start + length > n:
             return  # truncated content block
@@ -96,21 +103,30 @@ def iter_warc_records(payload: bytes):
         pos = body_start + length
 
 
-def _split_http(content: bytes) -> tuple[str | None, bytes]:
+def _split_http(content: bytes) -> tuple[str | None, bytes] | None:
     """(content-type, body) from an HTTP response payload; (None,
-    content) when there is no HTTP envelope (resource records)."""
+    content) when there is no HTTP envelope (resource records); None
+    when the envelope is malformed (caller counts the record bad).
+
+    Real crawls store server bytes verbatim, and real servers emit
+    bare-LF header lines — fall back to ``\\n\\n`` before declaring
+    the envelope unterminated (r5 review: the old code silently
+    replaced such documents with empty bytes, the exact silent drop
+    the module contract forbids)."""
     if not content.startswith(b"HTTP/"):
         return None, content
-    sep = content.find(_HDR_END)
+    sep, sep_len = content.find(_HDR_END), len(_HDR_END)
     if sep < 0:
-        return None, b""
+        sep, sep_len = content.find(b"\n\n"), 2
+        if sep < 0:
+            return None
     ctype = None
-    for line in content[:sep].decode("latin-1").split("\r\n")[1:]:
+    for line in content[:sep].decode("latin-1").splitlines()[1:]:
         name, s, value = line.partition(":")
         if s and name.strip().lower() == "content-type":
             ctype = value.strip()
             break
-    return ctype, content[sep + len(_HDR_END):]
+    return ctype, content[sep + sep_len:]
 
 
 def parse_warc_file(name: str, payload: bytes) -> tuple[list[dict], int]:
@@ -132,10 +148,16 @@ def parse_warc_file(name: str, payload: bytes) -> tuple[list[dict], int]:
             if not url or ts is None:
                 bad += 1
                 continue
-            ctype, body = _split_http(content)
+            split = _split_http(content)
+            if split is None:  # unterminated HTTP envelope
+                bad += 1
+                continue
+            ctype, body = split
             rows.append({"url": url, "warc_ts": ts, "html": body,
                          "content_type": ctype, "warc_file": name})
-    except (OSError, EOFError):  # not gzip / not WARC at all
+    except (OSError, EOFError, zlib.error):
+        # not gzip / not WARC / bit-rotted deflate stream (zlib.error
+        # is NOT an OSError subclass — r5 review, reproduced by fuzz)
         bad += 1
     return rows, bad
 
@@ -144,15 +166,18 @@ _WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "content_type string, warc_file string")
 
 
-def read_warc(spark, path: str):
+def read_warc(spark, path: str, *, bad_records_acc=None):
     """WARC archives → the canonical documents frame
     (url, warc_ts, html, content_type, warc_file).
 
     One ``binaryFile`` row per archive; the parser runs inside
     ``mapInArrow`` so record materialization is Arrow-batched, never
-    per-row Python.  Bad records are silently skipped HERE (the frame
-    is the data path); run ``parse_warc_stats`` over the same path
-    when ingest telemetry is required.
+    per-row Python.  Bad records are skipped on this data path; pass
+    ``bad_records_acc`` (a ``spark.sparkContext.accumulator(0)``) to
+    collect the skip count from the SAME pass — re-reading ~1 GB
+    archives just for telemetry doubles the most expensive ingest
+    stage (r5 review).  ``parse_warc_stats`` remains the standalone
+    per-archive breakdown for audits that don't run the data path.
     """
     import pyarrow as pa
 
@@ -165,7 +190,9 @@ def read_warc(spark, path: str):
                    "content_type": [], "warc_file": []}
             for name, payload in zip(batch.column("path").to_pylist(),
                                      batch.column("content").to_pylist()):
-                rows, _bad = parse_warc_file(name, payload)
+                rows, bad = parse_warc_file(name, payload)
+                if bad_records_acc is not None and bad:
+                    bad_records_acc.add(bad)
                 for r in rows:
                     for k in out:
                         out[k].append(r[k])

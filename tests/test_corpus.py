@@ -375,3 +375,23 @@ def test_clean_cli_bad_split_spec_usage_error(tmp_path):
     assert p.returncode == 2
     assert "duplicate split name" in p.stderr
     assert "Traceback" not in p.stderr
+
+
+def test_clean_corpus_lm_stage_survives_empty_batch(spark):
+    """Quantile cutoffs on a batch where NOTHING survives upstream:
+    approxQuantile returns [] — the stage must no-op (unbounded
+    cutoffs) instead of crashing after the expensive pipeline already
+    ran (r5 review).  Every row still lands in the ledger."""
+    from khl_pdf_ocr_spark.operators.textstats import train_unigram_lm
+
+    docs = _lm_corpus(spark)
+    lm = train_unigram_lm(docs)
+    audit: dict = {}
+    kept, ledger = clean_corpus(docs, allowed_langs=("xx",),  # rejects all
+                                min_quality=0.1, lm=lm,
+                                lm_tails=(0.1, 0.9), audit=audit)
+    assert kept.count() == 0
+    assert ledger.filter("reject_reason = 'lang'").count() == 32
+    assert audit["lm_cutoffs"] == (None, None)
+    for cached in audit.get("persisted", ()):
+        cached.unpersist()

@@ -252,3 +252,26 @@ def test_increment_quality_lm_and_decontamination(spark, tmp_path):
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert p2.returncode == 2
     assert "requires --lm-cutoffs" in p2.stderr
+
+
+def test_flat_foreign_store_fails_fast(spark, tmp_path):
+    """A lone store holding a NON-partitioned foreign dataset (no
+    increment_id= dirs) must fail fast — self-healing it would
+    interleave partition dirs among flat files (r5 review narrowed the
+    self-heal to parts == {this increment} exactly)."""
+    state = str(tmp_path / "state")
+    day = str(tmp_path / "day")
+    spark.createDataFrame([(100, NOVEL, "s")],
+                          ["doc_id", "text", "source"]).write.parquet(day)
+    # flat parquet squatting at the fingerprints path
+    spark.createDataFrame([("deadbeef",)], ["fingerprint"]) \
+        .write.parquet(os.path.join(state, "fingerprints"))
+
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day, "--state", state,
+         "--output", str(tmp_path / "out"),
+         "--langs", "en", "--min-quality", "0.1", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p.returncode != 0
+    assert "inconsistent state" in p.stderr

@@ -148,3 +148,66 @@ def test_cli_extracts_from_warc(spark, tmp_path, fixture_tables):
     urls = {r["url"] for r in
             spark.read.parquet(f"{out}/data").collect()}
     assert urls == {u for u, _ in sample}
+
+
+def test_negative_content_length_terminates():
+    """A corrupt negative Content-Length must stop the parse cleanly —
+    the pre-fix code moved the position BACKWARDS and re-yielded the
+    same record forever inside a Spark task (r5 review)."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://evil.test/\r\n"
+           b"WARC-Date: 2026-08-17T03:15:00Z\r\n"
+           b"Content-Length: -57\r\n\r\n")
+    rows, bad = parse_warc_file("f", rec + _archive())
+    assert rows == []                        # stops at the tear, no spin
+
+
+def test_corrupt_gzip_counted_not_fatal():
+    """zlib.error is not an OSError subclass — a bit-rotted .warc.gz
+    must count as one bad archive, never abort the Spark job."""
+    payload = b"\x1f\x8b\x08\x00" + b"\xde\xad\xbe\xef" * 64
+    rows, bad = parse_warc_file("rot.warc.gz", payload)
+    assert rows == [] and bad == 1
+
+
+def test_lf_only_http_headers_keep_body():
+    """Servers that emit bare-LF header lines are stored verbatim in
+    WARC — the \\n\\n fallback must keep the document body instead of
+    silently emitting html=b'' (r5 review)."""
+    body = b"<html><body>lf server</body></html>"
+    http = (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://lf.test/\r\n"
+           b"WARC-Date: 2026-08-17T03:15:00Z\r\n"
+           b"Content-Length: " + str(len(http)).encode() +
+           b"\r\n\r\n" + http + b"\r\n\r\n")
+    rows, bad = parse_warc_file("f", rec)
+    assert bad == 0 and rows[0]["html"] == body
+    assert rows[0]["content_type"] == "text/html"
+    # an envelope with NO terminator at all is malformed → counted
+    http2 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://cut.test/\r\n"
+            b"WARC-Date: 2026-08-17T03:15:00Z\r\n"
+            b"Content-Length: " + str(len(http2)).encode() +
+            b"\r\n\r\n" + http2 + b"\r\n\r\n")
+    rows2, bad2 = parse_warc_file("f", rec2)
+    assert rows2 == [] and bad2 == 1
+
+
+def test_bad_records_accumulator_single_pass(spark, tmp_path):
+    """Ingest telemetry from the SAME pass as the data (accumulator) —
+    no second full parse of ~1 GB archives just for a count."""
+    good = _archive()
+    body = b"HTTP/1.1 200 OK\r\n\r\nx"
+    bad_rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://c.test/3\r\n"
+               b"WARC-Date: not-a-date\r\n"
+               b"Content-Length: " + str(len(body)).encode() +
+               b"\r\n\r\n" + body + b"\r\n\r\n")
+    (tmp_path / "mixed.warc").write_bytes(bad_rec + good)
+    acc = spark.sparkContext.accumulator(0)
+    df = read_warc(spark, str(tmp_path / "mixed.warc"),
+                   bad_records_acc=acc)
+    assert df.count() == 2
+    assert acc.value == 1
