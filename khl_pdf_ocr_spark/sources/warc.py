@@ -179,10 +179,18 @@ def read_warc(spark, path: str, *, bad_records_acc=None):
     stage (r5 review).  ``parse_warc_stats`` remains the standalone
     per-archive breakdown for audits that don't run the data path.
     """
-    import pyarrow as pa
-
     files = (spark.read.format("binaryFile").load(path)
              .select("path", "content"))
+    return warc_records_frame(files, bad_records_acc=bad_records_acc)
+
+
+def warc_records_frame(files, *, bad_records_acc=None):
+    """(path, content) frame of raw archives → parsed record frame.
+
+    The shared Arrow-batched map behind ``read_warc`` (batch) and
+    ``streaming.warc_stream`` (continuous) — one parser, two triggers.
+    """
+    import pyarrow as pa
 
     def parse(batches):
         for batch in batches:
@@ -205,7 +213,7 @@ def read_warc(spark, path: str, *, bad_records_acc=None):
                 "warc_file": pa.array(out["warc_file"], pa.string()),
             })
 
-    return files.mapInArrow(parse, _WARC_SCHEMA)
+    return files.select("path", "content").mapInArrow(parse, _WARC_SCHEMA)
 
 
 def parse_warc_stats(spark, path: str):

@@ -211,3 +211,62 @@ def test_bad_records_accumulator_single_pass(spark, tmp_path):
                    bad_records_acc=acc)
     assert df.count() == 2
     assert acc.value == 1
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """The streaming ingest is the batch reader behind a streaming
+    trigger: same parser, value-identical rows — and a second run over
+    the same checkpoint processes NOTHING new (exactly-once archives)."""
+    from khl_pdf_ocr_spark.streaming.warc_stream import \
+        run_streaming_warc_ingest
+
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    (inp / "a.warc").write_bytes(_archive())
+    (inp / "b.warc.gz").write_bytes(_archive(gzipped=True))
+    out = str(tmp_path / "ingested")
+    run_streaming_warc_ingest(spark, str(inp), out)
+    got = {(r["url"], r["warc_file"].rsplit("/", 1)[-1]):
+           bytes(r["html"]) for r in
+           spark.read.parquet(f"{out}/data").collect()}
+    want = {(r["url"], r["warc_file"].rsplit("/", 1)[-1]):
+            bytes(r["html"]) for r in
+            read_warc(spark, str(inp) + "/*.warc*").collect()}
+    assert got == want and len(got) == 4
+
+    # restart over the same checkpoint: no duplicate rows
+    run_streaming_warc_ingest(spark, str(inp), out)
+    assert spark.read.parquet(f"{out}/data").count() == 4
+    # a newly-landed archive IS picked up by the next drain
+    (inp / "c.warc").write_bytes(write_warc(
+        [("https://c.test/9", TS, DOC_A)]))
+    run_streaming_warc_ingest(spark, str(inp), out)
+    assert spark.read.parquet(f"{out}/data").count() == 5
+
+
+def test_streaming_warc_ingest_with_extraction(spark, tmp_path,
+                                               fixture_tables):
+    """extract=True runs the kernel inside the stream — extracted text
+    byte-identical to the batch pipeline over the same payloads."""
+    import duckdb
+
+    from khl_pdf_ocr_spark.operators.extract import extract_documents
+    from khl_pdf_ocr_spark.streaming.warc_stream import \
+        run_streaming_warc_ingest
+
+    docs_path, _ = fixture_tables
+    sample = duckdb.sql(
+        f"SELECT url, html FROM read_parquet('{docs_path}') LIMIT 4"
+    ).fetchall()
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    (inp / "crawl.warc.gz").write_bytes(
+        write_warc([(u, TS, bytes(h)) for u, h in sample], gzipped=True))
+    out = str(tmp_path / "extracted")
+    run_streaming_warc_ingest(spark, str(inp), out, extract=True)
+    got = {r["url"]: r["extracted_text"] for r in
+           spark.read.parquet(f"{out}/data").collect()}
+    docs = spark.read.parquet(docs_path)
+    want = {r["url"]: r["extracted_text"] for r in extract_documents(
+        docs.filter(docs.url.isin([u for u, _ in sample]))).collect()}
+    assert got == want and len(got) == 4
