@@ -1,0 +1,204 @@
+"""BPE tokenizer training over a document corpus — the vocabulary-
+construction stage of a training-data pipeline (Sennrich et al. 2016,
+the public byte-pair-encoding algorithm used by the GPT-2/RoBERTa
+family of tokenizers).
+
+Scale shape (the part that matters at 100 TB): the ONLY corpus-scale
+work is ``word_frequency_table`` — one explode → groupBy(word) with
+map-side combine, a single shuffle over (word) keys.  Everything after
+operates on the *frequency table*, which Zipf's law keeps tiny
+relative to the corpus (10^7–10^8 distinct normalized words for a
+web-scale crawl — MBs, not TBs).  ``train_bpe`` therefore runs
+driver-side over the top-``max_words`` rows (exactly how industrial
+trainers work: frequency-capped vocab, with the dropped tail's mass
+REPORTED as ``coverage`` — no silent cap), and the learned merge table
+(a few 10k pairs) broadcasts back into ``bpe_segment`` for
+Arrow-batched encoding.
+
+Determinism: merges tie-break on (count desc, pair lexicographic) and
+the trainer is insensitive to input-row order — the same corpus yields
+the same tokenizer on any cluster, any partitioning (the same property
+hash_split gives splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_frequency_table", "train_bpe", "bpe_segment",
+           "encode_word"]
+
+END = "</w>"  # word-final marker (Sennrich): "est" mid-word != "est</w>"
+
+
+def word_frequency_table(df: DataFrame, *, text_col: str = "text",
+                         lowercase: bool = True) -> DataFrame:
+    """(word, n) over the corpus — the one corpus-scale pass.
+
+    Whitespace tokenization of (optionally lowercased) text; empty
+    tokens and NULL docs drop.  One explode → groupBy with map-side
+    combine; the result is Zipf-small.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = df.select(F.explode(F.split(F.trim(c), r"\s+")).alias("word")) \
+        .filter(F.length("word") > 0)
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def train_bpe(word_freqs, *, n_merges: int = 1000, min_pair_count: int = 2,
+              max_words: int = 1_000_000) -> tuple[list[tuple[str, str]], dict]:
+    """Learn BPE merges from a (word, n) table.
+
+    ``word_freqs`` is the DataFrame from ``word_frequency_table`` (or a
+    plain ``[(word, n), ...]`` list in tests).  Only the top
+    ``max_words`` words by (n desc, word asc) train; the audit dict
+    reports ``coverage`` — the kept words' share of total token
+    occurrences — so a capped run is visible, never silent.
+
+    Returns ``(merges, audit)``: merges in learned order (their index
+    IS the merge rank ``encode_word`` uses), audit =
+    {n_words, total_occurrences, coverage, n_merges}.
+
+    Incremental pair-count maintenance (the standard efficient
+    trainer): a merge only touches the words that contain its pair, so
+    a round costs O(words containing pair × word length), not a full
+    vocabulary rescan.
+    """
+    if isinstance(word_freqs, DataFrame):
+        rows = (word_freqs.orderBy(F.col("n").desc(), F.col("word").asc())
+                .limit(max_words + 1).collect())
+        pairs_in = [(r["word"], int(r["n"])) for r in rows]
+        total = int(word_freqs.agg(F.sum("n")).first()[0] or 0)
+    else:
+        pairs_in = sorted(word_freqs, key=lambda t: (-t[1], t[0]))
+        total = sum(n for _, n in word_freqs)
+    capped = pairs_in[:max_words]
+    kept_mass = sum(n for _, n in capped)
+    audit = {"n_words": len(capped),
+             "total_occurrences": total,
+             "coverage": (kept_mass / total) if total else 1.0}
+
+    # symbol sequences per word; word-final marker fused onto the last
+    # character so mid-word and word-final units stay distinct
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, n in capped:
+        syms = list(w)
+        syms[-1] = syms[-1] + END
+        words.append(syms)
+        freqs.append(n)
+
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += f
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and pair_counts:
+        # deterministic argmax: count desc, then lexicographic pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for i in list(pair_words[best]):
+            syms, f = words[i], freqs[i]
+            # remove this word's contribution, rewrite, re-add
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= f
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(i)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (j < len(syms) - 1
+                        and syms[j] == best[0] and syms[j + 1] == best[1]):
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += f
+                pair_words[(a, b)].add(i)
+    audit["n_merges"] = len(merges)
+    return merges, audit
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int],
+                cache: dict | None = None) -> list[str]:
+    """Segment one word with a trained merge table (GPT-2 style:
+    repeatedly apply the LOWEST-RANK pair present).  ``cache`` maps
+    word → pieces; pass a per-task dict — Zipf makes the hit rate
+    enormous."""
+    if cache is not None and word in cache:
+        return cache[word]
+    syms = list(word)
+    syms[-1] = syms[-1] + END
+    while len(syms) > 1:
+        best_rank, best_j = None, -1
+        for j, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_rank is None:
+            break
+        syms[best_j:best_j + 2] = [syms[best_j] + syms[best_j + 1]]
+    if cache is not None:
+        cache[word] = syms
+    return syms
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]], *,
+                text_col: str = "text", id_col: str = "doc_id",
+                lowercase: bool = True) -> DataFrame:
+    """Per-document BPE stats under a trained tokenizer:
+    (id_col, n_words, n_pieces, pieces_per_word).
+
+    The merge table broadcasts (a list of a few 10k pairs); encoding
+    runs in Arrow batches with a per-task word cache — per unique word,
+    not per occurrence.  This is the real token-count input to
+    ``chunk_documents``/``pack_sequences`` capacity planning:
+    whitespace counts underestimate sequence length by exactly
+    ``pieces_per_word``.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)})
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+
+    def seg(batches):
+        ranks = bc.value
+        cache: dict = {}
+        for pdf in batches:
+            ids, n_words, n_pieces = [], [], []
+            for i, t in zip(pdf["_id"], pdf["_t"]):
+                toks = (t.lower() if lowercase else t).split()
+                pieces = 0
+                for w in toks:
+                    pieces += len(encode_word(w, ranks, cache))
+                ids.append(i)
+                n_words.append(len(toks))
+                n_pieces.append(pieces)
+            yield pd.DataFrame({"_id": ids, "n_words": n_words,
+                                "n_pieces": n_pieces})
+
+    out = src.mapInPandas(seg, "_id long, n_words long, n_pieces long")
+    return out.select(
+        F.col("_id").alias(id_col), "n_words", "n_pieces",
+        F.when(F.col("n_words") > 0,
+               F.col("n_pieces") / F.col("n_words")
+               ).alias("pieces_per_word"))
