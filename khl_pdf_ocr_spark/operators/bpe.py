@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["word_frequency_table", "train_bpe", "bpe_segment",
-           "encode_word"]
+           "encode_word", "with_bpe_piece_counts", "save_merges",
+           "load_merges"]
 
 END = "</w>"  # word-final marker (Sennrich): "est" mid-word != "est</w>"
 
@@ -157,6 +158,57 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int],
     if cache is not None:
         cache[word] = syms
     return syms
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a merge table as (rank, left, right) parquet — rank IS
+    the merge order, which encoding depends on."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string").write \
+        .mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a ``save_merges`` table back in rank order."""
+    return [(r["left"], r["right"]) for r in
+            spark.read.parquet(path).orderBy("rank").collect()]
+
+
+def with_bpe_piece_counts(df: DataFrame, merges: list[tuple[str, str]], *,
+                          text_col: str, out_col: str = "n_pieces",
+                          lowercase: bool = True) -> DataFrame:
+    """Append ``out_col`` = BPE piece count of ``text_col`` to EVERY
+    input row (all columns preserved) — the tokenizer-aware length
+    used when packing capacity is denominated in model tokens, not
+    whitespace words (``shard_cli --bpe-merges``).  Same broadcast +
+    per-task word cache as ``bpe_segment``."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)})
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.LongType())])
+
+    def count(batches):
+        ranks = bc.value
+        cache: dict = {}
+
+        def pieces(t):
+            if t is None:
+                return 0
+            toks = (t.lower() if lowercase else t).split()
+            return sum(len(encode_word(w, ranks, cache)) for w in toks)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [pieces(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(count, schema)
 
 
 def bpe_segment(df: DataFrame, merges: list[tuple[str, str]], *,

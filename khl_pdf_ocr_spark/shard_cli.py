@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--overlap", type=int, default=128)
     ap.add_argument("--capacity", type=int, default=8192)
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
+    ap.add_argument("--bpe-merges", default=None, metavar="PATH",
+                    help="merge table from bpe.save_merges: re-count "
+                         "every chunk in BPE PIECES and pack on that "
+                         "(--capacity then means model tokens, not "
+                         "whitespace words — whitespace undercounts by "
+                         "pieces_per_word, so a whitespace-packed shard "
+                         "overflows the context window at train time)")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -71,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
                                  id_col=args.id_col,
                                  max_tokens=args.max_tokens,
                                  overlap=args.overlap)
+        len_col = "n_tokens"
+        if args.bpe_merges:
+            from khl_pdf_ocr_spark.operators.bpe import (
+                load_merges, with_bpe_piece_counts)
+
+            chunks = with_bpe_piece_counts(
+                chunks, load_merges(spark, args.bpe_merges),
+                text_col="chunk_text")
+            len_col = "n_pieces"
         split = hash_split(chunks, id_col=args.id_col, weights=weights,
                            seed=args.seed)
         # pack WITHIN each split via group_cols: a pack never mixes
@@ -85,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         # and the packing job would each run the chunking lineage
         split = split.persist()
         audit: dict = {}
-        packed = pack_sequences(split, len_col="n_tokens",
+        packed = pack_sequences(split, len_col=len_col,
                                 capacity=args.capacity,
                                 bucket_col=args.id_col,
                                 group_cols=("split",), audit=audit)
@@ -96,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
 
         rb = spark.read.parquet(out)
         fill = (rb.groupBy("split", "pack_id")
-                .agg(F.sum("n_tokens").alias("load"))
+                .agg(F.sum(len_col).alias("load"))
                 .groupBy("split")
                 .agg(F.count(F.lit(1)).alias("n_packs"),
                      (F.avg("load") / F.lit(float(args.capacity))
@@ -113,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
             "n_chunks": rb.count(),
             "splits": by_split,
             "capacity": args.capacity,
+            "len_col": len_col,   # what --capacity was denominated in
             # bucket telemetry: the corpus-scaled bucket count chosen
             # by pack_sequences (a ballooned bucket shows here, not
             # just in straggler task times)

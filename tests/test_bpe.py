@@ -109,3 +109,58 @@ def test_bpe_segment_matches_driver_encode(spark):
         else:
             assert row["pieces_per_word"] is None
     assert len(out) == 60
+
+
+def test_save_load_merges_roundtrip(spark, tmp_path):
+    from khl_pdf_ocr_spark.operators.bpe import load_merges, save_merges
+
+    merges, _ = train_bpe(SENNRICH, n_merges=6, min_pair_count=1)
+    save_merges(spark, merges, str(tmp_path / "m"))
+    assert load_merges(spark, str(tmp_path / "m")) == merges
+    # overwrite semantics: a retried job must not crash
+    save_merges(spark, merges[:3], str(tmp_path / "m"))
+    assert load_merges(spark, str(tmp_path / "m")) == merges[:3]
+
+
+def test_shard_cli_packs_on_bpe_pieces(spark, tmp_path):
+    """--bpe-merges: capacity is enforced in MODEL TOKENS — a pack may
+    exceed the capacity in whitespace words' piece-inflated count never
+    exceeds it in pieces; stats disclose the len_col."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from khl_pdf_ocr_spark.operators.bpe import (save_merges,
+                                                 word_frequency_table)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "kept")
+    docs.write.parquet(inp)
+    merges, _ = train_bpe(word_frequency_table(docs), n_merges=50)
+    merges_path = str(tmp_path / "merges")
+    save_merges(spark, merges, merges_path)
+
+    out = str(tmp_path / "shards")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+         "--input", inp, "--output", out,
+         "--max-tokens", "32", "--overlap", "4", "--capacity", "256",
+         "--split", "train=1.0", "--bpe-merges", merges_path,
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["len_col"] == "n_pieces"
+    rb = spark.read.parquet(out)
+    assert "n_pieces" in rb.columns
+    # capacity holds in PIECES on read-back; pieces >= whitespace tokens
+    over = (rb.groupBy("split", "pack_id")
+            .agg(F.sum("n_pieces").alias("load"))
+            .filter(F.col("load") > 256).count())
+    assert over == 0
+    infl = rb.filter(F.col("n_pieces") < F.col("n_tokens")).count()
+    assert infl == 0
+    assert rb.filter(F.col("n_pieces") > F.col("n_tokens")).count() > 0
