@@ -47,8 +47,10 @@ HEADLINE = [
     # it runs (once, then disk-cached in .ann_cache) while the query is
     # CONSTRUCTED, before timing starts — deliberately, because build-
     # once-query-many is the contract; both columns time the partition-
-    # pruned query itself
-    "emb_ann_lsh_topk",
+    # pruned query itself.  r5 consolidation: the slot now runs BOTH
+    # persisted-index probes (LSH + IVF, method-tagged union) — ~2x the
+    # work of the pre-r5 emb_ann_lsh_topk row it replaces
+    "emb_ann_topk",
 ]
 
 
