@@ -70,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --quality-lm train: persist the trained "
                          "(token, logprob) LM parquet here for reuse "
                          "by later increments")
+    ap.add_argument("--strip-repeated-spans", action="store_true",
+                    help="remove exact repeated substrings from the "
+                         "kept text (Lee et al. ExactSubstr: any "
+                         "--span-k-token window occurring more than "
+                         "once corpus-wide; tokens-removed counts land "
+                         "in run stats)")
+    ap.add_argument("--span-k", type=int, default=50,
+                    help="window length in tokens for "
+                         "--strip-repeated-spans (Lee et al. use 50)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="replace email/IPv4/phone matches in the kept "
                          "text (counts land in run stats)")
@@ -150,6 +159,24 @@ def main(argv: list[str] | None = None) -> int:
                 max_dup_line_fraction=args.max_dup_line_fraction,
                 max_top_2gram_fraction=args.max_top_2gram_fraction)
             ledger = ledger.unionByName(rep_ledger)
+        if args.strip_repeated_spans:
+            from khl_pdf_ocr_spark.operators.substring import \
+                strip_repeated_spans
+
+            # the span pass reads the kept frame TWICE (window scan +
+            # join back) — persist so the upstream dedup lineage runs
+            # once, not twice (the lm_tails precedent; unpersisted via
+            # audit after stats)
+            kept = kept.persist()
+            audit.setdefault("persisted", []).append(kept)
+            # strip IN PLACE, before PII redaction: span membership is
+            # defined on the corpus text as deduped, and a span removed
+            # here can't leak half-redacted fragments later
+            kept = (strip_repeated_spans(kept, k=args.span_k,
+                                         text_col=args.text_col,
+                                         id_col=args.id_col)
+                    .drop(args.text_col)
+                    .withColumnRenamed("text_deduped", args.text_col))
         pii_cols = []
         if args.redact_pii:
             from khl_pdf_ocr_spark.operators.prepare import (PII_PATTERNS,
@@ -206,6 +233,15 @@ def main(argv: list[str] | None = None) -> int:
         }
         if "lm_cutoffs" in audit:
             stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
+        if args.strip_repeated_spans:
+            row = kept_rb.agg(
+                F.sum("n_tokens_removed").alias("t"),
+                F.sum((F.col("n_tokens_removed") > 0).cast("long"))
+                .alias("d")).first()
+            stats["repeated_spans"] = {
+                "span_k": args.span_k,
+                "tokens_removed": int(row["t"] or 0),
+                "docs_affected": int(row["d"] or 0)}
         if pii_cols:  # redaction you can't count is redaction you
             row = kept_rb.agg(*[F.sum(c).alias(c)   # can't verify
                                 for c in pii_cols]).first()

@@ -395,3 +395,50 @@ def test_clean_corpus_lm_stage_survives_empty_batch(spark):
     assert audit["lm_cutoffs"] == (None, None)
     for cached in audit.get("persisted", ()):
         cached.unpersist()
+
+
+def test_clean_cli_strip_repeated_spans(spark, tmp_path):
+    """--strip-repeated-spans wires the ExactSubstr operator into the
+    product CLI: two otherwise-different kept docs sharing a 12-token
+    run lose exactly that run, in place, with audited counts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima")
+    rows = [(0, f"{shared} and the quick brown fox jumps over the lazy "
+                f"dog again today with friends", "s"),
+            (1, f"it is the case that many of the words we see here are "
+                f"the ones that fill this document before the borrowed "
+                f"boilerplate arrives {shared}", "s"),
+            (2, "a completely distinct document about the weather and "
+                "the sea with many simple words in it", "s")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95",
+         "--strip-repeated-spans", "--span-k", "12", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["repeated_spans"] == {"span_k": 12,
+                                       "tokens_removed": 24,
+                                       "docs_affected": 2}
+    kept = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/kept").collect()}
+    assert set(kept) == {0, 1, 2}
+    assert "alpha" not in kept[0]["text"]          # span stripped in place
+    assert kept[0]["text"].startswith("and the quick brown fox")
+    assert "alpha" not in kept[1]["text"]
+    assert kept[2]["text"].startswith("a completely distinct")
+    assert kept[2]["n_tokens_removed"] == 0
