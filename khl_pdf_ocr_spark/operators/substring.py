@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["repeated_ngram_spans", "strip_repeated_spans"]
+__all__ = ["repeated_ngram_spans", "repeated_spans_incremental",
+           "strip_repeated_spans"]
 
 # tokens are produced by splitting on whitespace, so U+001F (unit
 # separator) can never appear inside one — an unambiguous join char for
@@ -74,6 +75,25 @@ def _window_starts(df: DataFrame, *, k: int, text_col: str,
             .select(id_col, F.col("_w.s").alias("s"), F.col("_w.h").alias("h")))
 
 
+def _merge_spans(hits: DataFrame, *, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of repeated window starts ``(id, s)`` into
+    maximal spans: windows [s, s+k-1] chain while the next start is
+    within k of the previous (coverage stays contiguous).  One window
+    partitioned by document — never a global window."""
+    byid = Window.partitionBy(id_col).orderBy("s")
+    brk = F.when(F.col("s") <= F.lag("s").over(byid) + F.lit(k),
+                 F.lit(0)).otherwise(F.lit(1))  # lag NULL -> 1 (new island)
+    isl = (hits.withColumn("_brk", brk)
+           .withColumn("_island", F.sum("_brk").over(
+               byid.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    return (isl.groupBy(id_col, "_island")
+            .agg(F.min("s").cast("long").alias("span_start"),
+                 (F.max("s") + F.lit(k - 1)).cast("long").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("_island"))
+
+
 def repeated_ngram_spans(df: DataFrame, *, k: int = 8, min_count: int = 2,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -96,20 +116,62 @@ def repeated_ngram_spans(df: DataFrame, *, k: int = 8, min_count: int = 2,
     dup = (w.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
            .filter(F.col("_c") >= min_count).select("h"))
     hits = w.join(dup, "h", "inner")
-    # gaps-and-islands merge: windows [s, s+k-1] chain while the next
-    # start is within k of the previous (coverage stays contiguous)
-    byid = Window.partitionBy(id_col).orderBy("s")
-    brk = F.when(F.col("s") <= F.lag("s").over(byid) + F.lit(k),
-                 F.lit(0)).otherwise(F.lit(1))  # lag NULL -> 1 (new island)
-    isl = (hits.withColumn("_brk", brk)
-           .withColumn("_island", F.sum("_brk").over(
-               byid.rowsBetween(Window.unboundedPreceding,
-                                Window.currentRow))))
-    return (isl.groupBy(id_col, "_island")
-            .agg(F.min("s").cast("long").alias("span_start"),
-                 (F.max("s") + F.lit(k - 1)).cast("long").alias("span_end"),
-                 F.count(F.lit(1)).alias("n_windows"))
-            .drop("_island"))
+    return _merge_spans(hits, k=k, id_col=id_col)
+
+
+def repeated_spans_incremental(df: DataFrame, seen_windows: DataFrame, *,
+                               k: int = 8, min_count: int = 2,
+                               text_col: str = "text",
+                               id_col: str = "doc_id"
+                               ) -> tuple[DataFrame, DataFrame]:
+    """Repeated-substring spans for a NEW batch against itself AND a
+    persisted window-hash store — the daily-increment twin of
+    ``repeated_ngram_spans`` (a fresh crawl arrives; boilerplate that
+    already exists anywhere in the ingested corpus must be stripped
+    from the new documents without re-scanning 100 TB of history).
+
+    ``seen_windows``: the store — ``(h, n)`` distinct window hashes
+    with their occurrence counts per increment (append ``new_windows``
+    each increment).  History TEXT is never read: a batch window is
+    repeated when its batch occurrences plus the store's count for the
+    same hash reach ``min_count``.  The store is O(distinct windows) —
+    linear in corpus tokens, the honest cost of exact-substring state
+    (the batch-mode alternative, a corpus-wide suffix structure, is the
+    same order); at scale bucket it by ``h`` so the probe's equi-join
+    co-locates, and the probe aggregates the store ONLY for hashes the
+    batch actually contains (semi-join first, never a full-store scan
+    aggregate).
+
+    Returns ``(spans, new_windows)``:
+    - ``spans`` — as ``repeated_ngram_spans`` over the batch docs;
+    - ``new_windows`` — ``(h, n)`` for THIS batch: append to the store,
+      keyed/partitioned by increment id like the signature stores, so
+      scheduler retries overwrite idempotently.
+
+    History-only documents are untouched: spans are emitted for batch
+    rows only (history text was already stripped when ITS batch was
+    ingested — within-history repeats are history's business, not this
+    run's).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    w = _window_starts(df, k=k, text_col=text_col, id_col=id_col)
+    bc = w.groupBy("h").agg(F.count(F.lit(1)).alias("_bc"))
+    # restrict the store to hashes present in the batch BEFORE
+    # aggregating across increments (the store is corpus-sized; the
+    # batch hash set is not)
+    hist = (seen_windows.join(bc.select("h"), "h", "left_semi")
+            .groupBy("h").agg(F.sum("n").alias("_hn")))
+    dup = (bc.join(hist, "h", "left")
+           .filter((F.col("_bc") + F.coalesce(F.col("_hn"), F.lit(0)))
+                   >= min_count)
+           .select("h"))
+    hits = w.join(dup, "h", "inner")
+    spans = _merge_spans(hits, k=k, id_col=id_col)
+    new_windows = bc.select("h", F.col("_bc").cast("long").alias("n"))
+    return spans, new_windows
 
 
 def strip_repeated_spans(df: DataFrame, spans: DataFrame | None = None, *,

@@ -114,3 +114,52 @@ def test_long_doc_completes_quickly(spark):
     out = {r["doc_id"]: r for r in repeated_ngram_spans(df, k=8).collect()}
     assert (out[1]["span_start"], out[1]["span_end"]) == (0, n - 1)
     assert out[1]["n_windows"] == n - 7
+
+
+def _empty_store(spark):
+    return spark.createDataFrame([], "h long, n long")
+
+
+def test_incremental_day_one_matches_batch_mode(spark):
+    df = _docs(spark, [(1, "a b c d e f g h i j"),
+                       (2, "x a b c d e f g h z")])
+    from khl_pdf_ocr_spark.operators.substring import (
+        repeated_spans_incremental)
+    spans, new_w = repeated_spans_incremental(df, _empty_store(spark), k=8)
+    batch = repeated_ngram_spans(df, k=8)
+    assert (sorted(map(tuple, spans.collect()))
+            == sorted(map(tuple, batch.collect())))
+    # new_windows carries every batch window hash with its count
+    total = {r["h"]: r["n"] for r in new_w.collect()}
+    assert sum(total.values()) == 3 + 3   # 3 windows per 10-token doc
+    assert max(total.values()) == 2       # the shared window
+
+
+def test_incremental_cross_increment_repeat_flagged(spark):
+    from khl_pdf_ocr_spark.operators.substring import (
+        repeated_spans_incremental)
+    day1 = _docs(spark, [(1, "boiler plate text repeats q r s t u v")])
+    _, w1 = repeated_spans_incremental(day1, _empty_store(spark), k=4)
+    # day 2: doc 10 reuses day-1 text (seen ONCE in history -> total 2);
+    # doc 11 is novel
+    day2 = _docs(spark, [(10, "zz boiler plate text repeats yy"),
+                         (11, "totally novel words here now")])
+    spans, w2 = repeated_spans_incremental(day2, w1, k=4)
+    out = spans.collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["span_start"], r["span_end"]) == (10, 1, 4)
+    # the store accumulates: appending w2 makes a day-3 single
+    # occurrence of the same window total 3
+    day3 = _docs(spark, [(20, "boiler plate text repeats")])
+    spans3, _ = repeated_spans_incremental(
+        day3, w1.unionByName(w2), k=4, min_count=3)
+    assert spans3.count() == 1
+
+
+def test_incremental_within_batch_repeat_needs_no_history(spark):
+    from khl_pdf_ocr_spark.operators.substring import (
+        repeated_spans_incremental)
+    day = _docs(spark, [(1, "m n o p q1 q2"), (2, "w m n o p q3")])
+    spans, _ = repeated_spans_incremental(day, _empty_store(spark), k=4)
+    assert {r["doc_id"] for r in spans.collect()} == {1, 2}
