@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                          "stage: 'train' fits the LM on this batch; a "
                          "path loads a persisted (token, logprob) "
                          "parquet.  Drops land as lm_quality")
+    ap.add_argument("--lm-order", type=int, default=1, choices=[1, 2],
+                    help="LM order for --quality-lm: 1 = unigram, 2 = "
+                         "interpolated bigram (word-order-sensitive; "
+                         "'train' fits both tables, a PATH loads "
+                         "<PATH>/unigram + <PATH>/bigram)")
     ap.add_argument("--lm-tails", default="0.05,0.95", metavar="LO,HI",
                     help="batch quantiles of avg_logprob to keep "
                          "between (CCNet keeps the middle; both tails "
@@ -127,21 +132,37 @@ def main(argv: list[str] | None = None) -> int:
                      if args.decontaminate_against else None)
         lm = None
         if args.quality_lm == "train":
-            from khl_pdf_ocr_spark.operators.textstats import \
-                train_unigram_lm
-
             # trained on the raw batch (the honest self-referential
-            # stand-in for CCNet's reference-corpus KenLM); the frame
-            # is localCheckpoint'ed inside train_unigram_lm — tiny and
+            # stand-in for CCNet's reference-corpus KenLM); the frames
+            # are localCheckpoint'ed inside the trainers — tiny and
             # lineage-free, safe to reuse across the stats actions
-            lm = train_unigram_lm(docs, text_col=args.text_col)
-            if args.save_lm:
-                # overwrite like every other output of this CLI — a
-                # retried nightly run with an unchanged --save-lm path
-                # must not crash after the training pass (r5 review)
-                lm.write.mode("overwrite").parquet(args.save_lm)
+            if args.lm_order == 2:
+                from khl_pdf_ocr_spark.operators.textstats import \
+                    train_bigram_lm
+
+                lm = train_bigram_lm(docs, text_col=args.text_col)
+                if args.save_lm:
+                    lm[0].write.mode("overwrite").parquet(
+                        f"{args.save_lm}/unigram")
+                    lm[1].write.mode("overwrite").parquet(
+                        f"{args.save_lm}/bigram")
+            else:
+                from khl_pdf_ocr_spark.operators.textstats import \
+                    train_unigram_lm
+
+                lm = train_unigram_lm(docs, text_col=args.text_col)
+                if args.save_lm:
+                    # overwrite like every other output of this CLI — a
+                    # retried nightly run with an unchanged --save-lm
+                    # path must not crash after the training pass
+                    # (r5 review)
+                    lm.write.mode("overwrite").parquet(args.save_lm)
         elif args.quality_lm:
-            lm = spark.read.parquet(args.quality_lm)
+            if args.lm_order == 2:
+                lm = (spark.read.parquet(f"{args.quality_lm}/unigram"),
+                      spark.read.parquet(f"{args.quality_lm}/bigram"))
+            else:
+                lm = spark.read.parquet(args.quality_lm)
         kept, ledger = clean_corpus(
             docs, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,

@@ -54,7 +54,10 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  no later stage can reintroduce eval text); drops land
                  as ``contaminated`` in the ledger.
     ``lm``     — optional (token, logprob) frame from
-                 ``textstats.train_unigram_lm``: appends the
+                 ``textstats.train_unigram_lm``, or a
+                 ``(unigram_lm, bigram_lm)`` tuple from
+                 ``train_bigram_lm`` (scored with the interpolated
+                 bigram model — word-order-sensitive): appends the
                  CCNet-style LM quality stage after near-dup removal —
                  score every surviving doc with
                  ``unigram_logprob_scores`` and KEEP THE MIDDLE of the
@@ -163,8 +166,23 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
     if lm is not None:
-        from khl_pdf_ocr_spark.operators.textstats import \
-            unigram_logprob_scores
+        if isinstance(lm, tuple):
+            from khl_pdf_ocr_spark.operators.textstats import \
+                bigram_logprob_scores
+
+            uni_lm, bi_lm = lm
+
+            def _lm_scores(frame):
+                return bigram_logprob_scores(frame, uni_lm, bi_lm,
+                                             text_col=text_col,
+                                             id_col=id_col)
+        else:
+            from khl_pdf_ocr_spark.operators.textstats import \
+                unigram_logprob_scores
+
+            def _lm_scores(frame):
+                return unigram_logprob_scores(frame, lm, text_col=text_col,
+                                              id_col=id_col)
 
         kept_cols = kept.columns
         if lm_cutoffs is None:
@@ -175,8 +193,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
             kept = kept.persist()
             if audit is not None:
                 audit.setdefault("persisted", []).append(kept)
-            scores = unigram_logprob_scores(kept, lm, text_col=text_col,
-                                            id_col=id_col)
+            scores = _lm_scores(kept)
             cuts = scores.filter(F.col("avg_logprob").isNotNull()) \
                 .approxQuantile("avg_logprob", list(lm_tails), 0.001)
             # approxQuantile returns [] when NO doc has a score (every
@@ -187,8 +204,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
             lo, hi = cuts if cuts else (None, None)
         else:
             lo, hi = lm_cutoffs
-            scores = unigram_logprob_scores(kept, lm, text_col=text_col,
-                                            id_col=id_col)
+            scores = _lm_scores(kept)
         if audit is not None:
             audit["lm_cutoffs"] = (lo, hi)
         bad = F.col("avg_logprob").isNull()

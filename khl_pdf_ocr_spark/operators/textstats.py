@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from khl_pdf_ocr_spark.functions import text as X
 
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
-           "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores"]
+           "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores",
+           "train_bigram_lm", "bigram_logprob_scores"]
 
 
 def top_terms_per_group(df: DataFrame, *, text_col: str = "text",
@@ -115,6 +116,155 @@ def train_unigram_lm(df: DataFrame, *, text_col: str = "text",
                 .localCheckpoint())
     finally:
         counts.unpersist()
+
+
+def train_bigram_lm(df: DataFrame, *, text_col: str = "text",
+                    vocab_size: int = 65_536,
+                    bigram_size: int = 1_048_576
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Corpus bigram language model — one step closer to CCNet's 5-gram
+    KenLM than the unigram stand-in: word ORDER now matters (a token
+    scramble keeps its unigram score but collapses its bigram score).
+
+    Returns ``(unigram_lm, bigram_lm)``:
+    - ``unigram_lm`` — (token, logprob), exactly ``train_unigram_lm``'s
+      contract (top-``vocab_size`` by count);
+    - ``bigram_lm`` — (token, next, logprob) with CONDITIONAL
+      log p(next | token) = ln c(token, next) − ln n1(token), where
+      n1(token) is the count of ALL bigrams starting with ``token``
+      (computed before the top-``bigram_size`` cut, so kept rows carry
+      exact conditional probabilities; the truncated tail's mass is the
+      disclosed sketch trade — absent pairs score as probability 0 in
+      the interpolation).
+
+    ONE pass over the corpus text: the explode emits
+    ``struct(token, next)`` elements (next = NULL at the document tail),
+    so unigram counts (groupBy token) and bigram counts (groupBy token,
+    next) both read the same persisted narrow pair frame — the text is
+    tokenized once.  Top-V/top-B cuts are TakeOrderedAndProject
+    (distributed partial top-k, never a full vocabulary sort shuffle);
+    count-desc with lexicographic tie-break keeps training
+    deterministic and input-order-insensitive.  Both returned frames
+    are localCheckpoint'ed (tiny, lineage-free, broadcastable).
+    """
+    # STAGED token array (the winnowing lesson: interpreted HOFs have no
+    # common-subexpression elimination — element_at(<full tokenize
+    # expr>, i) inside the lambda would re-run the tokenize PER ELEMENT,
+    # O(tokens²) per doc; a materialized column reference is O(1))
+    staged = df.select(F.filter(
+        F.split(X.normalized_text(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0).alias("_toks"))
+    # 2-arg lambda on purpose: (element, index) — each generated element
+    # is a struct of two SMALL strings, never the token array
+    pairs_arr = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(
+            t.alias("token"),
+            # F.get: 0-based and NULL past the end (element_at would
+            # throw under ANSI at the document tail)
+            F.get(F.col("_toks"), i + 1).alias("next")))
+    pairs = (staged.select(F.explode(pairs_arr).alias("_p"))
+             .select("_p.token", "_p.next")
+             .persist())
+    try:
+        uni_counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        total = uni_counts.agg(F.sum("n")).first()[0] or 1
+        unigram = (uni_counts
+                   .orderBy(F.col("n").desc(), F.col("token").asc())
+                   .limit(vocab_size)
+                   .select("token",
+                           (F.log(F.col("n").cast("double"))
+                            - F.log(F.lit(float(total)))).alias("logprob"))
+                   .localCheckpoint())
+        bi_counts = (pairs.filter(F.col("next").isNotNull())
+                     .groupBy("token", "next")
+                     .agg(F.count(F.lit(1)).alias("n")))
+        # context totals from the FULL bigram counts (pre-cut): narrow
+        # (token, n) rows, one extra shuffle over the count table only
+        ctx = bi_counts.groupBy("token").agg(F.sum("n").alias("n1"))
+        bigram = (bi_counts
+                  .orderBy(F.col("n").desc(), F.col("token").asc(),
+                           F.col("next").asc())
+                  .limit(bigram_size)
+                  .join(ctx, "token")
+                  .select("token", "next",
+                          (F.log(F.col("n").cast("double"))
+                           - F.log(F.col("n1").cast("double"))
+                           ).alias("logprob"))
+                  .localCheckpoint())
+        return unigram, bigram
+    finally:
+        pairs.unpersist()
+
+
+def bigram_logprob_scores(df: DataFrame, unigram_lm: DataFrame,
+                          bigram_lm: DataFrame, *,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          lam: float = 0.7,
+                          oov_logprob: float | None = None) -> DataFrame:
+    """Per-document mean token log-probability under an INTERPOLATED
+    bigram model:
+
+        p(w_i | w_{i-1}) = lam * p_bi(w_i | w_{i-1})
+                         + (1 - lam) * p_uni(w_i)
+
+    The first token of each document scores p_uni alone; a pair absent
+    from the bigram table contributes only its unigram share (p_bi = 0
+    — standard Jelinek-Mercer interpolation, which also absorbs the
+    top-B truncation); an out-of-vocab token falls to the same OOV
+    floor as ``unigram_logprob_scores``.
+
+    Both LM frames broadcast (≤ vocab/bigram_size rows); the corpus
+    side is one explode of (prev, token) structs + two broadcast joins
+    + a per-doc aggregate — narrow rows, never a corpus shuffle.
+    Output schema matches ``unigram_logprob_scores``:
+    (id_col, n_scored_tokens, avg_logprob) — so the clean-corpus
+    both-tails gate consumes either model unchanged.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    if oov_logprob is None:
+        row = unigram_lm.agg(F.min("logprob")).first()
+        base = row[0] if row and row[0] is not None else -20.0
+        oov_logprob = float(base) - 2.302585092994046  # − ln 10
+    # STAGED token array (no CSE in interpreted HOFs — see
+    # train_bigram_lm)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(X.normalized_text(F.coalesce(F.col(text_col),
+                                                 F.lit(""))), r"\s+"),
+            lambda t: F.length(t) > 0).alias("_toks"))
+    # (prev, token) with prev = NULL for the first token; explode_outer
+    # keeps empty docs as a NULL sentinel row (they must score NULL,
+    # never vanish)
+    pairs_arr = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(
+            # F.get: 0-based, NULL for i-1 == -1 (the first token has no
+            # predecessor; element_at(…, 0) would throw under ANSI)
+            F.get(F.col("_toks"), i - 1).alias("prev"),
+            t.alias("token")))
+    pairs = staged.select(
+        "id", F.explode_outer(pairs_arr).alias("_p")
+    ).select("id", "_p.prev", "_p.token")
+    uni = unigram_lm.select(F.col("token"), F.col("logprob").alias("_ulp"))
+    bi = bigram_lm.select(F.col("token").alias("prev"),
+                          F.col("next").alias("token"),
+                          F.col("logprob").alias("_blp"))
+    scored = (pairs
+              .join(F.broadcast(uni), "token", "left")
+              .join(F.broadcast(bi), ["prev", "token"], "left"))
+    p_uni = F.exp(F.coalesce(F.col("_ulp"), F.lit(oov_logprob)))
+    p_bi = F.coalesce(F.exp(F.col("_blp")), F.lit(0.0))
+    lp = F.when(F.col("token").isNull(), None) \
+          .when(F.col("prev").isNull(),
+                F.coalesce(F.col("_ulp"), F.lit(oov_logprob))) \
+          .otherwise(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+    return (scored.select("id", lp.alias("lp"))
+            .groupBy("id")
+            .agg(F.count("lp").alias("n_scored_tokens"),
+                 F.avg("lp").alias("avg_logprob"))
+            .select(F.col("id").alias(id_col), "n_scored_tokens",
+                    "avg_logprob"))
 
 
 def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,

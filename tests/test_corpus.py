@@ -359,6 +359,61 @@ def test_clean_cli_quality_lm(spark, tmp_path):
     assert stats2["lm_cutoffs"] == [lo, hi]
 
 
+def test_clean_cli_quality_lm_bigram(spark, tmp_path):
+    """--lm-order 2: the interpolated-bigram stage trains on the batch,
+    drops both tails, persists <PATH>/unigram + <PATH>/bigram, and a
+    second run loading that pair with frozen cutoffs reproduces the
+    drops (the increment shape for the order-2 model)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "docs")
+    _lm_corpus(spark).write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+    lm_path = str(tmp_path / "lm2")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--cpus", "4",
+         "--quality-lm", "train", "--lm-order", "2",
+         "--lm-tails", "0.1,0.9", "--save-lm", lm_path],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("lm_quality", 0) >= 2
+    lo, hi = stats["lm_cutoffs"]
+    assert lo <= hi
+    ledger = {(r["id"], r["reject_reason"]) for r in
+              spark.read.parquet(f"{out}/ledger").collect()}
+    assert (100, "lm_quality") in ledger and (101, "lm_quality") in ledger
+    uni = spark.read.parquet(f"{lm_path}/unigram")
+    bi = spark.read.parquet(f"{lm_path}/bigram")
+    assert set(uni.columns) == {"token", "logprob"}
+    assert set(bi.columns) == {"token", "next", "logprob"}
+    assert bi.count() > 10
+
+    # second run: persisted LM pair + frozen absolute cutoffs
+    out2 = str(tmp_path / "cleaned2")
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out2,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--cpus", "4",
+         "--quality-lm", lm_path, "--lm-order", "2",
+         f"--lm-cutoffs={lo!r},{hi!r}"],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    stats2 = json.loads([ln for ln in p2.stdout.splitlines()
+                         if ln.startswith("{")][-1])
+    assert stats2["rejected"].get("lm_quality", 0) \
+        == stats["rejected"]["lm_quality"]
+
+
 def test_clean_cli_bad_split_spec_usage_error(tmp_path):
     """A malformed --split surfaces as a clean argparse usage error
     (exit 2), not a raw ValueError traceback (r4 ADVICE)."""
