@@ -96,6 +96,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--lm-cutoffs", default=None, metavar="LO,HI",
                     help="absolute avg_logprob bounds ('none' for an "
                          "open side); required with --quality-lm")
+    ap.add_argument("--lm-order", type=int, default=1, choices=[1, 2],
+                    help="LM order for --quality-lm: 1 = unigram "
+                         "(PATH is one parquet), 2 = interpolated "
+                         "bigram (PATH holds <PATH>/unigram + "
+                         "<PATH>/bigram, as written by clean_cli "
+                         "--lm-order 2 --save-lm)")
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
@@ -161,8 +167,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         batch = read_documents(spark, args.input)
         audit_clean: dict = {}
-        lm = (spark.read.parquet(args.quality_lm)
-              if args.quality_lm else None)
+        lm = None
+        if args.quality_lm:
+            if args.lm_order == 2:
+                lm = (spark.read.parquet(f"{args.quality_lm}/unigram"),
+                      spark.read.parquet(f"{args.quality_lm}/bigram"))
+            else:
+                lm = spark.read.parquet(args.quality_lm)
         benchmark = (spark.read.parquet(args.decontaminate_against)
                      if args.decontaminate_against else None)
         # frozen lm_cutoffs keep the LM stage fully lazy inside

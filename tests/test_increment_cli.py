@@ -254,6 +254,58 @@ def test_increment_quality_lm_and_decontamination(spark, tmp_path):
     assert "requires --lm-cutoffs" in p2.stderr
 
 
+def test_increment_quality_lm_bigram(spark, tmp_path):
+    """--lm-order 2 on the increment path: the persisted bigram pair
+    (as written by clean_cli --lm-order 2 --save-lm) scores the day's
+    batch with frozen cutoffs; gibberish drops as lm_quality, fluent
+    text survives."""
+    import json as _json
+
+    from khl_pdf_ocr_spark.operators.textstats import (
+        bigram_logprob_scores, train_bigram_lm)
+
+    themes = ["weather", "garden", "river", "market", "harbor"]
+    ref_rows = [(i, f"the {t} report tells of the calm and pleasant "
+                    f"days with many people walking and talking about "
+                    f"the {t} while the children play near the {t}", "s")
+                for i, t in enumerate(themes * 6)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text", "source"])
+    uni, bi = train_bigram_lm(ref)
+    lm_path = str(tmp_path / "lm2")
+    uni.write.parquet(f"{lm_path}/unigram")
+    bi.write.parquet(f"{lm_path}/bigram")
+
+    day_rows = [
+        (0, ref_rows[0][1] + " and one fresh tail", "s"),      # fluent
+        (1, "the zq9kvx of wjp3nn and vv7zzt the qq2bnm of xx8plw "
+            "and rr4jjd the mm6ttk of hh1ggf and ss5ccv", "s")]  # gibberish
+    day_df = spark.createDataFrame(day_rows, ["doc_id", "text", "source"])
+    day = str(tmp_path / "day1")
+    day_df.write.parquet(day)
+
+    # frozen cutoff = midpoint of the two docs' bigram scores, measured
+    # with the same operator the CLI uses (robust to LM retuning)
+    scores = {r["doc_id"]: r["avg_logprob"]
+              for r in bigram_logprob_scores(day_df, uni, bi).collect()}
+    assert scores[0] > scores[1]  # fluent beats gibberish under order 2
+    cutoff = (scores[0] + scores[1]) / 2.0
+
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day, "--state", str(tmp_path / "state"),
+         "--output", str(tmp_path / "out1"),
+         "--langs", "en", "--min-quality", "0.1",
+         "--quality-lm", lm_path, "--lm-order", "2",
+         f"--lm-cutoffs={cutoff!r},none", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = _json.loads([ln for ln in p.stdout.splitlines()
+                         if ln.startswith("{")][-1])
+    assert stats["rejected"].get("lm_quality") == 1
+    assert stats["n_kept"] == 1
+    assert stats["state_fingerprints"] == 1
+
+
 def test_flat_foreign_store_fails_fast(spark, tmp_path):
     """A lone store holding a NON-partitioned foreign dataset (no
     increment_id= dirs) must fail fast — self-healing it would
