@@ -75,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --quality-lm train: persist the trained "
                          "(token, logprob) LM parquet here for reuse "
                          "by later increments")
+    ap.add_argument("--dedup-paragraphs", action="store_true",
+                    help="CCNet paragraph-level dedup on the kept text: "
+                         "every non-first occurrence of a normalized "
+                         "paragraph corpus-wide is removed in place "
+                         "(counts land in run stats)")
+    ap.add_argument("--para-min-chars", type=int, default=1,
+                    help="paragraphs whose normalized form is shorter "
+                         "than this are exempt from --dedup-paragraphs "
+                         "(blank lines are always exempt)")
     ap.add_argument("--strip-repeated-spans", action="store_true",
                     help="remove exact repeated substrings from the "
                          "kept text (Lee et al. ExactSubstr: any "
@@ -180,6 +189,19 @@ def main(argv: list[str] | None = None) -> int:
                 max_dup_line_fraction=args.max_dup_line_fraction,
                 max_top_2gram_fraction=args.max_top_2gram_fraction)
             ledger = ledger.unionByName(rep_ledger)
+        if args.dedup_paragraphs:
+            from khl_pdf_ocr_spark.operators.paragraphs import \
+                paragraph_dedup
+
+            # paragraph winners are elected on the corpus as deduped so
+            # far; runs BEFORE span-stripping (coarse to fine: a whole
+            # repeated paragraph should land in the paragraph counters,
+            # not be shredded into token spans first)
+            kept = kept.persist()
+            audit.setdefault("persisted", []).append(kept)
+            kept = paragraph_dedup(kept, text_col=args.text_col,
+                                   id_col=args.id_col,
+                                   min_chars=args.para_min_chars)
         if args.strip_repeated_spans:
             from khl_pdf_ocr_spark.operators.substring import \
                 strip_repeated_spans
@@ -254,6 +276,15 @@ def main(argv: list[str] | None = None) -> int:
         }
         if "lm_cutoffs" in audit:
             stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
+        if args.dedup_paragraphs:
+            row = kept_rb.agg(
+                F.sum("n_paras_removed").alias("p"),
+                F.sum((F.col("n_paras_removed") > 0).cast("long"))
+                .alias("d")).first()
+            stats["paragraph_dedup"] = {
+                "min_chars": args.para_min_chars,
+                "paras_removed": int(row["p"] or 0),
+                "docs_affected": int(row["d"] or 0)}
         if args.strip_repeated_spans:
             row = kept_rb.agg(
                 F.sum("n_tokens_removed").alias("t"),

@@ -452,6 +452,51 @@ def test_clean_corpus_lm_stage_survives_empty_batch(spark):
         cached.unpersist()
 
 
+def test_clean_cli_dedup_paragraphs(spark, tmp_path):
+    """--dedup-paragraphs wires the CCNet paragraph dedup into the
+    product CLI: a cookie banner shared by two kept docs survives only
+    in the first, in place, with audited counts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    banner = "Accept our cookies to continue reading this site today."
+    rows = [(0, f"{banner}\nthe quick brown fox jumps over the lazy dog "
+                f"again today with friends", "s"),
+            (1, f"{banner}\nit is the case that many of the words we see "
+                f"here are the ones that fill this second document", "s"),
+            (2, "a completely distinct document about the weather and "
+                "the sea with many simple words in it", "s")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95",
+         "--dedup-paragraphs", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["paragraph_dedup"] == {"min_chars": 1,
+                                        "paras_removed": 1,
+                                        "docs_affected": 1}
+    kept = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/kept").collect()}
+    assert set(kept) == {0, 1, 2}
+    assert kept[0]["text"].startswith(banner)      # first occurrence kept
+    assert banner not in kept[1]["text"]           # removed in place
+    assert kept[1]["text"].startswith("it is the case")
+    assert kept[1]["n_paras_removed"] == 1
+    assert kept[2]["n_paras_removed"] == 0
+
+
 def test_clean_cli_strip_repeated_spans(spark, tmp_path):
     """--strip-repeated-spans wires the ExactSubstr operator into the
     product CLI: two otherwise-different kept docs sharing a 12-token
