@@ -19,6 +19,10 @@ Pipeline per increment (every stage is an existing operator):
         include_batch_pairs=False)        ever kept (near_dup_history;
                                           the batch self-join already
                                           ran inside clean_corpus)
+    paragraph_dedup_incremental(·, state) [--dedup-paragraphs] strip any
+                                          paragraph EVER kept from the
+                                          surviving docs' text in place
+                                          (<state>/paragraphs hash store)
     write kept rows → <output>/kept, full ledger → <output>/ledger,
     and the KEPT docs' fingerprints + signatures → the state stores.
 
@@ -105,6 +109,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
+    ap.add_argument("--dedup-paragraphs", action="store_true",
+                    help="CCNet paragraph-level dedup against the "
+                         "<state>/paragraphs hash store: any paragraph "
+                         "ever kept is removed in place from today's "
+                         "batch (history wins); surviving fresh "
+                         "paragraphs append to the store")
+    ap.add_argument("--para-min-chars", type=int, default=1,
+                    help="paragraphs whose normalized form is shorter "
+                         "than this are exempt from --dedup-paragraphs")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -223,6 +236,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # batch); AQE picks the strategy (r4 review)
             kept = kept2.join(hist_drop, args.id_col, "left_anti")
 
+        para_store = os.path.join(args.state, "paragraphs")
+        new_para_h = None
+        if args.dedup_paragraphs:
+            from khl_pdf_ocr_spark.operators.paragraphs import \
+                paragraph_dedup_incremental
+
+            # the paragraph store manages itself: absent means the flag
+            # was just enabled — today runs batch-only and seeds it.
+            # Own-increment partitions are excluded like the other two
+            # stores, so a crashed-attempt rerun stays idempotent.
+            seen_h = None
+            if _exists(spark, para_store):
+                seen_h = (spark.read.parquet(para_store)
+                          .filter(F.col("increment_id") != inc_id)
+                          .select("h"))
+            # runs AFTER the doc-level history drops (no paragraph work
+            # for docs about to be rejected wholesale)
+            kept, new_para_h = paragraph_dedup_incremental(
+                kept, seen_h, text_col=args.text_col,
+                id_col=args.id_col, min_chars=args.para_min_chars,
+                audit=audit_inc)
+
         base = args.output.rstrip("/")
         kept.write.mode("overwrite").parquet(f"{base}/kept")
         ledger.write.mode("overwrite").parquet(f"{base}/ledger")
@@ -250,6 +285,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 audit_inc["hot_history_buckets"].count()
                 if "hot_history_buckets" in audit_inc else 0),
         }
+        if new_para_h is not None:
+            row = kept_rb.agg(
+                F.sum("n_paras_removed").alias("p"),
+                F.sum((F.col("n_paras_removed") > 0).cast("long"))
+                .alias("d")).first()
+            stats["paragraph_dedup"] = {
+                "min_chars": args.para_min_chars,
+                "paras_removed": int(row["p"] or 0),
+                "docs_affected": int(row["d"] or 0)}
+            # materialize the store delta BEFORE the occurrence cache is
+            # released below (and before any state write mutates paths
+            # its lineage reads — the recacheByPath rule)
+            para_append = (new_para_h
+                           .withColumn("increment_id", F.lit(inc_id))
+                           .localCheckpoint())
         for aud in (audit_clean, audit_inc):
             for cached in aud.get("persisted", ()):
                 cached.unpersist()
@@ -275,13 +325,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                              id_col=args.id_col)
                           .withColumn("increment_id", F.lit(inc_id))
                           .localCheckpoint())
-        for frame, store in ((fp_append, fp_store), (sig_append, sig_store)):
+        targets = [(fp_append, fp_store), (sig_append, sig_store)]
+        if new_para_h is not None:
+            targets.append((para_append, para_store))
+        for frame, store in targets:
             (frame.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("increment_id").parquet(store))
 
         stats["state_fingerprints"] = spark.read.parquet(fp_store).count()
         stats["state_signatures"] = spark.read.parquet(sig_store).count()
+        if new_para_h is not None:
+            stats["state_paragraphs"] = spark.read.parquet(para_store).count()
         print(json.dumps(stats))
         return 0
     finally:

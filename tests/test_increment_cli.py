@@ -306,6 +306,56 @@ def test_increment_quality_lm_bigram(spark, tmp_path):
     assert stats["state_fingerprints"] == 1
 
 
+def test_increment_dedup_paragraphs_two_days(spark, tmp_path):
+    """--dedup-paragraphs across increments: day 1 seeds the paragraph
+    store; day 2's reuse of a day-1 paragraph (inside an otherwise-new
+    doc that survives doc-level dedup) is stripped IN PLACE, the store
+    accumulates only fresh paragraphs, and a rerun of day 2 is
+    idempotent."""
+    state = str(tmp_path / "state")
+    banner = ("please accept our cookie policy before you continue "
+              "reading any of the pages on this site today")
+
+    def run(inp, out):
+        p = subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+             "--input", inp, "--state", state, "--output", out,
+             "--langs", "en", "--min-quality", "0.1",
+             "--near-dup-threshold", "0.6",
+             "--dedup-paragraphs", "--cpus", "4"],
+            capture_output=True, text=True, timeout=420, cwd=REPO)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads([ln for ln in p.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, f"{banner}\n{BASE}", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day1)
+    s1 = run(day1, str(tmp_path / "out1"))
+    assert s1["n_kept"] == 1
+    assert s1["paragraph_dedup"]["paras_removed"] == 0
+    assert s1["state_paragraphs"] == 2          # banner + BASE
+
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(100, f"{banner}\n{NOVEL}", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day2)
+    s2 = run(day2, str(tmp_path / "out2"))
+    assert s2["n_kept"] == 1                     # doc survives doc-level
+    assert s2["paragraph_dedup"] == {"min_chars": 1,
+                                     "paras_removed": 1,
+                                     "docs_affected": 1}
+    kept2 = spark.read.parquet(str(tmp_path / "out2" / "kept")).collect()
+    assert kept2[0]["text"] == NOVEL             # banner stripped in place
+    assert s2["state_paragraphs"] == 3           # + NOVEL only
+
+    # rerun of day 2: same output, store unchanged (partition swap)
+    s2r = run(day2, str(tmp_path / "out2r"))
+    assert s2r["paragraph_dedup"]["paras_removed"] == 1
+    assert s2r["state_paragraphs"] == 3
+
+
 def test_flat_foreign_store_fails_fast(spark, tmp_path):
     """A lone store holding a NON-partitioned foreign dataset (no
     increment_id= dirs) must fail fast — self-healing it would
