@@ -310,20 +310,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q1_pricing_summary"] = q1_pricing_summary
 
-    def q3_top_orders(spark, sf_dir):
+    def orders_topk_metrics(spark, sf_dir):
+        # top-k over a 3-way broadcast join (TPC-H Q3 shape) + group-by
+        # HAVING top-k (Q18 shape) in ONE driver slot (r4 VERDICT
+        # rotation budget — q3_top_orders + q18_large_orders merged);
+        # each branch computes exactly what its standalone predecessor
+        # did, tagged by kind on a common (kind, okey, val, n_lines)
+        # schema (the joins_semi_anti precedent)
         cust = spark.read.parquet(_t(sf_dir, "customer"))
         orders = spark.read.parquet(_t(sf_dir, "orders"))
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-                .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
-                      orders.o_custkey == F.col("c_custkey"))
-                .groupBy("o_orderkey")
-                .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-                             ).alias("revenue"))
-                .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-                .limit(10))
+        q3 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                    orders.o_custkey == F.col("c_custkey"))
+              .groupBy("o_orderkey")
+              .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                           ).alias("val"))
+              .orderBy(F.col("val").desc(), F.col("o_orderkey").asc())
+              .limit(10)
+              .select(F.lit("q3_building_revenue").alias("kind"),
+                      F.col("o_orderkey").alias("okey"), "val",
+                      F.lit(None).cast("long").alias("n_lines")))
+        q18 = (li.groupBy("l_orderkey")
+               .agg(_r(F.sum("l_quantity"), 2).alias("val"),
+                    F.count(F.lit(1)).alias("n_lines"))
+               .filter(F.col("val") > 150)
+               .orderBy(F.col("val").desc(), F.col("l_orderkey").asc())
+               .limit(20)
+               .select(F.lit("q18_total_qty").alias("kind"),
+                       F.col("l_orderkey").alias("okey"), "val", "n_lines"))
+        return q3.unionByName(q18)
 
-    q["q3_top_orders"] = q3_top_orders
+    q["orders_topk_metrics"] = orders_topk_metrics
 
     def q5_nation_revenue(spark, sf_dir):
         nation = spark.read.parquet(_t(sf_dir, "nation"))
@@ -402,17 +420,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q12_shipmode_priority"] = q12_shipmode_priority
 
-    def q18_large_orders(spark, sf_dir):
-        # group-by + HAVING on an aggregate (TPC-H Q18 shape)
-        li = spark.read.parquet(_t(sf_dir, "lineitem"))
-        return (li.groupBy("l_orderkey")
-                .agg(_r(F.sum("l_quantity"), 2).alias("total_qty"),
-                     F.count(F.lit(1)).alias("n_lines"))
-                .filter(F.col("total_qty") > 150)
-                .orderBy(F.col("total_qty").desc(), F.col("l_orderkey").asc())
-                .limit(20))
+    def doc_paragraph_dedup(spark, sf_dir):
+        # CCNet paragraph-level dedup (operators/paragraphs.py) over a
+        # deterministically CONSTRUCTED multi-paragraph corpus — the
+        # parquet docs are single-paragraph, so the query builds the
+        # web-crawl shape in-engine (the doc_canonical_urls precedent:
+        # the oracle performs the identical construction): a corpus-wide
+        # cookie banner + the doc's own text + one of 7 footer variants.
+        # The banner survives only in doc 0; each footer variant in its
+        # lowest-id doc; every doc row is returned rewritten.
+        from khl_pdf_ocr_spark.operators.paragraphs import paragraph_dedup
 
-    q["q18_large_orders"] = q18_large_orders
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        built = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.lit("Accept cookies to continue reading."),
+                F.col("text"),
+                F.concat(F.lit("Footer variant "),
+                         (F.col("doc_id") % 7).cast("string"))
+            ).alias("text"))
+        out = paragraph_dedup(built)
+        return out.select("doc_id",
+                          F.col("text").alias("deduped_text"),
+                          F.col("n_paras").cast("long").alias("n_paras"),
+                          F.col("n_paras_removed").cast("long")
+                          .alias("n_paras_removed"))
+
+    q["doc_paragraph_dedup"] = doc_paragraph_dedup
 
     def joins_semi_anti(spark, sf_dir):
         # semi + anti joins in ONE driver slot (r5 consolidation — the
@@ -1024,10 +1059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_words_mode", "extract_refs_mode", "extract_goalies_mode",
         "ocr_fallback_subset", "url_construction", "media_image_features",
         "events_asof_enrich", "events_in_intervals", "doc_canonical_urls",
-        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "q1_pricing_summary", "orders_topk_metrics", "q5_nation_revenue",
         "scan_filter_project", "top_spenders_window",
         "lineitem_revenue_metrics",
-        "q12_shipmode_priority", "q18_large_orders",
+        "q12_shipmode_priority", "doc_paragraph_dedup",
         "joins_semi_anti",
         "events_seq_features",
         "lineitem_grouping_sets", "orders_distinct_customers",
@@ -1233,16 +1268,30 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
-    o["q3_top_orders"] = """
-        SELECT o_orderkey,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-        GROUP BY o_orderkey
-        ORDER BY revenue DESC, o_orderkey ASC
-        LIMIT 10
+    o["orders_topk_metrics"] = """
+        SELECT 'q3_building_revenue' AS kind, okey, val,
+               CAST(NULL AS BIGINT) AS n_lines
+        FROM (
+          SELECT o_orderkey AS okey,
+                 floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS val
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey
+          ORDER BY val DESC, o_orderkey ASC
+          LIMIT 10)
+        UNION ALL
+        SELECT 'q18_total_qty' AS kind, okey, val, n_lines
+        FROM (
+          SELECT l_orderkey AS okey,
+                 floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS val,
+                 count(*) AS n_lines
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 > 150
+          ORDER BY val DESC, l_orderkey ASC
+          LIMIT 20)
     """
 
     o["q5_nation_revenue"] = """
@@ -1611,15 +1660,47 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_linestatus
     """
 
-    o["q18_large_orders"] = """
-        SELECT l_orderkey,
-               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty,
-               count(*) AS n_lines
-        FROM lineitem
-        GROUP BY l_orderkey
-        HAVING floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 > 150
-        ORDER BY total_qty DESC, l_orderkey ASC
-        LIMIT 20
+    o["doc_paragraph_dedup"] = r"""
+        WITH built AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), 'Accept cookies to continue reading.',
+                           text,
+                           'Footer variant ' || (doc_id % 7)) AS text
+          FROM documents
+        ), paras AS MATERIALIZED (
+          SELECT doc_id, u.s['idx'] AS idx, u.s['p'] AS p,
+                 trim(regexp_replace(regexp_replace(lower(u.s['p']),
+                      '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS np
+          FROM (SELECT doc_id,
+                       unnest(list_transform(
+                           string_split(text, chr(10)),
+                           (p, i) -> struct_pack(idx := i - 1,
+                                                 p := p))) AS s
+                FROM built) u
+        ), ranked AS MATERIALIZED (
+          SELECT doc_id, idx,
+                 row_number() OVER (PARTITION BY np
+                                    ORDER BY doc_id, idx) AS rn
+          FROM paras WHERE length(np) >= 1
+        ), kept AS (
+          SELECT pa.doc_id, pa.idx, pa.p
+          FROM paras pa
+          LEFT JOIN ranked r USING (doc_id, idx)
+          WHERE r.rn IS NULL OR r.rn = 1
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(p, chr(10) ORDER BY idx) AS t
+          FROM kept GROUP BY doc_id
+        ), removed AS (
+          SELECT doc_id, count(*) AS n_rm
+          FROM ranked WHERE rn > 1 GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(rb.t, '') AS deduped_text,
+               len(string_split(b.text, chr(10)))::BIGINT AS n_paras,
+               coalesce(rm.n_rm, 0)::BIGINT AS n_paras_removed
+        FROM built b
+        LEFT JOIN rebuilt rb USING (doc_id)
+        LEFT JOIN removed rm USING (doc_id)
     """
 
     o["joins_semi_anti"] = """

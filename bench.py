@@ -39,7 +39,7 @@ BENCH_SEED = 7
 BENCH_CORPUS_DIR = os.path.join(REPO, ".bench_cache", f"corpus_{BENCH_DOCS}_{BENCH_SEED}")
 
 HEADLINE = [
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q1_pricing_summary", "orders_topk_metrics", "q5_nation_revenue",
     "scan_filter_project", "top_spenders_window", "events_sessionize",
     "events_hourly_rollup", "doc_fingerprint_dedup", "doc_text_analytics",
     "doc_minhash_lsh_pairs", "emb_cosine_topk",

@@ -29,7 +29,7 @@ def test_scan_filter_pushdown(spark, queries):
 
 
 def test_q3_broadcasts_dimension(spark, queries):
-    df = queries["q3_top_orders"](spark, SF_DIR)
+    df = queries["orders_topk_metrics"](spark, SF_DIR)
     assert has_broadcast_join(df)
 
 
