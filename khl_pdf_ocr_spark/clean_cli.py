@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --quality-lm train: persist the trained "
                          "(token, logprob) LM parquet here for reuse "
                          "by later increments")
+    ap.add_argument("--max-docs-per-domain", type=int, default=None,
+                    metavar="N",
+                    help="keep at most N docs per registrable domain "
+                         "(deterministic hash lottery; requires "
+                         "--url-col; drops land as domain_cap)")
     ap.add_argument("--dedup-paragraphs", action="store_true",
                     help="CCNet paragraph-level dedup on the kept text: "
                          "every non-first occurrence of a normalized "
@@ -124,6 +129,9 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--save-lm/--lm-cutoffs require --quality-lm")
     if args.save_lm and args.quality_lm != "train":
         ap.error("--save-lm only applies to --quality-lm train")
+    if args.max_docs_per_domain is not None and not args.url_col:
+        ap.error("--max-docs-per-domain requires --url-col (the domain "
+                 "is derived from the url column)")
     split_weights = None
     if args.split:
         from khl_pdf_ocr_spark.operators.prepare import parse_split_weights
@@ -189,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
                 max_dup_line_fraction=args.max_dup_line_fraction,
                 max_top_2gram_fraction=args.max_top_2gram_fraction)
             ledger = ledger.unionByName(rep_ledger)
+        if args.max_docs_per_domain is not None:
+            from khl_pdf_ocr_spark.operators.domains import cap_per_domain
+
+            # after the quality stages (cap survivors, not junk),
+            # before the text-rewriting stages (no paragraph/span work
+            # for docs about to be sampled out)
+            kept, cap_ledger = cap_per_domain(
+                kept, max_per_domain=args.max_docs_per_domain,
+                url_col=args.url_col, id_col=args.id_col, audit=audit)
+            ledger = ledger.unionByName(cap_ledger)
         if args.dedup_paragraphs:
             from khl_pdf_ocr_spark.operators.paragraphs import \
                 paragraph_dedup
@@ -276,6 +294,10 @@ def main(argv: list[str] | None = None) -> int:
         }
         if "lm_cutoffs" in audit:
             stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
+        if "hot_domains" in audit:
+            # no-silent-caps: how many domains actually hit the cap
+            # (reads the persisted tagged frame, not the live lineage)
+            stats["domains_over_cap"] = audit["hot_domains"].count()
         if args.dedup_paragraphs:
             row = kept_rb.agg(
                 F.sum("n_paras_removed").alias("p"),

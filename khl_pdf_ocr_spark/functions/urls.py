@@ -22,10 +22,56 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "TRACKING_PARAM_RE"]
+__all__ = ["canonical_url", "url_host", "registered_domain",
+           "TRACKING_PARAM_RE", "SECOND_LEVEL_SUFFIXES"]
 
 # tracking params dropped during canonicalization (lowercased names)
 TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
+
+# Common two-level public suffixes for the registered-domain HEURISTIC
+# below.  This is deliberately a small disclosed list, not a vendored
+# copy of the full Mozilla Public Suffix List: the long tail of exotic
+# suffixes mis-groups a negligible corpus fraction, and callers with a
+# PSL on hand can pass their own set.
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk",
+)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of an absolute URL, port stripped — the grouping
+    key for per-site aggregation.  Non-URL strings (no ``://``) yield
+    an empty string (stable garbage, never NULL)."""
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    has_scheme = col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#:]*)", 1))
+    return F.when(has_scheme, host).otherwise(F.lit(""))
+
+
+def registered_domain(col: Column,
+                      second_level: tuple[str, ...] = SECOND_LEVEL_SUFFIXES
+                      ) -> Column:
+    """Registrable domain (eTLD+1 heuristic) of a URL column — the unit
+    web corpora balance on (one site = one publisher, whatever its
+    subdomain layout).
+
+    Heuristic: the last TWO host labels, or the last THREE when the
+    last two are a known two-level public suffix
+    (``SECOND_LEVEL_SUFFIXES``); IPv4 hosts and one-label hosts pass
+    through whole.  Pure built-in expressions — one JVM projection, no
+    UDF, no shuffle.
+    """
+    host = url_host(col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return (F.when(is_ip | (n <= 2), host)
+            .when(last2.isin(*second_level), last3)
+            .otherwise(last2))
 
 
 def canonical_url(col: Column) -> Column:

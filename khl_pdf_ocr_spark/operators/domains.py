@@ -1,0 +1,98 @@
+"""Per-domain corpus balancing.
+
+The reference is a single-document extractor (app.py:376-419) and has
+no corpus-level operator; this implements the domain-cap stage of
+web-corpus construction (C4 and Gopher both bound any one site's share
+of the training set): group documents by registrable domain
+(``functions.urls.registered_domain``) and keep at most N per domain,
+chosen DETERMINISTICALLY — the survivors are the N smallest
+``(xxhash64(doc_id), doc_id)`` keys, so the sample is stable across
+cluster sizes, partitionings, reruns, and increments (the
+``hash_split`` discipline: no RNG, the hash IS the lottery).
+
+Scale shape (the 100 TB story):
+
+* Counting is ONE map-side-combinable ``groupBy(domain)`` over a
+  two-column projection.
+* Only OVER-CAP domains' documents enter the rank window: the long
+  tail (the vast majority of a crawl's domains) is routed around the
+  per-domain sort with a semi/anti join on the over-cap domain set —
+  which is corpus-derived and unbounded, so it is joined, never
+  force-broadcast (AQE picks the strategy).
+* The residual skew risk is a SINGLE pathological domain (10^7+ pages
+  on one host): ``row_number`` cannot split one partition.  The
+  hot-domain audit (``audit["hot_domains"]``) makes the exposure
+  visible; at that scale, pre-aggregate the N smallest hashes per
+  domain with a two-level (salted) top-N before the window — the same
+  escalation as the LSH hot-bucket guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions.urls import registered_domain
+
+__all__ = ["domain_counts", "cap_per_domain"]
+
+
+def domain_counts(df: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """(domain, n_docs) per registrable domain — the corpus-composition
+    telemetry a balancing decision starts from.  One shuffle of narrow
+    rows."""
+    return (df.select(registered_domain(F.col(url_col)).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def cap_per_domain(df: DataFrame, *, max_per_domain: int,
+                   url_col: str = "url", id_col: str = "doc_id",
+                   audit: dict | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Keep at most ``max_per_domain`` documents per registrable
+    domain.  Returns ``(kept, ledger)``: kept rows carry the original
+    columns; the ledger is ``(id, reject_reason='domain_cap')`` — the
+    ``clean_corpus`` ledger contract.
+
+    Survivor rule: the ``max_per_domain`` smallest
+    ``(xxhash64(id), id)`` keys per domain — a deterministic uniform
+    sample (ids are hashed, so crawl order / alphabetical position
+    carry no bias), reproducible on any engine from the stored ids
+    alone.
+
+    ``audit``: optional dict; receives ``hot_domains`` (the over-cap
+    domains with their counts, a LAZY frame) and registers any
+    persisted handles under ``"persisted"`` (caller unpersists).
+    """
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    tagged = df.withColumn("_domain", registered_domain(F.col(url_col)))
+    if audit is not None:
+        # tagged feeds the count pass AND both join halves — persist so
+        # the upstream lineage (often a whole cleaning pipeline) runs
+        # once.  Narrow-ish (original columns + one string); the
+        # clean_cli precedent persists the kept frame at the same spot.
+        tagged = tagged.persist()
+        audit.setdefault("persisted", []).append(tagged)
+    over = (tagged.groupBy("_domain")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_per_domain))
+    if audit is not None:
+        audit["hot_domains"] = over.select(
+            F.col("_domain").alias("domain"), F.col("_n").alias("n_docs"))
+    over_keys = over.select("_domain")
+    # the long tail skips the sort entirely; over_keys is unbounded →
+    # joined, never force-broadcast
+    small = tagged.join(over_keys, "_domain", "left_anti")
+    big = tagged.join(over_keys, "_domain", "left_semi")
+    w = Window.partitionBy("_domain").orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+    ranked = big.withColumn("_rk", F.row_number().over(w))
+    kept = (small.unionByName(
+        ranked.filter(F.col("_rk") <= max_per_domain).drop("_rk"))
+        .drop("_domain"))
+    ledger = (ranked.filter(F.col("_rk") > max_per_domain)
+              .select(F.col(id_col).alias("id"),
+                      F.lit("domain_cap").alias("reject_reason")))
+    return kept, ledger

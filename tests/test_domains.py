@@ -1,0 +1,123 @@
+"""Registrable-domain extraction + per-domain caps: hand-traced domain
+cases, a pure-Python xxh64 oracle for the deterministic lottery,
+repartition stability, conservation, and the clean_cli wiring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions.urls import registered_domain, url_host
+from khl_pdf_ocr_spark.functions.xxh import xxhash64_long
+from khl_pdf_ocr_spark.operators.domains import cap_per_domain, domain_counts
+
+
+def _one(spark, expr, url):
+    return (spark.createDataFrame([(url,)], ["u"])
+            .select(expr(F.col("u")).alias("v")).first()["v"])
+
+
+@pytest.mark.parametrize("url,host,domain", [
+    ("https://www.Example.COM/page?x=1", "www.example.com", "example.com"),
+    ("http://news.bbc.co.uk:8080/story", "news.bbc.co.uk", "bbc.co.uk"),
+    ("https://a.b.c.blog.example.org/", "a.b.c.blog.example.org",
+     "example.org"),
+    ("http://192.168.10.1/admin", "192.168.10.1", "192.168.10.1"),
+    ("https://localhost/x", "localhost", "localhost"),
+    ("ftp://files.shop.com.au/a", "files.shop.com.au", "shop.com.au"),
+    ("not a url at all", "", ""),
+])
+def test_host_and_registered_domain(spark, url, host, domain):
+    assert _one(spark, url_host, url) == host
+    assert _one(spark, registered_domain, url) == domain
+
+
+def test_domain_counts(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://{'a' if i < 3 else 'b'}.example.com/p{i}")
+         for i in range(5)], ["doc_id", "url"])
+    got = {r["domain"]: r["n_docs"]
+           for r in domain_counts(df).collect()}
+    assert got == {"example.com": 5}
+
+
+def test_cap_matches_python_xxh_oracle_and_is_stable(spark):
+    # 12 docs on one domain, 2 on another; cap 4 — survivors must be
+    # the 4 smallest (xxhash64(id), id) keys, computed independently
+    # with the pure-Python XXH64 port
+    rows = [(i, "https://big.example.com/p%d" % i) for i in range(12)]
+    rows += [(100, "https://tiny.net/a"), (101, "https://tiny.net/b")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept, ledger = cap_per_domain(df, max_per_domain=4)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    expected_big = set(sorted(range(12),
+                              key=lambda i: (xxhash64_long(i), i))[:4])
+    assert kept_ids == expected_big | {100, 101}
+    # ledger carries exactly the evicted ids with the contract reason
+    evicted = {(r["id"], r["reject_reason"]) for r in ledger.collect()}
+    assert evicted == {(i, "domain_cap") for i in set(range(12)) - expected_big}
+    # conservation + determinism across partitionings
+    kept2, _ = cap_per_domain(df.repartition(7), max_per_domain=4)
+    assert {r["doc_id"] for r in kept2.collect()} == kept_ids
+
+
+def test_cap_audit_reports_hot_domains_only(spark):
+    rows = [(i, "https://big.example.com/p%d" % i) for i in range(6)]
+    rows += [(50, "https://small.org/x")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    audit: dict = {}
+    kept, _ = cap_per_domain(df, max_per_domain=2, audit=audit)
+    assert kept.count() == 3
+    hot = {(r["domain"], r["n_docs"])
+           for r in audit["hot_domains"].collect()}
+    assert hot == {("example.com", 6)}
+    for cached in audit.get("persisted", ()):
+        cached.unpersist()
+
+
+def test_cap_validates_and_long_tail_untouched(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], ["doc_id", "url"])
+    with pytest.raises(ValueError):
+        cap_per_domain(df, max_per_domain=0)
+    kept, ledger = cap_per_domain(df, max_per_domain=3)
+    assert kept.count() == 1 and ledger.count() == 0
+    assert kept.columns == ["doc_id", "url"]   # helper column dropped
+
+
+def test_clean_cli_max_docs_per_domain(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    body = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun "
+            "number %d of the story")
+    rows = [(i, body % i, "s", f"https://caps.example.com/story{i}")
+            for i in range(6)]
+    rows.append((50, body % 50, "s", "https://other.net/solo"))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source", "url"]) \
+         .write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.99", "--url-col", "url",
+         "--max-docs-per-domain", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("domain_cap") == 4
+    assert stats["domains_over_cap"] == 1
+    assert stats["n_kept"] == 3
+
+    # missing --url-col is a clean usage error before the JVM starts
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", str(tmp_path / "x"),
+         "--max-docs-per-domain", "2", "--cpus", "2"],
+        capture_output=True, text=True, timeout=120, cwd=cwd)
+    assert p2.returncode == 2
+    assert "requires --url-col" in p2.stderr
