@@ -19,6 +19,10 @@ Pipeline per increment (every stage is an existing operator):
         include_batch_pairs=False)        ever kept (near_dup_history;
                                           the batch self-join already
                                           ran inside clean_corpus)
+    cap_per_domain_incremental(·, state)  [--max-docs-per-domain N] keep
+                                          at most N docs per domain
+                                          CORPUS-WIDE (<state>/domains
+                                          running-count store)
     paragraph_dedup_incremental(·, state) [--dedup-paragraphs] strip any
                                           paragraph EVER kept from the
                                           surviving docs' text in place
@@ -109,6 +113,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
+    ap.add_argument("--max-docs-per-domain", type=int, default=None,
+                    metavar="N",
+                    help="corpus-wide cap of N kept docs per registrable "
+                         "domain, enforced across increments via the "
+                         "<state>/domains running-count store (requires "
+                         "--url-col; drops land as domain_cap)")
     ap.add_argument("--dedup-paragraphs", action="store_true",
                     help="CCNet paragraph-level dedup against the "
                          "<state>/paragraphs hash store: any paragraph "
@@ -135,6 +145,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ap.error(str(e))
     elif args.lm_cutoffs:
         ap.error("--lm-cutoffs requires --quality-lm")
+    if args.max_docs_per_domain is not None and not args.url_col:
+        ap.error("--max-docs-per-domain requires --url-col (the domain "
+                 "is derived from the url column)")
 
     from pyspark.sql import functions as F
 
@@ -236,6 +249,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # batch); AQE picks the strategy (r4 review)
             kept = kept2.join(hist_drop, args.id_col, "left_anti")
 
+        dom_store = os.path.join(args.state, "domains")
+        new_dom_counts = None
+        if args.max_docs_per_domain is not None:
+            from khl_pdf_ocr_spark.operators.domains import \
+                cap_per_domain_incremental
+
+            # each domain's budget = cap minus what prior increments
+            # kept; own-increment partitions excluded like every store
+            seen_counts = None
+            if _exists(spark, dom_store):
+                seen_counts = (spark.read.parquet(dom_store)
+                               .filter(F.col("increment_id") != inc_id)
+                               .select("domain", "n_docs"))
+            kept, cap_ledger, new_dom_counts = cap_per_domain_incremental(
+                kept, seen_counts,
+                max_per_domain=args.max_docs_per_domain,
+                url_col=args.url_col, id_col=args.id_col,
+                audit=audit_inc)
+            ledger = ledger.unionByName(cap_ledger)
+
         para_store = os.path.join(args.state, "paragraphs")
         new_para_h = None
         if args.dedup_paragraphs:
@@ -285,6 +318,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 audit_inc["hot_history_buckets"].count()
                 if "hot_history_buckets" in audit_inc else 0),
         }
+        if new_dom_counts is not None:
+            # store delta materialized BEFORE the caches release / any
+            # state write (recacheByPath rule, same as below)
+            dom_append = (new_dom_counts
+                          .withColumn("increment_id", F.lit(inc_id))
+                          .localCheckpoint())
         if new_para_h is not None:
             row = kept_rb.agg(
                 F.sum("n_paras_removed").alias("p"),
@@ -326,6 +365,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                           .withColumn("increment_id", F.lit(inc_id))
                           .localCheckpoint())
         targets = [(fp_append, fp_store), (sig_append, sig_store)]
+        if new_dom_counts is not None:
+            targets.append((dom_append, dom_store))
         if new_para_h is not None:
             targets.append((para_append, para_store))
         for frame, store in targets:
@@ -337,6 +378,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         stats["state_signatures"] = spark.read.parquet(sig_store).count()
         if new_para_h is not None:
             stats["state_paragraphs"] = spark.read.parquet(para_store).count()
+        if new_dom_counts is not None:
+            stats["state_domains"] = (spark.read.parquet(dom_store)
+                                      .select("domain").distinct().count())
         print(json.dumps(stats))
         return 0
     finally:

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.functions.urls import registered_domain
 
-__all__ = ["domain_counts", "cap_per_domain"]
+__all__ = ["domain_counts", "cap_per_domain", "cap_per_domain_incremental"]
 
 
 def domain_counts(df: DataFrame, *, url_col: str = "url") -> DataFrame:
@@ -96,3 +96,63 @@ def cap_per_domain(df: DataFrame, *, max_per_domain: int,
               .select(F.col(id_col).alias("id"),
                       F.lit("domain_cap").alias("reject_reason")))
     return kept, ledger
+
+
+def cap_per_domain_incremental(df: DataFrame, seen_counts: DataFrame | None,
+                               *, max_per_domain: int,
+                               url_col: str = "url", id_col: str = "doc_id",
+                               audit: dict | None = None
+                               ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-domain caps across daily increments: each domain's budget is
+    ``max_per_domain`` MINUS what prior increments already kept, so the
+    corpus-wide bound holds without ever re-reading history.
+
+    ``seen_counts``: two-column frame ``(domain, n_docs)`` — the
+    accumulated per-domain kept counts (sum the per-increment store
+    partitions before calling); ``None`` for a first run.
+
+    Returns ``(kept, ledger, new_counts)``:
+    - ``kept`` / ``ledger`` — the ``cap_per_domain`` contract (ledger
+      reason stays ``domain_cap``);
+    - ``new_counts`` — ``(domain, n_docs)`` kept from THIS batch:
+      append to the store for the next increment (caller owns the
+      write).  O(distinct batch domains) rows.
+
+    Within the batch the survivor rule is the same deterministic
+    ``(xxhash64(id), id)`` lottery; a domain whose budget is exhausted
+    drops its every batch row.  State is O(domains), the probe is one
+    equi-join on domain — O(batch) increment cost, like every other
+    store in the increment job.
+    """
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    tagged = df.withColumn("_domain", registered_domain(F.col(url_col)))
+    if audit is not None:
+        tagged = tagged.persist()
+        audit.setdefault("persisted", []).append(tagged)
+    if seen_counts is not None:
+        used = seen_counts.groupBy(F.col("domain").alias("_domain")) \
+            .agg(F.sum("n_docs").alias("_used"))
+        # store is unbounded (one row per domain ever kept) → joined
+        tagged = (tagged.join(used, "_domain", "left")
+                  .withColumn("_budget",
+                              F.greatest(F.lit(max_per_domain)
+                                         - F.coalesce(F.col("_used"),
+                                                      F.lit(0)),
+                                         F.lit(0)))
+                  .drop("_used"))
+    else:
+        tagged = tagged.withColumn("_budget", F.lit(max_per_domain))
+    # every batch row ranks (budgets vary per domain, so there is no
+    # long-tail bypass here; batch — not corpus — sized input)
+    w = Window.partitionBy("_domain").orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+    ranked = tagged.withColumn("_rk", F.row_number().over(w))
+    kept_tagged = ranked.filter(F.col("_rk") <= F.col("_budget"))
+    ledger = (ranked.filter(F.col("_rk") > F.col("_budget"))
+              .select(F.col(id_col).alias("id"),
+                      F.lit("domain_cap").alias("reject_reason")))
+    new_counts = (kept_tagged.groupBy(F.col("_domain").alias("domain"))
+                  .agg(F.count(F.lit(1)).alias("n_docs")))
+    kept = kept_tagged.drop("_domain", "_budget", "_rk")
+    return kept, ledger, new_counts

@@ -82,6 +82,45 @@ def test_cap_validates_and_long_tail_untouched(spark):
     assert kept.columns == ["doc_id", "url"]   # helper column dropped
 
 
+def test_cap_incremental_budget_spans_increments(spark):
+    from khl_pdf_ocr_spark.operators.domains import \
+        cap_per_domain_incremental
+
+    day1 = spark.createDataFrame(
+        [(i, f"https://big.example.com/p{i}") for i in range(3)],
+        ["doc_id", "url"])
+    kept1, led1, c1 = cap_per_domain_incremental(day1, None,
+                                                 max_per_domain=4)
+    assert kept1.count() == 3 and led1.count() == 0
+    store = c1.localCheckpoint()
+    assert {(r["domain"], r["n_docs"]) for r in store.collect()} \
+        == {("example.com", 3)}
+
+    # day 2: budget is 4 - 3 = 1; survivor = smallest hash of the batch
+    day2 = spark.createDataFrame(
+        [(10, "https://big.example.com/a"),
+         (11, "https://big.example.com/b"),
+         (12, "https://fresh.org/x")], ["doc_id", "url"])
+    kept2, led2, c2 = cap_per_domain_incremental(day2, store,
+                                                 max_per_domain=4)
+    winner = min((10, 11), key=lambda i: (xxhash64_long(i), i))
+    assert {r["doc_id"] for r in kept2.collect()} == {winner, 12}
+    assert {(r["id"], r["reject_reason"]) for r in led2.collect()} \
+        == {(21 - winner, "domain_cap")}
+    assert {(r["domain"], r["n_docs"]) for r in c2.collect()} \
+        == {("example.com", 1), ("fresh.org", 1)}
+
+    # day 3: budget exhausted — every example.com row drops
+    day3 = spark.createDataFrame(
+        [(20, "https://big.example.com/z")], ["doc_id", "url"])
+    full = store.unionByName(c2.localCheckpoint())
+    kept3, led3, c3 = cap_per_domain_incremental(day3, full,
+                                                 max_per_domain=4)
+    assert kept3.count() == 0
+    assert led3.count() == 1
+    assert c3.count() == 0
+
+
 def test_clean_cli_max_docs_per_domain(spark, tmp_path):
     import json
     import os

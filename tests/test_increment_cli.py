@@ -356,6 +356,51 @@ def test_increment_dedup_paragraphs_two_days(spark, tmp_path):
     assert s2r["state_paragraphs"] == 3
 
 
+def test_increment_domain_cap_two_days(spark, tmp_path):
+    """--max-docs-per-domain across increments: day 1 kept docs charge
+    the domain's budget in <state>/domains, day 2 only gets the
+    remainder, and a rerun of day 2 is idempotent."""
+    state = str(tmp_path / "state")
+    body = ("a perfectly ordinary english document about the %s with "
+            "many of the usual words in it and the number %d here")
+
+    def run(inp, out):
+        p = subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+             "--input", inp, "--state", state, "--output", out,
+             "--langs", "en", "--min-quality", "0.1",
+             "--near-dup-threshold", "0.99", "--url-col", "url",
+             "--max-docs-per-domain", "3", "--cpus", "4"],
+            capture_output=True, text=True, timeout=420, cwd=REPO)
+        assert p.returncode == 0, p.stderr[-3000:]
+        return json.loads([ln for ln in p.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(i, body % ("weather", i), "s",
+          f"https://caps.example.com/d1-{i}") for i in range(2)],
+        ["doc_id", "text", "source", "url"]).write.parquet(day1)
+    s1 = run(day1, str(tmp_path / "out1"))
+    assert s1["n_kept"] == 2
+    assert s1["rejected"].get("domain_cap") is None
+    assert s1["state_domains"] == 1
+
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(100 + i, body % ("harbor", 100 + i), "s",
+          f"https://caps.example.com/d2-{i}") for i in range(3)],
+        ["doc_id", "text", "source", "url"]).write.parquet(day2)
+    s2 = run(day2, str(tmp_path / "out2"))
+    assert s2["n_kept"] == 1                       # 3 - 2 already kept
+    assert s2["rejected"].get("domain_cap") == 2
+    assert s2["state_domains"] == 1
+
+    s2r = run(day2, str(tmp_path / "out2r"))       # idempotent rerun
+    assert s2r["n_kept"] == 1
+    assert s2r["rejected"].get("domain_cap") == 2
+
+
 def test_flat_foreign_store_fails_fast(spark, tmp_path):
     """A lone store holding a NON-partitioned foreign dataset (no
     increment_id= dirs) must fail fast — self-healing it would
