@@ -98,22 +98,30 @@ def _rebuild(df: DataFrame, removed: DataFrame, *, text_col: str,
     column untouched, bit-for-bit."""
     rm = removed.groupBy("id").agg(
         F.sort_array(F.collect_list("idx")).alias("_rm"))
-    out = df.join(rm, F.col(id_col) == rm["id"], "left").drop(rm["id"])
-    paras = _paras(text_col)
-    kept = F.filter(
-        F.transform(paras, lambda p, i: F.struct(p.alias("p"),
-                                                 i.alias("i"))),
-        lambda s: ~F.array_contains(F.col("_rm"), s["i"]))
+    out = (df.join(rm, F.col(id_col) == rm["id"], "left").drop(rm["id"])
+           # STAGED array (no CSE in interpreted HOFs — an unstaged
+           # F.get(split(text), i) inside the lambda below would re-run
+           # the split PER ELEMENT, O(chars x paras) per doc)
+           .withColumn("_pa", _paras(text_col)))
+    # kept indices via array_except (hash-set lookup, O(paras+removed)
+    # per doc — a membership filter with array_contains would be
+    # O(paras x removed): quadratic on a long fully-duplicated doc,
+    # the chunk_documents class of scale bug); array_except preserves
+    # the left operand's order and indices are unique, so the slice
+    # order is the original paragraph order
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("_pa") - 1), F.col("_rm"))
     new_text = F.when(F.col("_rm").isNull() | F.col(text_col).isNull(),
                       F.col(text_col)) \
-        .otherwise(F.concat_ws("\n", F.transform(kept, lambda s: s["p"])))
+        .otherwise(F.concat_ws("\n", F.transform(
+            kept_idx, lambda i: F.get(F.col("_pa"), i))))
     n_paras = F.when(F.col(text_col).isNull(), F.lit(0)) \
-        .otherwise(F.size(paras))
+        .otherwise(F.size("_pa"))
     return (out.withColumn("n_paras", n_paras)
             .withColumn("n_paras_removed",
                         F.coalesce(F.size("_rm"), F.lit(0)))
             .withColumn(text_col, new_text)
-            .drop("_rm"))
+            .drop("_rm", "_pa"))
 
 
 def paragraph_dedup(df: DataFrame, *, text_col: str = "text",

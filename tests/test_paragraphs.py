@@ -150,6 +150,21 @@ def test_generator_emits_prehashed_structs_not_paragraph_text(spark):
     assert "split(" not in gen.rsplit("[", 1)[-1], gen
 
 
+def test_long_fully_duplicated_doc_completes_quickly(spark):
+    """2 x 50k-paragraph identical docs: every one of doc 2's
+    paragraphs is removed.  The reassembly must be O(paras + removed)
+    per doc (array_except hash-set), not O(paras x removed) — the
+    naive membership filter would do 2.5e9 comparisons here."""
+    n = 50_000
+    doc = "\n".join(f"paragraph number {i} with some words" for i in range(n))
+    df = _docs(spark, [(1, doc), (2, doc)])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == doc
+    assert (out[1]["n_paras"], out[1]["n_paras_removed"]) == (n, 0)
+    assert out[2]["text"] == ""
+    assert (out[2]["n_paras"], out[2]["n_paras_removed"]) == (n, n)
+
+
 def test_incremental_first_run_equals_batch(spark):
     df = _docs(spark, [(1, f"{BANNER}\nStory one."),
                        (2, f"{BANNER}\nStory two.")])
