@@ -333,6 +333,10 @@ def main() -> None:
     # training-data preparation stages over the sf0.1 documents table
     # (48k docs): measured, not assumed — these run alongside the
     # driver-verified queries but are not part of the 50-query window
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.operators.domains import cap_per_domain
+    from khl_pdf_ocr_spark.operators.paragraphs import paragraph_dedup
     from khl_pdf_ocr_spark.operators.prepare import (chunk_documents,
                                                      hash_split,
                                                      pack_sequences)
@@ -340,12 +344,31 @@ def main() -> None:
     docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     prepare: dict[str, float] = {}
     chunks = chunk_documents(docs_tbl, max_tokens=128, overlap=16)
+    # the parquet docs are single-paragraph / url-less: construct the
+    # web-crawl shape deterministically (the doc_paragraph_dedup driver
+    # query's recipe — shared banner + own text + 7 footer variants;
+    # 1000 synthetic domains, 48 docs each, cap 24)
+    multi = docs_tbl.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("Accept cookies to continue reading."),
+                    F.col("text"),
+                    F.concat(F.lit("Footer variant "),
+                             (F.col("doc_id") % 7).cast("string"))
+                    ).alias("text"))
+    with_urls = docs_tbl.withColumn(
+        "url", F.concat(F.lit("https://site"),
+                        (F.col("doc_id") % 1000).cast("string"),
+                        F.lit(".example.com/p"),
+                        F.col("doc_id").cast("string")))
     for name, frame in (
             ("chunk_documents", chunks),
             ("chunk_pack_pipeline",
              pack_sequences(hash_split(chunks, weights={"train": 0.98,
                                                         "val": 0.02}),
                             capacity=512, n_buckets=64)),
+            ("paragraph_dedup", paragraph_dedup(multi)),
+            ("domain_cap", cap_per_domain(with_urls,
+                                          max_per_domain=24)[0]),
     ):
         frame.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
