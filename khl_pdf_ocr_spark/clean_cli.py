@@ -149,37 +149,22 @@ def main(argv: list[str] | None = None) -> int:
                      if args.decontaminate_against else None)
         lm = None
         if args.quality_lm == "train":
+            from khl_pdf_ocr_spark.operators.textstats import (
+                save_lm, train_bigram_lm, train_unigram_lm)
+
             # trained on the raw batch (the honest self-referential
             # stand-in for CCNet's reference-corpus KenLM); the frames
             # are localCheckpoint'ed inside the trainers — tiny and
             # lineage-free, safe to reuse across the stats actions
-            if args.lm_order == 2:
-                from khl_pdf_ocr_spark.operators.textstats import \
-                    train_bigram_lm
-
-                lm = train_bigram_lm(docs, text_col=args.text_col)
-                if args.save_lm:
-                    lm[0].write.mode("overwrite").parquet(
-                        f"{args.save_lm}/unigram")
-                    lm[1].write.mode("overwrite").parquet(
-                        f"{args.save_lm}/bigram")
-            else:
-                from khl_pdf_ocr_spark.operators.textstats import \
-                    train_unigram_lm
-
-                lm = train_unigram_lm(docs, text_col=args.text_col)
-                if args.save_lm:
-                    # overwrite like every other output of this CLI — a
-                    # retried nightly run with an unchanged --save-lm
-                    # path must not crash after the training pass
-                    # (r5 review)
-                    lm.write.mode("overwrite").parquet(args.save_lm)
+            lm = (train_bigram_lm(docs, text_col=args.text_col)
+                  if args.lm_order == 2
+                  else train_unigram_lm(docs, text_col=args.text_col))
+            if args.save_lm:
+                save_lm(lm, args.save_lm)
         elif args.quality_lm:
-            if args.lm_order == 2:
-                lm = (spark.read.parquet(f"{args.quality_lm}/unigram"),
-                      spark.read.parquet(f"{args.quality_lm}/bigram"))
-            else:
-                lm = spark.read.parquet(args.quality_lm)
+            from khl_pdf_ocr_spark.operators.textstats import load_lm
+
+            lm = load_lm(spark, args.quality_lm, order=args.lm_order)
         kept, ledger = clean_corpus(
             docs, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
@@ -217,9 +202,12 @@ def main(argv: list[str] | None = None) -> int:
             # not be shredded into token spans first)
             kept = kept.persist()
             audit.setdefault("persisted", []).append(kept)
+            # audit= also persists the occurrence table inside the
+            # operator (it feeds winner election AND join-back)
             kept = paragraph_dedup(kept, text_col=args.text_col,
                                    id_col=args.id_col,
-                                   min_chars=args.para_min_chars)
+                                   min_chars=args.para_min_chars,
+                                   audit=audit)
         if args.strip_repeated_spans:
             from khl_pdf_ocr_spark.operators.substring import \
                 strip_repeated_spans

@@ -41,12 +41,17 @@ SECOND_LEVEL_SUFFIXES = (
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host of an absolute URL, port stripped — the grouping
-    key for per-site aggregation.  Non-URL strings (no ``://``) yield
-    an empty string (stable garbage, never NULL)."""
+    """Lowercased host of an absolute URL, userinfo and port stripped —
+    the grouping key for per-site aggregation.  Non-URL strings (no
+    ``://``) yield an empty string (stable garbage, never NULL — and
+    the domain-cap operators EXEMPT the empty pseudo-domain so
+    unparseable urls are never collectively capped)."""
     rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     has_scheme = col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
-    host = F.lower(F.regexp_extract(rest, r"^([^/?#:]*)", 1))
+    # drop userinfo ('user:pass@') — [^/?#]* cannot cross the authority
+    # boundary, so this only strips inside the authority component
+    no_user = F.regexp_replace(rest, r"^[^/?#]*@", "")
+    host = F.lower(F.regexp_extract(no_user, r"^([^/?#:]*)", 1))
     return F.when(has_scheme, host).otherwise(F.lit(""))
 
 

@@ -195,11 +195,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         audit_clean: dict = {}
         lm = None
         if args.quality_lm:
-            if args.lm_order == 2:
-                lm = (spark.read.parquet(f"{args.quality_lm}/unigram"),
-                      spark.read.parquet(f"{args.quality_lm}/bigram"))
-            else:
-                lm = spark.read.parquet(args.quality_lm)
+            from khl_pdf_ocr_spark.operators.textstats import load_lm
+
+            lm = load_lm(spark, args.quality_lm, order=args.lm_order)
         benchmark = (spark.read.parquet(args.decontaminate_against)
                      if args.decontaminate_against else None)
         # frozen lm_cutoffs keep the LM stage fully lazy inside

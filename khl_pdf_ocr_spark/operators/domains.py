@@ -75,7 +75,13 @@ def cap_per_domain(df: DataFrame, *, max_per_domain: int,
         # clean_cli precedent persists the kept frame at the same spot.
         tagged = tagged.persist()
         audit.setdefault("persisted", []).append(tagged)
-    over = (tagged.groupBy("_domain")
+    # the EMPTY pseudo-domain ('' = NULL/relative/malformed url —
+    # url_host's stable-garbage contract) is EXEMPT: those docs come
+    # from unrelated unparseable sources, and capping them as one
+    # "domain" would silently discard valid documents (r5 review).
+    # They ride the long-tail path (never ranked, never in the audit).
+    over = (tagged.filter(F.col("_domain") != "")
+            .groupBy("_domain")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_per_domain))
     if audit is not None:
@@ -142,7 +148,14 @@ def cap_per_domain_incremental(df: DataFrame, seen_counts: DataFrame | None,
                                          F.lit(0)))
                   .drop("_used"))
     else:
-        tagged = tagged.withColumn("_budget", F.lit(max_per_domain))
+        tagged = tagged.withColumn("_budget",
+                                   F.lit(max_per_domain).cast("long"))
+    # the EMPTY pseudo-domain is exempt (see cap_per_domain): an
+    # unbounded budget keeps every unparseable-url doc, and new_counts
+    # below never stores a row for it
+    tagged = tagged.withColumn(
+        "_budget", F.when(F.col("_domain") == "",
+                          F.lit(1 << 62)).otherwise(F.col("_budget")))
     # every batch row ranks (budgets vary per domain, so there is no
     # long-tail bypass here; batch — not corpus — sized input)
     w = Window.partitionBy("_domain").orderBy(
@@ -152,7 +165,8 @@ def cap_per_domain_incremental(df: DataFrame, seen_counts: DataFrame | None,
     ledger = (ranked.filter(F.col("_rk") > F.col("_budget"))
               .select(F.col(id_col).alias("id"),
                       F.lit("domain_cap").alias("reject_reason")))
-    new_counts = (kept_tagged.groupBy(F.col("_domain").alias("domain"))
+    new_counts = (kept_tagged.filter(F.col("_domain") != "")
+                  .groupBy(F.col("_domain").alias("domain"))
                   .agg(F.count(F.lit(1)).alias("n_docs")))
     kept = kept_tagged.drop("_domain", "_budget", "_rk")
     return kept, ledger, new_counts

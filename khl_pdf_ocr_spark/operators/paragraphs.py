@@ -78,12 +78,19 @@ def paragraph_occurrences(df: DataFrame, *, text_col: str = "text",
     # renumber indices).
     base = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("id"),
-                    _paras(text_col).alias("_ps")))
+                    # normalization STAGED into its own array so it
+                    # runs once per paragraph — referencing
+                    # normalized_text(p) twice in the struct lambda
+                    # below would run the lower+regex passes twice
+                    # (no CSE in interpreted HOFs; r5 review)
+                    F.transform(_paras(text_col),
+                                lambda p: X.normalized_text(p))
+                    .alias("_nps")))
     occ = F.transform(
-        F.col("_ps"), lambda p, i: F.struct(
+        F.col("_nps"), lambda np_, i: F.struct(
             i.alias("idx"),
-            F.when(F.length(X.normalized_text(p)) >= min_chars,
-                   F.xxhash64(X.normalized_text(p))).alias("h")))
+            F.when(F.length(np_) >= min_chars,
+                   F.xxhash64(np_)).alias("h")))
     return (base.select("id", F.explode(occ).alias("_o"))
             .select("id", F.col("_o.idx").alias("idx"),
                     F.col("_o.h").alias("h"))
@@ -126,7 +133,8 @@ def _rebuild(df: DataFrame, removed: DataFrame, *, text_col: str,
 
 def paragraph_dedup(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id",
-                    min_chars: int = 1) -> DataFrame:
+                    min_chars: int = 1,
+                    audit: dict | None = None) -> DataFrame:
     """Remove every non-first occurrence of each paragraph corpus-wide
     (CCNet's hash-dedup stage).  Within-document repeats count: the
     second copy inside one document is removed too.
@@ -137,9 +145,18 @@ def paragraph_dedup(df: DataFrame, *, text_col: str = "text",
     whose every eligible paragraph was seen elsewhere keeps its exempt
     paragraphs (or becomes empty), and downstream quality filters
     decide its fate.
+
+    ``audit``: optional dict — when given, the narrow (id, idx, h)
+    occurrence table is persisted (it feeds BOTH the winner election
+    and the join-back, so without a cache the split+normalize+hash
+    explode runs twice) and registered under ``audit["persisted"]``
+    for the caller to unpersist after materializing the result.
     """
     occ = paragraph_occurrences(df, text_col=text_col, id_col=id_col,
                                 min_chars=min_chars)
+    if audit is not None:
+        occ = occ.persist()
+        audit.setdefault("persisted", []).append(occ)
     winners = occ.groupBy("h").agg(
         F.min(F.struct("id", "idx")).alias("_w"))
     removed = (occ.join(winners, "h")

@@ -12,7 +12,35 @@ from khl_pdf_ocr_spark.functions import text as X
 
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
            "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores",
-           "train_bigram_lm", "bigram_logprob_scores"]
+           "train_bigram_lm", "bigram_logprob_scores", "save_lm", "load_lm"]
+
+
+def save_lm(lm, path: str) -> None:
+    """Persist a trained LM with overwrite semantics (a retried nightly
+    run with an unchanged path must not crash after the training pass):
+    a single ``(token, logprob)`` frame writes to ``path``; a
+    ``(unigram, bigram)`` pair writes to ``path/unigram`` +
+    ``path/bigram``.  The ONE place the on-disk layout lives — both
+    CLIs save and load through this pair so the convention can't drift
+    (r5 review)."""
+    if isinstance(lm, tuple):
+        uni, bi = lm
+        uni.write.mode("overwrite").parquet(f"{path}/unigram")
+        bi.write.mode("overwrite").parquet(f"{path}/bigram")
+    else:
+        lm.write.mode("overwrite").parquet(path)
+
+
+def load_lm(spark, path: str, order: int = 1):
+    """Inverse of ``save_lm``: order 1 returns the single frame, order
+    2 the ``(unigram, bigram)`` pair — the shapes ``clean_corpus(lm=)``
+    accepts."""
+    if order == 2:
+        return (spark.read.parquet(f"{path}/unigram"),
+                spark.read.parquet(f"{path}/bigram"))
+    if order != 1:
+        raise ValueError(f"LM order must be 1 or 2, got {order}")
+    return spark.read.parquet(path)
 
 
 def top_terms_per_group(df: DataFrame, *, text_col: str = "text",
