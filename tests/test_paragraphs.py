@@ -150,6 +150,63 @@ def test_generator_emits_prehashed_structs_not_paragraph_text(spark):
     assert "split(" not in gen.rsplit("[", 1)[-1], gen
 
 
+def _py_paragraph_dedup(rows, min_chars=1):
+    """Independent pure-Python model: same winner rule, dict/set
+    arithmetic, no Spark or DuckDB."""
+    import re
+
+    def norm(p):
+        return re.sub(r"\s+", " ", re.sub(r"[.,!?;:]", "",
+                                          p.lower())).strip()
+
+    first = {}
+    for doc_id, text in sorted(rows):
+        if text is None:
+            continue
+        for i, p in enumerate(text.split("\n")):
+            np_ = norm(p)
+            if len(np_) >= min_chars and np_ not in first:
+                first[np_] = (doc_id, i)
+    out = {}
+    for doc_id, text in rows:
+        if text is None:
+            out[doc_id] = (None, 0, 0)
+            continue
+        paras = text.split("\n")
+        kept, rm = [], 0
+        for i, p in enumerate(paras):
+            np_ = norm(p)
+            if len(np_) >= min_chars and first[np_] != (doc_id, i):
+                rm += 1
+            else:
+                kept.append(p)
+        out[doc_id] = ("\n".join(kept), len(paras), rm)
+    return out
+
+
+def test_seeded_fuzz_matches_python_model(spark):
+    """200 random docs built from a small paragraph pool (high
+    collision rate, random blanks/short lines/NULLs, 1-8 paras each):
+    Spark output must equal the pure-Python model doc-for-doc."""
+    import random
+
+    rng = random.Random(1234)
+    pool = [f"Sentence about topic {i} with words." for i in range(25)]
+    pool += ["", " ", "x", "!!", "Short."]
+    rows = []
+    for d in range(200):
+        if rng.random() < 0.03:
+            rows.append((d, None))
+            continue
+        n = rng.randint(1, 8)
+        rows.append((d, "\n".join(rng.choice(pool) for _ in range(n))))
+    df = _docs(spark, rows)
+    got = {r["doc_id"]: (r["text"], r["n_paras"], r["n_paras_removed"])
+           for r in paragraph_dedup(df, min_chars=2).collect()}
+    exp = _py_paragraph_dedup(rows, min_chars=2)
+    assert got == exp
+
+
 def test_long_fully_duplicated_doc_completes_quickly(spark):
     """2 x 50k-paragraph identical docs: every one of doc 2's
     paragraphs is removed.  The reassembly must be O(paras + removed)
