@@ -246,10 +246,75 @@ def increment_only(cpus: int) -> None:
     spark.stop()
 
 
+def prepare_only(cpus: int) -> None:
+    """Child mode for ``--scaling --job prepare``: the corpus-balancing
+    chain (domain caps → paragraph dedup, the clean_cli order) over the
+    sf documents table replicated x16 with the constructed
+    banner/footer/url columns — replicas share the banner and footer
+    paragraphs (removed corpus-wide) and keep their own marked text
+    paragraph, so winner election, the over-cap rank window, and
+    reassembly all do real work.  Same fixed-split discipline as the
+    extraction gate: the job is IDENTICAL at both core counts.
+    """
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.operators.domains import cap_per_domain
+    from khl_pdf_ocr_spark.operators.paragraphs import paragraph_dedup
+    from khl_pdf_ocr_spark.session import get_spark
+
+    spark = get_spark(f"bench-prepare-{cpus}", cpus=cpus,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"})
+    K = 16
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    docs_dir = os.path.join(REPO, ".bench_cache", f"prep_docs_{sf_tag}_x{K}")
+    if not os.path.exists(os.path.join(docs_dir, "_done")):
+        raw = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        docs = None
+        for k in range(K):
+            rep = raw.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+                F.concat(F.col("text"),
+                         F.lit(f" rep {k} marker {k * 7919}")).alias("text"))
+            docs = rep if docs is None else docs.unionByName(rep)
+        built = docs.select(
+            "doc_id",
+            F.concat_ws("\n",
+                        F.lit("Accept cookies to continue reading."),
+                        F.col("text"),
+                        F.concat(F.lit("Footer variant "),
+                                 (F.col("doc_id") % 7).cast("string"))
+                        ).alias("text"),
+            F.concat(F.lit("https://site"),
+                     (F.col("doc_id") % 1000).cast("string"),
+                     F.lit(".example.com/p"),
+                     F.col("doc_id").cast("string")).alias("url"))
+        built.write.mode("overwrite").parquet(os.path.join(docs_dir, "docs"))
+        open(os.path.join(docs_dir, "_done"), "w").close()
+    tbl = spark.read.parquet(os.path.join(docs_dir, "docs"))
+    n = tbl.count()
+
+    def run_chain():
+        kept, _ = cap_per_domain(tbl, max_per_domain=24)
+        paragraph_dedup(kept).write.format("noop").mode("overwrite").save()
+
+    run_chain()                                    # warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run_chain()
+        times.append(round(time.time() - t0, 3))
+    med = sorted(times)[1]
+    print(json.dumps({"cpus": cpus, "n_docs": n, "elapsed_s": med,
+                      "docs_per_sec": round(n / med, 1),
+                      "all_runs": times}))
+    spark.stop()
+
+
 def scaling(cpus_big: int, job: str = "extract") -> dict:
     cpus_small = max(1, cpus_big // 4)
     flag = {"extract": "--extract-only",
-            "increment": "--increment-only"}[job]
+            "increment": "--increment-only",
+            "prepare": "--prepare-only"}[job]
     results = {}
     for c in (cpus_small, cpus_big):
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
@@ -274,11 +339,14 @@ def main() -> None:
                          "query (r3 VERDICT #1)")
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--increment-only", action="store_true")
+    ap.add_argument("--prepare-only", action="store_true")
     ap.add_argument("--job", default="extract",
-                    choices=["extract", "increment"],
+                    choices=["extract", "increment", "prepare"],
                     help="which job --scaling measures: the extraction "
-                         "pipeline or the steady-state daily increment "
-                         "(day 3 against two days of persisted state)")
+                         "pipeline, the steady-state daily increment "
+                         "(day 3 against two days of persisted state), "
+                         "or the corpus-balancing chain (domain caps + "
+                         "paragraph dedup)")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--scaling-big", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "16")),
@@ -293,6 +361,10 @@ def main() -> None:
 
     if args.increment_only:
         increment_only(args.cpus)
+        return
+
+    if args.prepare_only:
+        prepare_only(args.cpus)
         return
 
     if args.scaling:
