@@ -81,8 +81,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--state", required=True,
                     help="state directory: <state>/fingerprints, "
-                         "<state>/signatures (created on first run; "
-                         "partitioned by increment_id)")
+                         "<state>/signatures, plus <state>/domains "
+                         "(--max-docs-per-domain) and "
+                         "<state>/paragraphs (--dedup-paragraphs) "
+                         "(created on first run; partitioned by "
+                         "increment_id)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--increment-id", default=None,
                     help="stable id of this increment (default: input "
