@@ -264,7 +264,11 @@ def prepare_only(cpus: int) -> None:
 
     spark = get_spark(f"bench-prepare-{cpus}", cpus=cpus,
                       extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"})
-    K = 16
+    # at x16 (80k docs) the chain finishes in ~4.5 s at 16 cores and
+    # fixed per-stage scheduling dominates the gate (the increment
+    # job's Amdahl pattern, BENCH.md §2.1) — default to x64 so compute
+    # dominates; the env var lets the small probe run cheaply
+    K = int(os.environ.get("SPARK_GRAFT_PREP_REPLICATE", "64"))
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
     docs_dir = os.path.join(REPO, ".bench_cache", f"prep_docs_{sf_tag}_x{K}")
     if not os.path.exists(os.path.join(docs_dir, "_done")):
