@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet path of an eval set (text column): "
                          "drop docs sharing any 13-gram with it "
                          "(contaminated ledger reason)")
+    ap.add_argument("--decontaminate-fuzzy", type=float, default=None,
+                    metavar="JACCARD",
+                    help="with --decontaminate-against: ALSO drop docs "
+                         "whose MinHash shingle-Jaccard with any eval "
+                         "doc reaches this threshold (paraphrase net; "
+                         "contaminated_fuzzy ledger reason)")
     ap.add_argument("--repetition", action="store_true",
                     help="append the Gopher-style repetition filter "
                          "(rep_lines/rep_2gram ledger reasons)")
@@ -132,6 +138,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
+    if args.decontaminate_fuzzy is not None:
+        if not args.decontaminate_against:
+            ap.error("--decontaminate-fuzzy requires "
+                     "--decontaminate-against (the eval set to match)")
+        if not 0.0 < args.decontaminate_fuzzy <= 1.0:
+            ap.error(f"--decontaminate-fuzzy must be in (0, 1], got "
+                     f"{args.decontaminate_fuzzy}")
     split_weights = None
     if args.split:
         from khl_pdf_ocr_spark.operators.prepare import parse_split_weights
@@ -170,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy, url_col=args.url_col,
-            benchmark=benchmark, lm=lm,
+            benchmark=benchmark,
+            benchmark_fuzzy_threshold=args.decontaminate_fuzzy, lm=lm,
             **({"lm_tails": lm_tails} if lm_tails else {}),
             lm_cutoffs=lm_cutoffs, audit=audit)
 

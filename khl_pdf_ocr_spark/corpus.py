@@ -32,6 +32,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  near_dup_policy: str = "pairs",
                  url_col: str | None = None,
                  benchmark: DataFrame | None = None,
+                 benchmark_fuzzy_threshold: float | None = None,
                  lm: DataFrame | None = None,
                  lm_tails: tuple[float, float] = (0.05, 0.95),
                  lm_cutoffs: tuple[float | None, float | None] | None = None,
@@ -53,6 +54,10 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  runs ``prepare.decontaminate`` as the LAST stage (so
                  no later stage can reintroduce eval text); drops land
                  as ``contaminated`` in the ledger.
+    ``benchmark_fuzzy_threshold`` — optional Jaccard threshold: with
+                 ``benchmark``, ALSO runs ``decontaminate_fuzzy``
+                 (MinHash paraphrase net) after the exact pass; drops
+                 land as ``contaminated_fuzzy``.
     ``lm``     — optional (token, logprob) frame from
                  ``textstats.train_unigram_lm``, or a
                  ``(unigram_lm, bigram_lm)`` tuple from
@@ -226,6 +231,20 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
         ledger = ledger.unionByName(
             flagged.select(F.col("id"),
                            F.lit("contaminated").alias("reject_reason")))
+        if benchmark_fuzzy_threshold is not None:
+            from khl_pdf_ocr_spark.operators.prepare import \
+                decontaminate_fuzzy
+
+            # the paraphrase net behind the exact 13-gram rule: catches
+            # eval text edited every few tokens (which breaks every
+            # exact n-gram but keeps most shingles)
+            kept, f_flagged = decontaminate_fuzzy(
+                kept, benchmark, text_col=text_col, id_col=id_col,
+                threshold=benchmark_fuzzy_threshold)
+            ledger = ledger.unionByName(
+                f_flagged.select(F.col("id"),
+                                 F.lit("contaminated_fuzzy")
+                                 .alias("reject_reason")))
     if url_bad is not None:
         ledger = url_bad.unionByName(ledger)
     return kept, ledger

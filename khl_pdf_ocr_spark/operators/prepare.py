@@ -30,10 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from khl_pdf_ocr_spark.functions import text as X
+
 __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
            "repetition_stats", "repetition_filter", "pack_sequences",
-           "decontaminate", "deterministic_sample", "hash_split",
-           "parse_split_weights", "parse_float_bounds"]
+           "decontaminate", "decontaminate_fuzzy", "deterministic_sample",
+           "hash_split", "parse_split_weights", "parse_float_bounds"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -239,6 +241,94 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
     kept = corpus.join(flagged_ids,
                        corpus[id_col] == flagged_ids["id"], "left_anti")
     return kept, hits
+
+
+def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        threshold: float = 0.5, num_perm: int = 64,
+                        bands: int = 32, shingle_n: int = 3
+                        ) -> tuple[DataFrame, DataFrame]:
+    """NEAR-duplicate benchmark decontamination: drop corpus documents
+    whose shingle-set Jaccard with ANY eval document reaches
+    ``threshold`` (MinHash signature-agreement estimate) — the
+    paraphrase net behind the exact filter.  ``decontaminate``'s
+    13-gram rule is defeated by one edit every 12 tokens; a lightly
+    reworded eval answer keeps most of its 3-shingles and is caught
+    here (the Llama/OLMo-style fuzzy pass; run BOTH: exact for verbatim
+    leakage, fuzzy for cosmetic rewrites).
+
+    Returns ``(kept, flagged)``; ``flagged`` is
+    ``(id, n_bench_matches, max_jaccard)`` per dropped doc — an
+    unauditable decontamination pass is indistinguishable from a bug.
+
+    Recall note: candidates come from LSH band collisions, so the
+    band shape bounds what the threshold filter ever SEES.  The
+    default is ``bands=32`` (2 rows/band, LSH knee ≈ (1/32)^(1/2) ≈
+    0.18) rather than the dedup operators' 16×4 (knee ≈ 0.5): a
+    decontamination pass is a safety net — at threshold 0.5 a 16×4
+    banding can deterministically miss a ~0.5-Jaccard paraphrase
+    (measured in the planted test), while 32×2 over-generates
+    candidates and lets the exact agreement filter decide.  The eval
+    side is tiny, so the extra candidates cost broadcast-join lookups,
+    not a shuffle.
+
+    Scale shape: the eval set is KB–MB → its banded signatures
+    BROADCAST; the corpus side is one per-row signature projection
+    (``with_minhash_signature`` — array expressions, zero shuffle) +
+    a stateless band explode + the broadcast join + the agreement
+    filter.  The corpus never shuffles; the drop list is corpus-derived
+    and unbounded, so it is joined back ``left_anti``, never
+    force-broadcast.  Blank/NULL-text docs cannot be contaminated and
+    pass through.
+    """
+    from khl_pdf_ocr_spark.operators.dedup import (
+        _band_signatures, signature_jaccard_estimate,
+        with_minhash_signature)
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eligible = corpus.filter(F.col(text_col).isNotNull()
+                             & F.col(text_col).rlike(r"\S"))
+    sigged = with_minhash_signature(
+        eligible.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col=text_col, id_col="id",
+        num_perm=num_perm, shingle_n=shingle_n)
+    c_banded = _band_signatures(sigged.select("id", "sig"),
+                                num_perm=num_perm, bands=bands,
+                                carry=("sig",))
+    # the eval doc's identity for the audit trail: a deterministic
+    # content hash (benchmarks need no id column)
+    bench = (benchmark
+             .filter(F.col(bench_text_col).isNotNull()
+                     & F.col(bench_text_col).rlike(r"\S"))
+             .select(F.xxhash64(X.normalized_text(F.col(bench_text_col)))
+                     .alias("id"),
+                     F.col(bench_text_col).alias("_bt")))
+    b_sigged = with_minhash_signature(bench, text_col="_bt", id_col="id",
+                                      num_perm=num_perm,
+                                      shingle_n=shingle_n)
+    b_banded = _band_signatures(b_sigged.select("id", "sig"),
+                                num_perm=num_perm, bands=bands,
+                                carry=("sig",))
+    b_side = F.broadcast(b_banded.select(F.col("id").alias("bench_id"),
+                                         "band", "bh",
+                                         F.col("sig").alias("sig_b")))
+    est = signature_jaccard_estimate(F.col("sig"), F.col("sig_b"),
+                                     num_perm=num_perm)
+    # a pair can collide in several bands; the estimate is pair-level
+    # (band-independent), so distinct (id, bench_id) dedups exactly
+    hits = (c_banded.join(b_side, ["band", "bh"])
+            .select("id", "bench_id", est.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .distinct())
+    flagged = hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"))
+    flagged_ids = flagged.select("id")
+    kept = corpus.join(flagged_ids,
+                       corpus[id_col] == flagged_ids["id"], "left_anti")
+    return kept, flagged
 
 
 def deterministic_sample(df: DataFrame, fractions: dict[str, float], *,

@@ -414,6 +414,62 @@ def test_clean_cli_quality_lm_bigram(spark, tmp_path):
         == stats["rejected"]["lm_quality"]
 
 
+def test_clean_cli_decontaminate_fuzzy(spark, tmp_path):
+    """--decontaminate-fuzzy composes with the exact stage: a verbatim
+    leak drops as contaminated, a paraphrase (every 12th token edited —
+    no surviving 13-gram) drops as contaminated_fuzzy, clean docs
+    survive; the flag without --decontaminate-against is a usage
+    error."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    bench_q = ("the quick brown fox jumps over the lazy dog while the "
+               "old cat watches from the warm windowsill in the pale "
+               "afternoon sun and the small birds sing in the tall "
+               "green trees beside the quiet house near the river")
+    toks = bench_q.split()
+    edited = list(toks)
+    for i in range(0, len(edited), 12):
+        edited[i] = "EDIT%d" % i
+    rows = [(1, "students ask " + bench_q + " in class", "s"),
+            (2, " ".join(edited), "s"),
+            (3, "a completely clean document about cooking pasta with "
+                "garlic and olive oil in a large pan over medium heat",
+             "s")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame([(0, bench_q)], ["qid", "text"]) \
+        .write.parquet(bench_path)
+    out = str(tmp_path / "cleaned")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95",
+         "--decontaminate-against", bench_path,
+         "--decontaminate-fuzzy", "0.5", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("contaminated") == 1
+    assert stats["rejected"].get("contaminated_fuzzy") == 1
+    assert stats["n_kept"] == 1
+
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", str(tmp_path / "x"),
+         "--decontaminate-fuzzy", "0.5", "--cpus", "2"],
+        capture_output=True, text=True, timeout=120, cwd=cwd)
+    assert p2.returncode == 2
+    assert "requires" in p2.stderr and "decontaminate-against" in p2.stderr
+
+
 def test_clean_cli_bad_split_spec_usage_error(tmp_path):
     """A malformed --split surfaces as a clean argparse usage error
     (exit 2), not a raw ValueError traceback (r4 ADVICE)."""

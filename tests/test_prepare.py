@@ -332,6 +332,62 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert set(hits) == {1, 2} and all(v >= 1 for v in hits.values())
 
 
+def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
+    """The paraphrase net: an eval passage edited every ~8 tokens keeps
+    no exact 13-gram (the exact rule passes it) but keeps most of its
+    3-shingles — the fuzzy pass must catch it.  Clean docs and
+    NULL/blank docs survive; the audit frame reports the match."""
+    from khl_pdf_ocr_spark.operators.prepare import (decontaminate,
+                                                     decontaminate_fuzzy)
+
+    bench_q = ("the quick brown fox jumps over the lazy dog while the "
+               "old cat watches from the warm windowsill in the pale "
+               "afternoon sun and the small birds sing in the tall "
+               "green trees beside the quiet house near the river")
+    toks = bench_q.split()
+    # one substitution every 12 tokens: the longest unedited run is 11
+    # tokens, so no 13-gram survives; measured shingle-agreement
+    # estimate vs the original is 0.547 (deterministic)
+    edited = list(toks)
+    for i in range(0, len(edited), 12):
+        edited[i] = "EDIT%d" % i
+    paraphrased = " ".join(edited)
+    corpus = spark.createDataFrame(
+        [(1, paraphrased),
+         (2, "a completely clean document about cooking pasta with "
+             "garlic and olive oil in a large pan over medium heat"),
+         (3, None), (4, "   ")],
+        ["doc_id", "text"])
+    benchmark = spark.createDataFrame([(0, bench_q)], ["qid", "text"])
+
+    kept_exact, _ = decontaminate(corpus, benchmark, n=13)
+    assert 1 in {r["doc_id"] for r in kept_exact.collect()}  # exact misses
+
+    kept, flagged = decontaminate_fuzzy(corpus, benchmark, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3, 4}
+    f = {r["id"]: r for r in flagged.collect()}
+    assert set(f) == {1}
+    assert f[1]["n_bench_matches"] == 1
+    assert f[1]["max_jaccard"] >= 0.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decontaminate_fuzzy(corpus, benchmark, threshold=0.0)
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_side(spark, docs):
+    """Plan check: the eval signatures broadcast; the corpus reaches
+    the candidate join without a corpus-wide shuffle and the drop-list
+    join-back is never a cartesian."""
+    from khl_pdf_ocr_spark.operators.prepare import decontaminate_fuzzy
+
+    bench = docs.limit(3).select("doc_id", "text")
+    kept, _ = decontaminate_fuzzy(docs, bench)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_never_shuffles_corpus_payload(spark, docs):
     """Plan check: the corpus side must reach the join via broadcast,
     never a corpus-wide exchange of the flagged-id side."""
