@@ -116,6 +116,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
+    ap.add_argument("--decontaminate-fuzzy", type=float, default=None,
+                    metavar="JACCARD",
+                    help="with --decontaminate-against: ALSO drop batch "
+                         "docs whose MinHash shingle-Jaccard with any "
+                         "eval doc reaches this threshold "
+                         "(contaminated_fuzzy ledger reason)")
     ap.add_argument("--max-docs-per-domain", type=int, default=None,
                     metavar="N",
                     help="corpus-wide cap of N kept docs per registrable "
@@ -151,6 +157,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
+    if args.decontaminate_fuzzy is not None:
+        if not args.decontaminate_against:
+            ap.error("--decontaminate-fuzzy requires "
+                     "--decontaminate-against (the eval set to match)")
+        if not 0.0 < args.decontaminate_fuzzy <= 1.0:
+            ap.error(f"--decontaminate-fuzzy must be in (0, 1], got "
+                     f"{args.decontaminate_fuzzy}")
 
     from pyspark.sql import functions as F
 
@@ -211,7 +224,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             url_col=args.url_col, lm=lm, lm_cutoffs=lm_cutoffs,
-            benchmark=benchmark, audit=audit_clean)
+            benchmark=benchmark,
+            benchmark_fuzzy_threshold=args.decontaminate_fuzzy,
+            audit=audit_clean)
 
         audit_inc: dict = {}
         if first_run:

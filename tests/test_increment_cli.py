@@ -401,6 +401,21 @@ def test_increment_domain_cap_two_days(spark, tmp_path):
     assert s2r["rejected"].get("domain_cap") == 2
 
 
+def test_increment_decontaminate_fuzzy_requires_eval_set(tmp_path):
+    """--decontaminate-fuzzy without --decontaminate-against is a clean
+    usage error before the JVM starts (the stage itself is the shared
+    clean_corpus path, e2e-covered on clean_cli)."""
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", str(tmp_path / "x"), "--state", str(tmp_path / "s"),
+         "--output", str(tmp_path / "o"),
+         "--decontaminate-fuzzy", "0.5", "--cpus", "2"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert p.returncode == 2
+    assert "requires" in p.stderr and "decontaminate-against" in p.stderr
+    assert "Traceback" not in p.stderr
+
+
 def test_flat_foreign_store_fails_fast(spark, tmp_path):
     """A lone store holding a NON-partitioned foreign dataset (no
     increment_id= dirs) must fail fast — self-healing it would
