@@ -39,7 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--langs", nargs="+", default=["en", "ru"])
     ap.add_argument("--min-quality", type=float, default=0.4)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
-    ap.add_argument("--policy", default="pairs", choices=["pairs", "components"])
+    ap.add_argument("--policy", default="pairs",
+                    choices=["pairs", "components", "components_best"],
+                    help="near-dup survivor rule: drop pair id_b / keep "
+                         "min id per cluster / keep the highest-quality "
+                         "member per cluster")
     ap.add_argument("--url-col", default=None,
                     help="dedup on the canonical url first (stage 0); "
                          "drops land as url_dup in the ledger")

@@ -94,6 +94,10 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
       the min id per component — exactly one representative per
       transitive cluster (iterative label propagation; a few extra tiny
       shuffles over the pair set only).
+    - ``"components_best"``: components as above, but keep the
+      HIGHEST-quality member of each cluster (the already-computed
+      quality score; ties → min id) — the production survivor policy:
+      the cleanest copy of a page wins, not the first-crawled one.
     """
     url_bad = None
     if url_col is not None:
@@ -159,6 +163,24 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
         comp = connected_components(pairs)
         drop = (comp.filter(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)).distinct())
+    elif near_dup_policy == "components_best":
+        from pyspark.sql import Window
+
+        from khl_pdf_ocr_spark.operators.dedup import connected_components
+
+        # keep the HIGHEST-QUALITY member of each duplicate cluster
+        # (min-id is an arbitrary survivor; a production corpus wants
+        # the cleanest copy of the page, not the first-crawled one).
+        # Quality is the already-computed _q column — no second text
+        # pass; ties break to min id so the choice stays deterministic.
+        comp = connected_components(pairs)
+        member_q = comp.join(
+            stage3.select(F.col(id_col).alias("id"), F.col("_q")), "id")
+        w = Window.partitionBy("component").orderBy(
+            F.col("_q").desc(), F.col("id").asc())
+        drop = (member_q.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > 1)
+                .select(F.col("id").alias(id_col)))
     elif near_dup_policy == "pairs":
         # drop the higher id of every confirmed pair
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -166,7 +188,11 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
         raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
     near_bad = drop.select(F.col(id_col).alias("id"),
                            F.lit("near_dup").alias("reject_reason"))
-    kept = stage3.join(F.broadcast(drop), id_col, "left_anti") \
+    # drop is corpus-derived and unbounded (a re-crawl batch can
+    # near-dup most of itself) — joined, never force-broadcast; AQE
+    # broadcasts at runtime when it is actually small (the r4
+    # decontamination rule, applied here too in r5)
+    kept = stage3.join(drop, id_col, "left_anti") \
                  .drop("_lang", "_q", "_nsw", "_nchr")
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)

@@ -50,10 +50,19 @@ def test_clean_corpus_keeps_original_columns(spark, corpus):
     assert set(kept.columns) == {"doc_id", "text", "source"}
 
 
-def test_clean_corpus_droplist_antijoin_broadcasts(spark, corpus):
+def test_clean_corpus_droplist_antijoin_not_force_broadcast(spark, corpus):
+    """The near-dup drop list is corpus-derived and unbounded (a
+    re-crawl batch can near-dup most of itself), so it must NOT carry
+    a broadcast hint (r5 — the r4 decontamination rule applied to the
+    dedup stage).  AQE still broadcasts it at runtime when it is
+    actually small: after execution the final adaptive plan shows the
+    broadcast, while the logical plan carries no ResolvedHint."""
     kept, _ = clean_corpus(corpus)
-    plan = kept._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    logical = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "hints=" not in logical
+    kept.collect()   # let AQE finalize
+    final = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[-2000:]
 
 
 def test_clean_corpus_null_text_lands_in_ledger(spark):
@@ -68,6 +77,33 @@ def test_clean_corpus_null_text_lands_in_ledger(spark):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert reasons.get(0) == "quality"   # NULL text must not vanish
     assert kept_ids == {1}
+
+
+def test_clean_corpus_components_best_keeps_highest_quality(spark):
+    """components_best keeps the cleanest member of a near-dup cluster
+    (here: the copy without the punctuation soup), not the min id."""
+    base = ("the quick brown fox jumps over the lazy dog while the old "
+            "cat watches from the warm windowsill in the afternoon sun "
+            "and the birds sing in the tall green trees beside a house")
+    df = spark.createDataFrame(
+        [(1, base + " alpha !!!!!!!!!!!! ;;;;;;;;;;;; !!!!!!!!!!!!", "s"),
+         (2, base + " bravo", "s"),                     # cleanest copy
+         (3, base + " charlie !!!!!!!!!! ;;;;;;;;;;", "s"),
+         (4, "a completely different document about cooking pasta with "
+             "garlic and olive oil in a large pan over medium heat", "s")],
+        ["doc_id", "text", "source"])
+    kept, ledger = clean_corpus(df, allowed_langs=("en",),
+                                min_quality=0.1, near_dup_threshold=0.5,
+                                near_dup_policy="components_best")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {2, 4}          # quality wins over min id
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert reasons == {1: "near_dup", 3: "near_dup"}
+    # min-id policy on the same corpus keeps doc 1 — the contrast
+    kept_min, _ = clean_corpus(df, allowed_langs=("en",),
+                               min_quality=0.1, near_dup_threshold=0.5,
+                               near_dup_policy="components")
+    assert {r["doc_id"] for r in kept_min.collect()} == {1, 4}
 
 
 def test_clean_corpus_url_dedup_stage(spark):
