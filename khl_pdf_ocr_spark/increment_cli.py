@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--langs", nargs="+", default=["en", "ru"])
     ap.add_argument("--min-quality", type=float, default=0.4)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--policy", default="pairs",
+                    choices=["pairs", "components", "components_best"],
+                    help="batch-internal near-dup survivor rule (the "
+                         "history probe is unaffected: anything "
+                         "matching history drops regardless)")
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--quality-lm", default=None, metavar="PATH",
                     help="persisted (token, logprob) LM parquet: append "
@@ -223,6 +228,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             batch, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
+            near_dup_policy=args.policy,
             url_col=args.url_col, lm=lm, lm_cutoffs=lm_cutoffs,
             benchmark=benchmark,
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy,
