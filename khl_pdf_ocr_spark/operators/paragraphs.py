@@ -26,11 +26,11 @@ Scale shape (the 100 TB story):
   plus one equi-join back on ``h``.  The repeated-hash set is
   corpus-derived and unbounded, so it is joined, never force-broadcast.
 * Text reassembly slices the ORIGINAL paragraph array by the per-doc
-  removed-index list (collected per doc, typically short — duplicates
-  are the minority of a kept corpus), so no paragraph text is ever
-  shuffled.  Worst case (every paragraph removed) the membership scan
-  is O(paragraphs x removed) per doc — linear in output bytes times
-  the removed fraction, never corpus-quadratic.
+  removed-index list (collected per doc), so no paragraph text is ever
+  shuffled; kept indices come from ``array_except`` (hash-set build),
+  making the rebuild O(paragraphs + removed) per document even when
+  every paragraph of a long book is removed (stress-tested at 2x50k
+  paragraphs).
 * The incremental twin keeps a one-column ``(h)`` store of every
   paragraph ever kept — O(distinct paragraphs) state, history text
   never read; bucket the store by ``h`` at scale so the probe join
