@@ -34,6 +34,60 @@ def test_host_and_registered_domain(spark, url, host, domain):
     assert _one(spark, registered_domain, url) == domain
 
 
+def test_host_domain_fuzz_matches_urllib_model(spark):
+    """300 seeded random URLs (userinfo, ports, paths, queries,
+    fragments, IPv4, two-level suffixes, schemeless garbage) — Spark
+    must agree with a pure-Python urllib-based model case-for-case."""
+    import random
+    from urllib.parse import urlsplit
+
+    from khl_pdf_ocr_spark.functions.urls import SECOND_LEVEL_SUFFIXES
+
+    def model_host(u):
+        if not __import__("re").match(r"^[A-Za-z][A-Za-z0-9+.-]*://", u):
+            return ""
+        try:
+            host = urlsplit(u).hostname or ""
+        except ValueError:
+            return ""
+        return host.lower()
+
+    def model_domain(u):
+        h = model_host(u)
+        labels = h.split(".")
+        if __import__("re").match(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$",
+                                  h) or len(labels) <= 2:
+            return h
+        if ".".join(labels[-2:]) in SECOND_LEVEL_SUFFIXES:
+            return ".".join(labels[-3:])
+        return ".".join(labels[-2:])
+
+    rng = random.Random(77)
+    hosts = ["Example.com", "SUB.site.ORG", "news.bbc.co.uk",
+             "a.b.shop.com.au", "192.168.1.7", "localhost", "x.io"]
+    users = ["", "user@", "user:pw@", "anonymous@"]
+    ports = ["", ":80", ":8443"]
+    paths = ["", "/", "/a/b", "/p?q=1", "/x#f", "?z=2", "#only"]
+    cases = []
+    for _ in range(300):
+        if rng.random() < 0.1:
+            cases.append(rng.choice(["not a url", "relative/path",
+                                     "example.com/x", ""]))
+        else:
+            cases.append(rng.choice(["http", "https", "ftp"]) + "://"
+                         + rng.choice(users) + rng.choice(hosts)
+                         + rng.choice(ports) + rng.choice(paths))
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "u"])
+    got = {r["i"]: (r["h"], r["d"]) for r in
+           df.select("i", url_host(F.col("u")).alias("h"),
+                     registered_domain(F.col("u")).alias("d")).collect()}
+    bad = [(c, got[i], (model_host(c), model_domain(c)))
+           for i, c in enumerate(cases)
+           if got[i] != (model_host(c), model_domain(c))]
+    assert not bad, bad[:5]
+
+
 def test_domain_counts(spark):
     df = spark.createDataFrame(
         [(i, f"https://{'a' if i < 3 else 'b'}.example.com/p{i}")

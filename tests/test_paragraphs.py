@@ -207,6 +207,26 @@ def test_seeded_fuzz_matches_python_model(spark):
     assert got == exp
 
 
+def test_paragraph_dedup_is_idempotent(spark):
+    """After one pass every duplicate occurrence is gone, so a second
+    pass over the rewritten corpus must be a byte-identical no-op with
+    zero removals (the fuzz corpus gives a high collision rate)."""
+    import random
+
+    rng = random.Random(99)
+    pool = [f"Sentence about topic {i} with words." for i in range(15)]
+    rows = [(d, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 6))))
+            for d in range(80)]
+    once = paragraph_dedup(_docs(spark, rows), min_chars=2) \
+        .select("doc_id", "text")
+    again = paragraph_dedup(once, min_chars=2).collect()
+    first = {r["doc_id"]: r["text"] for r in once.collect()}
+    for r in again:
+        assert r["text"] == first[r["doc_id"]]
+        assert r["n_paras_removed"] == 0
+
+
 def test_long_fully_duplicated_doc_completes_quickly(spark):
     """2 x 50k-paragraph identical docs: every one of doc 2's
     paragraphs is removed.  The reassembly must be O(paras + removed)
