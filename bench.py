@@ -165,6 +165,9 @@ def extract_only(cpus: int) -> None:
         runs = sorted((run_extraction_compute_only(spark, docs_path)
                        for _ in range(3)), key=lambda r: r["elapsed_s"])
         res = runs[1]
+        # a compute-only number recorded as write-inclusive is a 2-4x
+        # distortion (r5 review) — the JSON must say which it is
+        res["compute_only"] = True
     else:
         res = median_extraction(spark, docs_path, out_base)
     res["cpus"] = cpus
@@ -254,6 +257,28 @@ def increment_only(cpus: int) -> None:
     spark.stop()
 
 
+def prepare_corpus_cols(docs):
+    """The constructed web-crawl shape shared by the main bench's
+    prepare block and the --job prepare scaling gate (ONE recipe — a
+    drifted copy already shipped a degenerate gate once, r5 review):
+    corpus-wide banner + own text + 7 footer variants, and urls whose
+    REGISTRABLE domain varies (``site{N}.com``).  A ``.example.com``
+    subdomain scheme would collapse every doc into the single eTLD+1
+    'example.com' and the domain-cap stage would measure one giant
+    serial rank window instead of 1000 balanced domains."""
+    from pyspark.sql import functions as F
+
+    text = F.concat_ws(
+        "\n", F.lit("Accept cookies to continue reading."),
+        F.col("text"),
+        F.concat(F.lit("Footer variant "),
+                 (F.col("doc_id") % 7).cast("string")))
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 1000).cast("string"),
+                   F.lit(".com/p"), F.col("doc_id").cast("string"))
+    return docs.select("doc_id", text.alias("text"), url.alias("url"))
+
+
 def prepare_only(cpus: int) -> None:
     """Child mode for ``--scaling --job prepare``: the corpus-balancing
     chain (domain caps → paragraph dedup, the clean_cli order) over the
@@ -272,13 +297,16 @@ def prepare_only(cpus: int) -> None:
 
     spark = get_spark(f"bench-prepare-{cpus}", cpus=cpus,
                       extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"})
-    # at x16 (80k docs) the chain finishes in ~4.5 s at 16 cores and
-    # fixed per-stage scheduling dominates the gate (the increment
-    # job's Amdahl pattern, BENCH.md §2.1) — default to x64 so compute
-    # dominates; the env var lets the small probe run cheaply
-    K = int(os.environ.get("SPARK_GRAFT_PREP_REPLICATE", "64"))
+    # small corpora are overhead-bound (the increment job's Amdahl
+    # pattern, BENCH.md §2.1): measured 0.50 at x16, 0.52 at x64, 0.84
+    # at x256 on the real 1000-domain workload — default to x256 so
+    # the gate measures the chain, not the scheduler; the env var lets
+    # a quick probe run cheaply
+    K = int(os.environ.get("SPARK_GRAFT_PREP_REPLICATE", "256"))
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
-    docs_dir = os.path.join(REPO, ".bench_cache", f"prep_docs_{sf_tag}_x{K}")
+    # v2: the v1 cache carried single-registrable-domain urls (r5 review)
+    docs_dir = os.path.join(REPO, ".bench_cache",
+                            f"prep_docs_v2_{sf_tag}_x{K}")
     if not os.path.exists(os.path.join(docs_dir, "_done")):
         raw = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         docs = None
@@ -288,19 +316,8 @@ def prepare_only(cpus: int) -> None:
                 F.concat(F.col("text"),
                          F.lit(f" rep {k} marker {k * 7919}")).alias("text"))
             docs = rep if docs is None else docs.unionByName(rep)
-        built = docs.select(
-            "doc_id",
-            F.concat_ws("\n",
-                        F.lit("Accept cookies to continue reading."),
-                        F.col("text"),
-                        F.concat(F.lit("Footer variant "),
-                                 (F.col("doc_id") % 7).cast("string"))
-                        ).alias("text"),
-            F.concat(F.lit("https://site"),
-                     (F.col("doc_id") % 1000).cast("string"),
-                     F.lit(".example.com/p"),
-                     F.col("doc_id").cast("string")).alias("url"))
-        built.write.mode("overwrite").parquet(os.path.join(docs_dir, "docs"))
+        prepare_corpus_cols(docs).write.mode("overwrite") \
+            .parquet(os.path.join(docs_dir, "docs"))
         open(os.path.join(docs_dir, "_done"), "w").close()
     tbl = spark.read.parquet(os.path.join(docs_dir, "docs"))
     n = tbl.count()
@@ -337,10 +354,13 @@ def scaling(cpus_big: int, job: str = "extract") -> dict:
     t_small = results[cpus_small]["docs_per_sec"]
     t_big = results[cpus_big]["docs_per_sec"]
     eff = round(t_big / (4.0 * t_small), 4)
-    return {"job": job, "cpus_small": cpus_small, "cpus_big": cpus_big,
-            "docs_per_sec_small": t_small, "docs_per_sec_big": t_big,
-            "speedup": round(t_big / t_small, 3), "efficiency": eff,
-            "n_docs": results[cpus_big]["n_docs"]}
+    out = {"job": job, "cpus_small": cpus_small, "cpus_big": cpus_big,
+           "docs_per_sec_small": t_small, "docs_per_sec_big": t_big,
+           "speedup": round(t_big / t_small, 3), "efficiency": eff,
+           "n_docs": results[cpus_big]["n_docs"]}
+    if results[cpus_big].get("compute_only"):
+        out["compute_only"] = True
+    return out
 
 
 def main() -> None:
@@ -429,30 +449,17 @@ def main() -> None:
     prepare: dict[str, float] = {}
     chunks = chunk_documents(docs_tbl, max_tokens=128, overlap=16)
     # the parquet docs are single-paragraph / url-less: construct the
-    # web-crawl shape deterministically (the doc_paragraph_dedup driver
-    # query's recipe — shared banner + own text + 7 footer variants;
-    # 1000 synthetic domains, 48 docs each, cap 24)
-    multi = docs_tbl.select(
-        "doc_id",
-        F.concat_ws("\n", F.lit("Accept cookies to continue reading."),
-                    F.col("text"),
-                    F.concat(F.lit("Footer variant "),
-                             (F.col("doc_id") % 7).cast("string"))
-                    ).alias("text"))
-    with_urls = docs_tbl.withColumn(
-        "url", F.concat(F.lit("https://site"),
-                        (F.col("doc_id") % 1000).cast("string"),
-                        F.lit(".example.com/p"),
-                        F.col("doc_id").cast("string")))
+    # web-crawl shape deterministically (shared recipe with the --job
+    # prepare gate — 1000 REGISTRABLE domains, 48 docs each, cap 24)
+    crawl = prepare_corpus_cols(docs_tbl)
     for name, frame in (
             ("chunk_documents", chunks),
             ("chunk_pack_pipeline",
              pack_sequences(hash_split(chunks, weights={"train": 0.98,
                                                         "val": 0.02}),
                             capacity=512, n_buckets=64)),
-            ("paragraph_dedup", paragraph_dedup(multi)),
-            ("domain_cap", cap_per_domain(with_urls,
-                                          max_per_domain=24)[0]),
+            ("paragraph_dedup", paragraph_dedup(crawl.drop("url"))),
+            ("domain_cap", cap_per_domain(crawl, max_per_domain=24)[0]),
     ):
         frame.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()

@@ -99,6 +99,10 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
       quality score; ties → min id) — the production survivor policy:
       the cleanest copy of a page wins, not the first-crawled one.
     """
+    if benchmark_fuzzy_threshold is not None and benchmark is None:
+        # silently no-opping here would let a caller believe paraphrased
+        # eval text is being dropped while nothing runs (r5 review)
+        raise ValueError("benchmark_fuzzy_threshold requires benchmark")
     url_bad = None
     if url_col is not None:
         from khl_pdf_ocr_spark.functions.urls import canonical_url
@@ -154,9 +158,23 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                          F.lit("exact_dup").alias("reject_reason")))
     stage3 = stage2.join(keep_ids, id_col, "left_semi")
 
+    shared_sigs = None
+    if benchmark is not None and benchmark_fuzzy_threshold is not None:
+        # the fuzzy decontamination stage needs the same (id, sig)
+        # minhash signatures the near-dup stage computes — the single
+        # most expensive map-side pass; compute ONCE and share (r5
+        # review).  Persisted via the audit dict when available, else
+        # the two consumers re-run the lineage (no worse than before).
+        from khl_pdf_ocr_spark.operators.dedup import minhash_signatures
+
+        shared_sigs = minhash_signatures(stage3, text_col=text_col,
+                                         id_col=id_col)
+        if audit is not None:
+            shared_sigs = shared_sigs.persist()
+            audit.setdefault("persisted", []).append(shared_sigs)
     pairs = minhash_lsh_pairs(stage3, text_col=text_col, id_col=id_col,
                               verify_threshold=near_dup_threshold,
-                              audit=audit)
+                              audit=audit, sigs=shared_sigs)
     if near_dup_policy == "components":
         from khl_pdf_ocr_spark.operators.dedup import connected_components
 
@@ -266,7 +284,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
             # exact n-gram but keeps most shingles)
             kept, f_flagged = decontaminate_fuzzy(
                 kept, benchmark, text_col=text_col, id_col=id_col,
-                threshold=benchmark_fuzzy_threshold)
+                threshold=benchmark_fuzzy_threshold, sigs=shared_sigs)
             ledger = ledger.unionByName(
                 f_flagged.select(F.col("id"),
                                  F.lit("contaminated_fuzzy")

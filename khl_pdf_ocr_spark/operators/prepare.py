@@ -247,7 +247,8 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame, *,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str = "text",
                         threshold: float = 0.5, num_perm: int = 64,
-                        bands: int = 32, shingle_n: int = 3
+                        bands: int = 32, shingle_n: int = 3,
+                        sigs: DataFrame | None = None
                         ) -> tuple[DataFrame, DataFrame]:
     """NEAR-duplicate benchmark decontamination: drop corpus documents
     whose shingle-set Jaccard with ANY eval document reaches
@@ -288,13 +289,28 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame, *,
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    eligible = corpus.filter(F.col(text_col).isNotNull()
-                             & F.col(text_col).rlike(r"\S"))
-    sigged = with_minhash_signature(
-        eligible.select(F.col(id_col).alias("id"), F.col(text_col)),
-        text_col=text_col, id_col="id",
-        num_perm=num_perm, shingle_n=shingle_n)
-    c_banded = _band_signatures(sigged.select("id", "sig"),
+    if sigs is None:
+        eligible = corpus.filter(F.col(text_col).isNotNull()
+                                 & F.col(text_col).rlike(r"\S"))
+        sigged = with_minhash_signature(
+            eligible.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col=text_col, id_col="id",
+            num_perm=num_perm, shingle_n=shingle_n)
+        c_sigs = sigged.select("id", "sig")
+    else:
+        # ``sigs``: precomputed (id, sig) — MUST match num_perm/
+        # shingle_n (the minhash_lsh_pairs contract); lets clean_corpus
+        # share ONE signature pass between the near-dup and fuzzy
+        # stages (r5 review).  Restricted to THIS frame's ids so a
+        # superset store can never flag a row that is not here (which
+        # would double-ledger an already-rejected doc).
+        probe = sigs.select(F.size("sig").alias("n")).first()
+        if probe is not None and probe["n"] != num_perm:
+            raise ValueError(f"sigs width {probe['n']} != num_perm "
+                             f"{num_perm}")
+        c_sigs = sigs.join(
+            corpus.select(F.col(id_col).alias("id")), "id", "left_semi")
+    c_banded = _band_signatures(c_sigs,
                                 num_perm=num_perm, bands=bands,
                                 carry=("sig",))
     # the eval doc's identity for the audit trail: a deterministic

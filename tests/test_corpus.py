@@ -59,7 +59,11 @@ def test_clean_corpus_droplist_antijoin_not_force_broadcast(spark, corpus):
     broadcast, while the logical plan carries no ResolvedHint."""
     kept, _ = clean_corpus(corpus)
     logical = kept._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in logical and "hints=" not in logical
+    # a surviving F.broadcast hint prints as 'rightHint=(strategy=
+    # broadcast)' on the Join node in the OPTIMIZED plan (ResolvedHint
+    # nodes themselves are eliminated earlier — asserting on those is
+    # vacuous; r5 review, verified empirically)
+    assert "strategy=broadcast" not in logical, logical[-2000:]
     kept.collect()   # let AQE finalize
     final = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final[-2000:]
@@ -104,6 +108,44 @@ def test_clean_corpus_components_best_keeps_highest_quality(spark):
                                min_quality=0.1, near_dup_threshold=0.5,
                                near_dup_policy="components")
     assert {r["doc_id"] for r in kept_min.collect()} == {1, 4}
+
+
+def test_clean_corpus_fuzzy_shares_signature_pass(spark):
+    """benchmark_fuzzy_threshold reuses ONE minhash pass: the shared
+    (id, sig) frame is persisted via the audit dict, the fuzzy stage
+    drops the paraphrase, kept/ledger stay disjoint, and a missing
+    benchmark fails fast."""
+    import pytest as _pytest
+
+    bench_q = ("the quick brown fox jumps over the lazy dog while the "
+               "old cat watches from the warm windowsill in the pale "
+               "afternoon sun and the small birds sing in the tall "
+               "green trees beside the quiet house near the river")
+    toks = bench_q.split()
+    edited = list(toks)
+    for i in range(0, len(edited), 12):
+        edited[i] = "EDIT%d" % i
+    df = spark.createDataFrame(
+        [(1, " ".join(edited), "s"),
+         (2, "a completely clean document about cooking pasta with "
+             "garlic and olive oil in a large pan over medium heat", "s")],
+        ["doc_id", "text", "source"])
+    benchmark = spark.createDataFrame([(0, bench_q)], ["qid", "text"])
+    audit: dict = {}
+    kept, ledger = clean_corpus(df, allowed_langs=("en",),
+                                min_quality=0.1, benchmark=benchmark,
+                                benchmark_fuzzy_threshold=0.5,
+                                audit=audit)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert kept_ids == {2}
+    assert reasons == {1: "contaminated_fuzzy"}
+    assert kept_ids.isdisjoint(reasons)
+    assert len(audit.get("persisted", ())) >= 1   # the shared sigs
+    for cached in audit.get("persisted", ()):
+        cached.unpersist()
+    with _pytest.raises(ValueError):
+        clean_corpus(df, benchmark_fuzzy_threshold=0.5)
 
 
 def test_clean_corpus_url_dedup_stage(spark):

@@ -375,6 +375,44 @@ def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
         decontaminate_fuzzy(corpus, benchmark, threshold=0.0)
 
 
+def test_decontaminate_fuzzy_precomputed_sigs_equivalent(spark):
+    """sigs= (the clean_corpus shared-signature path) must produce the
+    same drops as the internal computation, reject a width mismatch,
+    and never flag an id that is not in the frame (superset store)."""
+    from khl_pdf_ocr_spark.operators.dedup import minhash_signatures
+    from khl_pdf_ocr_spark.operators.prepare import decontaminate_fuzzy
+
+    bench_q = ("the quick brown fox jumps over the lazy dog while the "
+               "old cat watches from the warm windowsill in the pale "
+               "afternoon sun and the small birds sing in the trees")
+    corpus = spark.createDataFrame(
+        [(1, bench_q + " and a small tail"),
+         (2, "a clean document about cooking pasta with garlic and "
+             "olive oil in a large pan over medium heat tonight")],
+        ["doc_id", "text"])
+    benchmark = spark.createDataFrame([(0, bench_q)], ["qid", "text"])
+    k_default, f_default = decontaminate_fuzzy(corpus, benchmark,
+                                               threshold=0.5)
+    sigs = minhash_signatures(corpus)
+    k_sigs, f_sigs = decontaminate_fuzzy(corpus, benchmark,
+                                         threshold=0.5, sigs=sigs)
+    assert {r["doc_id"] for r in k_default.collect()} \
+        == {r["doc_id"] for r in k_sigs.collect()} == {2}
+    assert {r["id"] for r in f_default.collect()} \
+        == {r["id"] for r in f_sigs.collect()} == {1}
+    # superset store: sigs carry an id absent from the frame — it must
+    # not be flagged (double-ledger hazard)
+    sub = corpus.filter("doc_id = 2")
+    k3, f3 = decontaminate_fuzzy(sub, benchmark, threshold=0.5,
+                                 sigs=sigs)
+    assert f3.count() == 0 and k3.count() == 1
+    # width fail-fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decontaminate_fuzzy(corpus, benchmark,
+                            sigs=minhash_signatures(corpus, num_perm=32))
+
+
 def test_decontaminate_fuzzy_broadcasts_eval_side(spark, docs):
     """Plan check: the eval signatures broadcast; the corpus reaches
     the candidate join without a corpus-wide shuffle and the drop-list
