@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
                          "whose MinHash shingle-Jaccard with any eval "
                          "doc reaches this threshold (paraphrase net; "
                          "contaminated_fuzzy ledger reason)")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="apply the C4 heuristics (Raffel et al. 2020): "
+                         "keep only lines ending in terminal "
+                         "punctuation with >=5 words and no "
+                         "'javascript'; drop pages with '{', 'lorem "
+                         "ipsum', or <3 surviving sentences "
+                         "(c4_* ledger reasons; line counts in stats)")
     ap.add_argument("--repetition", action="store_true",
                     help="append the Gopher-style repetition filter "
                          "(rep_lines/rep_2gram ledger reasons)")
@@ -192,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
             **({"lm_tails": lm_tails} if lm_tails else {}),
             lm_cutoffs=lm_cutoffs, audit=audit)
 
+        if args.c4_rules:
+            from khl_pdf_ocr_spark.operators.prepare import c4_filters
+
+            # first of the post-clean text stages: later filters
+            # (repetition, spans, PII) judge the line-scrubbed text
+            kept, c4_ledger = c4_filters(kept, text_col=args.text_col,
+                                         id_col=args.id_col)
+            ledger = ledger.unionByName(c4_ledger)
         if args.repetition:
             from khl_pdf_ocr_spark.operators.prepare import repetition_filter
 
@@ -304,6 +319,14 @@ def main(argv: list[str] | None = None) -> int:
             # no-silent-caps: how many domains actually hit the cap
             # (reads the persisted tagged frame, not the live lineage)
             stats["domains_over_cap"] = audit["hot_domains"].count()
+        if args.c4_rules:
+            row = kept_rb.agg(
+                F.sum("n_lines_removed").alias("l"),
+                F.sum((F.col("n_lines_removed") > 0).cast("long"))
+                .alias("d")).first()
+            stats["c4_rules"] = {
+                "lines_removed": int(row["l"] or 0),
+                "docs_affected": int(row["d"] or 0)}
         if args.dedup_paragraphs:
             row = kept_rb.agg(
                 F.sum("n_paras_removed").alias("p"),

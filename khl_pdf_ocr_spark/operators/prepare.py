@@ -35,7 +35,8 @@ from khl_pdf_ocr_spark.functions import text as X
 __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
            "repetition_stats", "repetition_filter", "pack_sequences",
            "decontaminate", "decontaminate_fuzzy", "deterministic_sample",
-           "hash_split", "parse_split_weights", "parse_float_bounds"]
+           "hash_split", "parse_split_weights", "parse_float_bounds",
+           "c4_filters"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -241,6 +242,62 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
     kept = corpus.join(flagged_ids,
                        corpus[id_col] == flagged_ids["id"], "left_anti")
     return kept, hits
+
+
+def c4_filters(df: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id", min_words_per_line: int = 5,
+               min_sentences: int = 3
+               ) -> tuple[DataFrame, DataFrame]:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) —
+    line-level scrubbing plus page-level drops:
+
+    * keep only lines that END in a terminal punctuation mark
+      (``. ! ? "``), have at least ``min_words_per_line`` words, and do
+      not contain the word "javascript" (case-insensitive);
+    * DROP pages that contain "lorem ipsum" or a ``{`` (templating/
+      code leakage), or whose surviving text has fewer than
+      ``min_sentences`` sentences (terminal-punctuation count — the
+      lightweight stand-in for C4's sentence tokenizer, disclosed).
+
+    Returns ``(kept, ledger)``: kept rows carry the original columns
+    with ``text_col`` rewritten to the surviving lines plus
+    ``n_lines``/``n_lines_removed`` counters; the ledger is
+    ``(id, reject_reason)`` with reasons ``c4_brace`` / ``c4_lorem`` /
+    ``c4_few_sentences``.  NULL-text rows drop as
+    ``c4_few_sentences`` (no surviving sentences — a row must never
+    vanish from both kept and ledger).
+
+    Scale shape: everything is per-row array expressions over the
+    staged line array — zero shuffles, zero UDFs, whole-stage codegen.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    staged = df.withColumn("_ls", lines)
+    keep_line = (
+        lambda ln: F.regexp_replace(ln, r"\s+$", "").rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(ln, r"\s+"),
+                           lambda w: F.length(w) > 0))
+           >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript"))
+    kept_lines = F.filter(F.col("_ls"), keep_line)
+    new_text = F.concat_ws("\n", kept_lines)
+    tagged = (staged
+              .withColumn("n_lines", F.size("_ls"))
+              .withColumn("_new", new_text)
+              .withColumn("n_lines_removed",
+                          F.size("_ls") - F.size(kept_lines)))
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    reason = (F.when(low.contains("{"), "c4_brace")
+              .when(low.contains("lorem ipsum"), "c4_lorem")
+              .when(F.regexp_count(F.col("_new"), F.lit(r"[.!?]"))
+                    < min_sentences, "c4_few_sentences"))
+    tagged = tagged.withColumn("_reject", reason)
+    kept = (tagged.filter(F.col("_reject").isNull())
+            .withColumn(text_col, F.col("_new"))
+            .drop("_ls", "_new", "_reject"))
+    ledger = (tagged.filter(F.col("_reject").isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.col("_reject").alias("reject_reason")))
+    return kept, ledger
 
 
 def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame, *,

@@ -586,6 +586,48 @@ def test_clean_corpus_lm_stage_survives_empty_batch(spark):
         cached.unpersist()
 
 
+def test_clean_cli_c4_rules(spark, tmp_path):
+    """--c4-rules wires the C4 heuristics into the product CLI: nav
+    junk lines scrubbed in place, brace/lorem pages dropped with c4_*
+    reasons, counts in stats."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    good = ("The quick brown fox jumps over the lazy dog every day.\n"
+            "Menu Home About\n"
+            "It was a bright cold day in April and the clocks struck.\n"
+            "The old cat watched from the warm windowsill so quietly!")
+    rows = [(1, good, "s"),
+            (2, "The page template has a { brace in the middle and the "
+                "text of the page keeps going on and on after it.", "s"),
+            (3, "The first fine sentence stands entirely on its own.\n"
+                "The second fine sentence stands entirely on its own.\n"
+                "The third fine sentence stands entirely on its own.", "s")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--c4-rules", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("c4_brace") == 1
+    assert stats["c4_rules"] == {"lines_removed": 1, "docs_affected": 1}
+    kept = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/kept").collect()}
+    assert set(kept) == {1, 3}
+    assert "Menu Home About" not in kept[1]["text"]
+    assert kept[1]["n_lines_removed"] == 1
+
+
 def test_clean_cli_dedup_paragraphs(spark, tmp_path):
     """--dedup-paragraphs wires the CCNet paragraph dedup into the
     product CLI: a cookie banner shared by two kept docs survives only

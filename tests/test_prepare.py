@@ -332,6 +332,94 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert set(hits) == {1, 2} and all(v >= 1 for v in hits.values())
 
 
+def _py_c4(rows, min_words=5, min_sentences=3):
+    """Independent pure-Python model of the C4 heuristics."""
+    import re
+
+    out, ledger = {}, {}
+    for doc_id, text in rows:
+        raw = text or ""
+        low = raw.lower()
+        lines = raw.split("\n")
+        kept = [ln for ln in lines
+                if re.search(r'[.!?"]$', ln.rstrip())
+                and len(ln.split()) >= min_words
+                and "javascript" not in ln.lower()]
+        new = "\n".join(kept)
+        if "{" in low:
+            ledger[doc_id] = "c4_brace"
+        elif "lorem ipsum" in low:
+            ledger[doc_id] = "c4_lorem"
+        elif len(re.findall(r"[.!?]", new)) < min_sentences:
+            ledger[doc_id] = "c4_few_sentences"
+        else:
+            out[doc_id] = (new, len(lines), len(lines) - len(kept))
+    return out, ledger
+
+
+def test_c4_filters_match_python_model(spark):
+    from khl_pdf_ocr_spark.operators.prepare import c4_filters
+
+    good = ("The quick brown fox jumps over the lazy dog.\n"
+            "Menu Home About\n"                       # no terminal punct
+            "It was a bright cold day in April, and clocks struck.\n"
+            "Enable javascript to view this content please now.\n"  # js
+            "Yes.\n"                                  # < 5 words
+            "The old cat watched from the warm windowsill quietly!")
+    rows = [
+        (1, good),
+        (2, "function() { return 1; } and a very long sentence here."),
+        (3, "This page contains Lorem Ipsum filler text for the layout. "
+            "It repeats. It repeats again."),
+        (4, "Short page.\nOnly one good sentence survives here today."),
+        (5, None),
+        (6, "First full sentence with enough words stands here.\n"
+            "Second full sentence with enough words stands here.\n"
+            "Third full sentence with enough words stands here."),
+    ]
+    kept, ledger = c4_filters(spark.createDataFrame(rows,
+                                                    ["doc_id", "text"]))
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+           for r in kept.collect()}
+    got_led = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    exp, exp_led = _py_c4(rows)
+    assert got == exp
+    assert got_led == exp_led
+    # sanity on the planted cases
+    assert got_led[2] == "c4_brace"
+    assert got_led[3] == "c4_lorem"
+    assert got_led[4] == "c4_few_sentences"
+    assert got_led[5] == "c4_few_sentences"   # NULL never vanishes
+    assert "javascript" not in got[1][0]
+    assert "Menu Home About" not in got[1][0]
+
+
+def test_c4_filters_seeded_fuzz(spark):
+    import random
+
+    from khl_pdf_ocr_spark.operators.prepare import c4_filters
+
+    rng = random.Random(42)
+    frag = ["The fox runs over the hill today.",
+            "menu home about contact",
+            "A full sentence with plenty of words right here!",
+            "Enable javascript to continue reading this page now.",
+            'He said "stop right there or else."',
+            "short one.", "", "   ", "No punct but many words here now"]
+    rows = []
+    for d in range(120):
+        n = rng.randint(1, 6)
+        rows.append((d, "\n".join(rng.choice(frag) for _ in range(n))))
+    kept, ledger = c4_filters(spark.createDataFrame(rows,
+                                                    ["doc_id", "text"]))
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+           for r in kept.collect()}
+    got_led = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    exp, exp_led = _py_c4(rows)
+    assert got == exp and got_led == exp_led
+    assert set(got) | set(got_led) == {d for d, _ in rows}   # conservation
+
+
 def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
     """The paraphrase net: an eval passage edited every ~8 tokens keeps
     no exact 13-gram (the exact rule passes it) but keeps most of its
