@@ -121,6 +121,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="apply the C4 line/page heuristics to the "
+                         "batch BEFORE the history probes (fingerprints "
+                         "in the store describe scrubbed text, so "
+                         "today's batch must be scrubbed the same way)")
     ap.add_argument("--decontaminate-fuzzy", type=float, default=None,
                     metavar="JACCARD",
                     help="with --decontaminate-against: ALSO drop batch "
@@ -233,6 +238,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             benchmark=benchmark,
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy,
             audit=audit_clean)
+
+        if args.c4_rules:
+            from khl_pdf_ocr_spark.operators.prepare import c4_filters
+
+            # BEFORE the history probes: the store's fingerprints
+            # describe scrubbed text, so the batch must be scrubbed
+            # identically or yesterday's page re-enters with its nav
+            # junk counted as novelty
+            kept1, c4_ledger = c4_filters(kept1, text_col=args.text_col,
+                                          id_col=args.id_col)
+            ledger = ledger.unionByName(c4_ledger)
 
         audit_inc: dict = {}
         if first_run:
