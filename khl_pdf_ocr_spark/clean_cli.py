@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
                          "'javascript'; drop pages with '{', 'lorem "
                          "ipsum', or <3 surviving sentences "
                          "(c4_* ledger reasons; line counts in stats)")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="apply the Gopher document-quality rules (Rae "
+                         "et al. 2021 A1.1 thresholds: word count/"
+                         "length, symbol ratio, bullet/ellipsis lines, "
+                         "alpha words, stop-word hits; gopher_* ledger "
+                         "reasons — combine with --repetition for the "
+                         "full Gopher gate)")
     ap.add_argument("--repetition", action="store_true",
                     help="append the Gopher-style repetition filter "
                          "(rep_lines/rep_2gram ledger reasons)")
@@ -92,6 +99,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --quality-lm train: persist the trained "
                          "(token, logprob) LM parquet here for reuse "
                          "by later increments")
+    ap.add_argument("--block-domains", default=None, metavar="FILE",
+                    help="newline-delimited registrable-domain "
+                         "blocklist ('#' comments): docs from listed "
+                         "domains drop FIRST, before any text work "
+                         "(blocked_domain ledger reason; requires "
+                         "--url-col)")
     ap.add_argument("--max-docs-per-domain", type=int, default=None,
                     metavar="N",
                     help="keep at most N docs per registrable domain "
@@ -149,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
+    if args.block_domains and not args.url_col:
+        ap.error("--block-domains requires --url-col (the domain is "
+                 "derived from the url column)")
     if args.decontaminate_fuzzy is not None:
         if not args.decontaminate_against:
             ap.error("--decontaminate-fuzzy requires "
@@ -169,6 +185,19 @@ def main(argv: list[str] | None = None) -> int:
     try:
         docs = read_documents(spark, args.input, args.format)
         audit: dict = {}
+        blocked_ledger = None
+        if args.block_domains:
+            from khl_pdf_ocr_spark.operators.domains import \
+                filter_blocked_domains
+
+            with open(args.block_domains) as fh:
+                doms = [ln.strip() for ln in fh
+                        if ln.strip() and not ln.startswith("#")]
+            # cheapest filter first: listed domains drop before any
+            # text work (also before LM training below — a blocklisted
+            # spam farm must not shape the quality model)
+            docs, blocked_ledger = filter_blocked_domains(
+                docs, doms, url_col=args.url_col, id_col=args.id_col)
         benchmark = (spark.read.parquet(args.decontaminate_against)
                      if args.decontaminate_against else None)
         lm = None
@@ -198,6 +227,8 @@ def main(argv: list[str] | None = None) -> int:
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy, lm=lm,
             **({"lm_tails": lm_tails} if lm_tails else {}),
             lm_cutoffs=lm_cutoffs, audit=audit)
+        if blocked_ledger is not None:
+            ledger = ledger.unionByName(blocked_ledger)
 
         if args.c4_rules:
             from khl_pdf_ocr_spark.operators.prepare import c4_filters
@@ -207,6 +238,13 @@ def main(argv: list[str] | None = None) -> int:
             kept, c4_ledger = c4_filters(kept, text_col=args.text_col,
                                          id_col=args.id_col)
             ledger = ledger.unionByName(c4_ledger)
+        if args.gopher_rules:
+            from khl_pdf_ocr_spark.operators.prepare import \
+                gopher_quality_filter
+
+            kept, gq_ledger = gopher_quality_filter(
+                kept, text_col=args.text_col, id_col=args.id_col)
+            ledger = ledger.unionByName(gq_ledger)
         if args.repetition:
             from khl_pdf_ocr_spark.operators.prepare import repetition_filter
 

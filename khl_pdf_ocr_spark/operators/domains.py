@@ -34,7 +34,42 @@ from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.functions.urls import registered_domain
 
-__all__ = ["domain_counts", "cap_per_domain", "cap_per_domain_incremental"]
+__all__ = ["domain_counts", "cap_per_domain", "cap_per_domain_incremental",
+           "filter_blocked_domains"]
+
+
+def filter_blocked_domains(df: DataFrame, blocklist, *,
+                           url_col: str = "url", id_col: str = "doc_id"
+                           ) -> tuple["DataFrame", "DataFrame"]:
+    """Drop documents whose REGISTRABLE domain is on a blocklist (the
+    adult/spam/SEO-farm list every web corpus applies first — cheap,
+    text never read).  ``blocklist``: an iterable of domain strings
+    (lowercased eTLD+1, e.g. ``spam-farm.com``); matching is exact on
+    ``registered_domain(url)``, so every subdomain of a listed domain
+    is blocked and ``spam-farm.com.evil.org`` is NOT.
+
+    Returns ``(kept, ledger)`` — ledger rows carry
+    ``reject_reason='blocked_domain'`` (the ``clean_corpus``
+    contract).
+
+    Scale shape: real blocklists are bounded (10^4–10^6 rows — a file,
+    not a corpus derivative), so the list becomes a BROADCAST isin-set
+    via a literal in-memory frame joined ``left_anti``; one projection
+    plus one broadcast join, zero corpus shuffles.
+    """
+    spark = df.sparkSession
+    doms = sorted({d.strip().lower() for d in blocklist if d.strip()})
+    block = spark.createDataFrame([(d,) for d in doms], ["_blocked"])
+    tagged = df.withColumn("_domain", registered_domain(F.col(url_col)))
+    kept = (tagged.join(
+        F.broadcast(block), tagged["_domain"] == block["_blocked"],
+        "left_anti").drop("_domain"))
+    ledger = (tagged.join(
+        F.broadcast(block), tagged["_domain"] == block["_blocked"],
+        "left_semi")
+        .select(F.col(id_col).alias("id"),
+                F.lit("blocked_domain").alias("reject_reason")))
+    return kept, ledger
 
 
 def domain_counts(df: DataFrame, *, url_col: str = "url") -> DataFrame:

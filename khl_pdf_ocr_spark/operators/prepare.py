@@ -36,7 +36,7 @@ __all__ = ["chunk_documents", "redact_pii", "PII_PATTERNS",
            "repetition_stats", "repetition_filter", "pack_sequences",
            "decontaminate", "decontaminate_fuzzy", "deterministic_sample",
            "hash_split", "parse_split_weights", "parse_float_bounds",
-           "c4_filters"]
+           "c4_filters", "gopher_quality_filter"]
 
 
 def chunk_documents(df: DataFrame, *, text_col: str = "text",
@@ -294,6 +294,90 @@ def c4_filters(df: DataFrame, *, text_col: str = "text",
     kept = (tagged.filter(F.col("_reject").isNull())
             .withColumn(text_col, F.col("_new"))
             .drop("_ls", "_new", "_reject"))
+    ledger = (tagged.filter(F.col("_reject").isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.col("_reject").alias("reject_reason")))
+    return kept, ledger
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_filter(df: DataFrame, *, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          max_bullet_frac: float = 0.9,
+                          max_ellipsis_frac: float = 0.3,
+                          min_alpha_word_frac: float = 0.8,
+                          min_stopword_hits: int = 2
+                          ) -> tuple[DataFrame, DataFrame]:
+    """The Gopher document-quality rules (Rae et al. 2021, Appendix
+    A1.1) with their published thresholds as defaults:
+
+    * 50–100,000 words; mean word length 3–10 characters;
+    * symbol-to-word ratio (``#`` / ellipsis) ≤ 0.1;
+    * ≤90 % of lines bullet-started, ≤30 % ellipsis-ended;
+    * ≥80 % of words contain at least one letter (any script — the
+      corpus is en+ru, so ``\\p{L}``, not ``[a-z]``);
+    * at least 2 distinct hits from the 8-word stop list
+      (``GOPHER_STOPWORDS`` — presence, not frequency).
+
+    The repetition rules from the same appendix live in
+    ``repetition_filter``; compose both for the full Gopher gate.
+
+    Returns ``(kept, ledger)``; reasons name the FIRST failing rule
+    (``gopher_word_count`` / ``gopher_word_length`` /
+    ``gopher_symbol_ratio`` / ``gopher_bullet_lines`` /
+    ``gopher_ellipsis_lines`` / ``gopher_alpha_words`` /
+    ``gopher_stopwords``).  NULL/blank text fails the word count — a
+    row never vanishes from both frames.
+
+    Scale shape: per-row staged token/line arrays + aggregate
+    expressions — zero shuffles, zero UDFs.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = (df.withColumn("_tk", F.filter(F.split(text, r"\s+"),
+                                            lambda t: F.length(t) > 0))
+              .withColumn("_ln", F.filter(
+                  F.split(text, "\n"),
+                  lambda ln: ln.rlike(r"\S"))))
+    n_w = F.size("_tk").cast("double")
+    n_l = F.greatest(F.size("_ln"), F.lit(1)).cast("double")
+    mean_len = F.aggregate(
+        "_tk", F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t)).cast("double") \
+        / F.greatest(n_w, F.lit(1.0))
+    symbol_ratio = (F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+                    .cast("double") / F.greatest(n_w, F.lit(1.0)))
+    bullet_frac = (F.size(F.filter(
+        F.col("_ln"), lambda ln: ln.rlike(r"^\s*[-*•●▪‣·]")))
+        .cast("double") / n_l)
+    ellipsis_frac = (F.size(F.filter(
+        F.col("_ln"), lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        .cast("double") / n_l)
+    alpha_frac = (F.size(F.filter(
+        F.col("_tk"), lambda t: t.rlike(r"\p{L}")))
+        .cast("double") / F.greatest(n_w, F.lit(1.0)))
+    stop_hits = F.size(F.array_intersect(
+        F.transform("_tk", lambda t: F.lower(
+            F.regexp_replace(t, r"^\W+|\W+$", ""))),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    reason = (
+        F.when((n_w < min_words) | (n_w > max_words), "gopher_word_count")
+        .when((mean_len < min_mean_word_len)
+              | (mean_len > max_mean_word_len), "gopher_word_length")
+        .when(symbol_ratio > max_symbol_ratio, "gopher_symbol_ratio")
+        .when(bullet_frac > max_bullet_frac, "gopher_bullet_lines")
+        .when(ellipsis_frac > max_ellipsis_frac, "gopher_ellipsis_lines")
+        .when(alpha_frac < min_alpha_word_frac, "gopher_alpha_words")
+        .when(stop_hits < min_stopword_hits, "gopher_stopwords"))
+    tagged = staged.withColumn("_reject", reason)
+    kept = (tagged.filter(F.col("_reject").isNull())
+            .drop("_tk", "_ln", "_reject"))
     ledger = (tagged.filter(F.col("_reject").isNotNull())
               .select(F.col(id_col).alias("id"),
                       F.col("_reject").alias("reject_reason")))

@@ -628,6 +628,59 @@ def test_clean_cli_c4_rules(spark, tmp_path):
     assert kept[1]["n_lines_removed"] == 1
 
 
+def test_clean_cli_block_domains_and_gopher_rules(spark, tmp_path):
+    """--block-domains drops listed registrable domains before any text
+    work; --gopher-rules applies the Rae et al. thresholds; both ledger
+    reasons land in stats; missing --url-col is a usage error."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    fluent = ("the quick brown fox jumps over the lazy dog and it is "
+              "known that many of the animals have been seen with the "
+              "birds near the river while the people walk to the town "
+              "and back again every day of the long warm summer season "
+              "to be sure of the light ") * 2
+    rows = [(1, fluent, "s", "https://good.example.org/a"),
+            (2, fluent + " extra tail words here", "s",
+             "https://spam.farm.spamco.net/b"),          # blocked eTLD+1
+            (3, "\n".join(["the quick brown fox jumps over the lazy dog "
+                           "and that is to be seen with many of the "
+                           "birds here ..."] * 10), "s",
+             "https://good.example.org/c")]       # gopher_ellipsis_lines
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source", "url"]) \
+         .write.parquet(inp)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# adult/spam list\nspamco.net\n\n")
+    out = str(tmp_path / "cleaned")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--url-col", "url",
+         "--block-domains", str(bl), "--gopher-rules", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("blocked_domain") == 1
+    assert stats["rejected"].get("gopher_ellipsis_lines") == 1
+    assert stats["n_kept"] == 1
+    kept = spark.read.parquet(f"{out}/kept").collect()
+    assert kept[0]["doc_id"] == 1
+
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", str(tmp_path / "x"),
+         "--block-domains", str(bl), "--cpus", "2"],
+        capture_output=True, text=True, timeout=120, cwd=cwd)
+    assert p2.returncode == 2
+    assert "requires --url-col" in p2.stderr
+
+
 def test_clean_cli_dedup_paragraphs(spark, tmp_path):
     """--dedup-paragraphs wires the CCNet paragraph dedup into the
     product CLI: a cookie banner shared by two kept docs survives only

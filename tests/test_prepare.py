@@ -332,6 +332,58 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert set(hits) == {1, 2} and all(v >= 1 for v in hits.values())
 
 
+def test_gopher_quality_filter_rule_by_rule(spark):
+    from khl_pdf_ocr_spark.operators.prepare import gopher_quality_filter
+
+    fluent = ("the quick brown fox jumps over the lazy dog and it is "
+              "known that many of the animals have been seen with the "
+              "birds near the river while the people walk to the town "
+              "and back again every day of the long warm summer season "
+              "to be sure of the light ") * 2            # ~70 fluent words
+    rows = [
+        (1, fluent),                                      # passes all
+        (2, "too short to pass."),                        # word count
+        (3, " ".join(["antidisestablishmentarianism"] * 60)),  # mean len
+        (4, fluent + " " + " ".join(["#"] * 20)),         # symbol ratio
+        (5, "\n".join(["- " + fluent[:40]] * 10)),        # bullets (also
+                                                          # short — count
+                                                          # fires first?)
+        (6, " ".join(["12345"] * 80)),                    # alpha words
+        (7, "zebra quokka lemur " * 30),                  # stopwords
+        (8, None),                                        # NULL
+    ]
+    kept, ledger = gopher_quality_filter(
+        spark.createDataFrame(rows, ["doc_id", "text"]))
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert kept_ids == {1}
+    assert reasons[2] == "gopher_word_count"
+    assert reasons[3] == "gopher_word_length"
+    assert reasons[4] == "gopher_symbol_ratio"
+    assert reasons[6] == "gopher_alpha_words"
+    assert reasons[7] == "gopher_stopwords"
+    assert reasons[8] == "gopher_word_count"      # NULL never vanishes
+    assert kept_ids | set(reasons) == {d for d, _ in rows}
+    assert 5 in reasons                           # rejected (some rule)
+
+
+def test_gopher_bullet_and_ellipsis_line_rules(spark):
+    from khl_pdf_ocr_spark.operators.prepare import gopher_quality_filter
+
+    base_line = ("the quick brown fox jumps over the lazy dog and that "
+                 "is to be seen with many of the birds here")
+    bullets = "\n".join(["- " + base_line] * 10)          # 100% bullets
+    ellipses = "\n".join([base_line + " ..."] * 10)       # 100% ellipsis
+    clean = "\n".join([base_line] * 10)
+    df = spark.createDataFrame(
+        [(1, bullets), (2, ellipses), (3, clean)], ["doc_id", "text"])
+    _, ledger = gopher_quality_filter(df)
+    reasons = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert reasons.get(1) == "gopher_bullet_lines"
+    assert reasons.get(2) == "gopher_ellipsis_lines"
+    assert 3 not in reasons
+
+
 def _py_c4(rows, min_words=5, min_sentences=3):
     """Independent pure-Python model of the C4 heuristics."""
     import re
