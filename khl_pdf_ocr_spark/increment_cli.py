@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
+    ap.add_argument("--block-domains", default=None, metavar="FILE",
+                    help="newline-delimited registrable-domain "
+                         "blocklist: batch docs from listed domains "
+                         "drop before any text work (requires "
+                         "--url-col)")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="apply the Gopher document-quality rules to "
+                         "the batch (gopher_* ledger reasons)")
     ap.add_argument("--c4-rules", action="store_true",
                     help="apply the C4 line/page heuristics to the "
                          "batch BEFORE the history probes (fingerprints "
@@ -167,6 +175,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
+    if args.block_domains and not args.url_col:
+        ap.error("--block-domains requires --url-col (the domain is "
+                 "derived from the url column)")
     if args.decontaminate_fuzzy is not None:
         if not args.decontaminate_against:
             ap.error("--decontaminate-fuzzy requires "
@@ -219,6 +230,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         batch = read_documents(spark, args.input)
         audit_clean: dict = {}
+        blocked_ledger = None
+        if args.block_domains:
+            from khl_pdf_ocr_spark.operators.domains import \
+                filter_blocked_domains
+
+            with open(args.block_domains) as fh:
+                doms = [ln.strip() for ln in fh
+                        if ln.strip() and not ln.startswith("#")]
+            batch, blocked_ledger = filter_blocked_domains(
+                batch, doms, url_col=args.url_col, id_col=args.id_col)
         lm = None
         if args.quality_lm:
             from khl_pdf_ocr_spark.operators.textstats import load_lm
@@ -239,6 +260,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy,
             audit=audit_clean)
 
+        if blocked_ledger is not None:
+            ledger = ledger.unionByName(blocked_ledger)
         if args.c4_rules:
             from khl_pdf_ocr_spark.operators.prepare import c4_filters
 
@@ -249,6 +272,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             kept1, c4_ledger = c4_filters(kept1, text_col=args.text_col,
                                           id_col=args.id_col)
             ledger = ledger.unionByName(c4_ledger)
+        if args.gopher_rules:
+            from khl_pdf_ocr_spark.operators.prepare import \
+                gopher_quality_filter
+
+            kept1, gq_ledger = gopher_quality_filter(
+                kept1, text_col=args.text_col, id_col=args.id_col)
+            ledger = ledger.unionByName(gq_ledger)
 
         audit_inc: dict = {}
         if first_run:
@@ -412,13 +442,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("increment_id").parquet(store))
 
-        stats["state_fingerprints"] = spark.read.parquet(fp_store).count()
-        stats["state_signatures"] = spark.read.parquet(sig_store).count()
+        # a store can legitimately be empty after a zero-kept day (the
+        # dynamic overwrite wrote no partition dirs) — report 0, don't
+        # die inferring a schema from no files
+        def _store_count(path, distinct_col=None):
+            if not _exists(spark, path):
+                return 0
+            frame = spark.read.parquet(path)
+            if distinct_col is not None:
+                frame = frame.select(distinct_col).distinct()
+            return frame.count()
+
+        stats["state_fingerprints"] = _store_count(fp_store)
+        stats["state_signatures"] = _store_count(sig_store)
         if new_para_h is not None:
-            stats["state_paragraphs"] = spark.read.parquet(para_store).count()
+            stats["state_paragraphs"] = _store_count(para_store)
         if new_dom_counts is not None:
-            stats["state_domains"] = (spark.read.parquet(dom_store)
-                                      .select("domain").distinct().count())
+            stats["state_domains"] = _store_count(dom_store, "domain")
         print(json.dumps(stats))
         return 0
     finally:
@@ -445,12 +485,20 @@ def _increment_partitions(spark, store: str) -> set[str]:
 
 
 def _exists(spark, path: str) -> bool:
-    """Hadoop-FS existence probe — works for hdfs:///s3a:// paths, not
-    just the local fs."""
+    """Hadoop-FS probe: the path exists AND holds at least one data
+    entry (not just _SUCCESS).  A day whose every document was rejected
+    performs a ZERO-row dynamic partition overwrite, which creates the
+    store directory with no partition dirs — such a store carries no
+    history and must read as absent, or the next increment's probe
+    read dies on UNABLE_TO_INFER_SCHEMA (r5 review-drive find)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    return any(not st.getPath().getName().startswith(("_", "."))
+               for st in fs.listStatus(p))
 
 
 if __name__ == "__main__":

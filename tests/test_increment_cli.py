@@ -416,6 +416,45 @@ def test_increment_decontaminate_fuzzy_requires_eval_set(tmp_path):
     assert "Traceback" not in p.stderr
 
 
+def test_zero_kept_day_leaves_usable_state(spark, tmp_path):
+    """A day whose every document is rejected performs a ZERO-row state
+    write (no partition dirs): stats must report 0 instead of dying on
+    schema inference, and the NEXT day must treat the empty store as
+    no-history and succeed (r5 review-drive find)."""
+    state = str(tmp_path / "state")
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, "zz qq ww", "s")],      # rejected by lang
+        ["doc_id", "text", "source"]).write.parquet(day1)
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day1, "--state", state,
+         "--output", str(tmp_path / "out1"),
+         "--langs", "en", "--min-quality", "0.1", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p.returncode == 0, p.stderr[-3000:]
+    s1 = json.loads([ln for ln in p.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert s1["n_kept"] == 0
+    assert s1["state_fingerprints"] == 0
+    assert s1["state_signatures"] == 0
+
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(1, BASE, "s")], ["doc_id", "text", "source"]).write.parquet(day2)
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day2, "--state", state,
+         "--output", str(tmp_path / "out2"),
+         "--langs", "en", "--min-quality", "0.1", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=REPO)
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    s2 = json.loads([ln for ln in p2.stdout.splitlines()
+                     if ln.startswith("{")][-1])
+    assert s2["n_kept"] == 1
+    assert s2["state_fingerprints"] == 1
+
+
 def test_flat_foreign_store_fails_fast(spark, tmp_path):
     """A lone store holding a NON-partitioned foreign dataset (no
     increment_id= dirs) must fail fast — self-healing it would
