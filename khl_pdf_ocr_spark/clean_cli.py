@@ -99,6 +99,41 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --quality-lm train: persist the trained "
                          "(token, logprob) LM parquet here for reuse "
                          "by later increments")
+    ap.add_argument("--quality-classifier", default=None,
+                    metavar="train|PATH",
+                    help="model-based quality stage (GPT-3 Appendix-A "
+                         "style): 'train' fits a hashed-feature "
+                         "logistic classifier on --clf-positives (the "
+                         "curated seed corpus) vs this batch as "
+                         "negatives; a PATH loads a saved model.  "
+                         "Requires exactly one of --clf-threshold / "
+                         "--clf-pareto; drops land as clf_quality")
+    ap.add_argument("--clf-positives", default=None, metavar="PARQUET",
+                    help="curated seed-corpus parquet (same text "
+                         "column name) — required with "
+                         "--quality-classifier train")
+    ap.add_argument("--clf-negatives", default=None, metavar="PARQUET",
+                    help="with --quality-classifier train: explicit "
+                         "negative-class parquet (a curated junk "
+                         "sample) instead of the default — this raw "
+                         "batch itself.  The batch default is the "
+                         "GPT-3 recipe and assumes seed-like docs are "
+                         "a small minority of the batch; on a small or "
+                         "already-clean batch the label noise "
+                         "dominates, so pass explicit negatives")
+    ap.add_argument("--clf-threshold", type=float, default=None,
+                    help="hard gate: keep docs with classifier score "
+                         ">= this (LLaMA-style)")
+    ap.add_argument("--clf-pareto", type=float, default=None,
+                    metavar="ALPHA",
+                    help="GPT-3 Pareto lottery instead of a hard gate: "
+                         "keep iff a deterministic Lomax(ALPHA) draw "
+                         "exceeds 1 - score (keeps tail diversity; "
+                         "the paper uses ALPHA=9)")
+    ap.add_argument("--save-clf", default=None,
+                    help="with --quality-classifier train: persist the "
+                         "fitted model here for reuse by later "
+                         "increments")
     ap.add_argument("--block-domains", default=None, metavar="FILE",
                     help="newline-delimited registrable-domain "
                          "blocklist ('#' comments): docs from listed "
@@ -159,6 +194,22 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--save-lm/--lm-cutoffs require --quality-lm")
     if args.save_lm and args.quality_lm != "train":
         ap.error("--save-lm only applies to --quality-lm train")
+    if args.quality_classifier:
+        if (args.clf_threshold is None) == (args.clf_pareto is None):
+            ap.error("--quality-classifier requires exactly one of "
+                     "--clf-threshold / --clf-pareto")
+        if args.quality_classifier == "train" and not args.clf_positives:
+            ap.error("--quality-classifier train requires "
+                     "--clf-positives (the curated seed corpus)")
+        if args.quality_classifier != "train" and (args.clf_positives
+                                                   or args.clf_negatives):
+            ap.error("--clf-positives/--clf-negatives only apply to "
+                     "--quality-classifier train")
+    elif (args.clf_positives or args.clf_negatives or args.save_clf
+          or args.clf_threshold is not None or args.clf_pareto is not None):
+        ap.error("--clf-* flags require --quality-classifier")
+    if args.save_clf and args.quality_classifier != "train":
+        ap.error("--save-clf only applies to --quality-classifier train")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -218,6 +269,26 @@ def main(argv: list[str] | None = None) -> int:
             from khl_pdf_ocr_spark.operators.textstats import load_lm
 
             lm = load_lm(spark, args.quality_lm, order=args.lm_order)
+        clf = None
+        if args.quality_classifier == "train":
+            from khl_pdf_ocr_spark.operators.quality_model import (
+                save_classifier, train_quality_classifier)
+
+            # the GPT-3 recipe: positives = the curated seed corpus,
+            # negatives = the raw (post-blocklist) batch itself unless
+            # an explicit junk sample is given
+            positives = spark.read.parquet(args.clf_positives)
+            negatives = (spark.read.parquet(args.clf_negatives)
+                         if args.clf_negatives else docs)
+            clf = train_quality_classifier(positives, negatives,
+                                           text_col=args.text_col)
+            if args.save_clf:
+                save_classifier(clf, args.save_clf)
+        elif args.quality_classifier:
+            from khl_pdf_ocr_spark.operators.quality_model import \
+                load_classifier
+
+            clf = load_classifier(spark, args.quality_classifier)
         kept, ledger = clean_corpus(
             docs, text_col=args.text_col, id_col=args.id_col,
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
@@ -245,6 +316,19 @@ def main(argv: list[str] | None = None) -> int:
             kept, gq_ledger = gopher_quality_filter(
                 kept, text_col=args.text_col, id_col=args.id_col)
             ledger = ledger.unionByName(gq_ledger)
+        if clf is not None:
+            from khl_pdf_ocr_spark.operators.quality_model import \
+                classifier_quality_filter
+
+            # last of the quality gates, before domain caps and the
+            # text-rewriting stages: the classifier judges the doc as
+            # the rule-based gates let it through, and capped/sampled
+            # docs never pay the scoring pass twice
+            kept, clf_ledger = classifier_quality_filter(
+                kept, clf, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.clf_threshold,
+                pareto_alpha=args.clf_pareto)
+            ledger = ledger.unionByName(clf_ledger)
         if args.repetition:
             from khl_pdf_ocr_spark.operators.prepare import repetition_filter
 
