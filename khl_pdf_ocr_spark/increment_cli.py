@@ -118,6 +118,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "bigram (PATH holds <PATH>/unigram + "
                          "<PATH>/bigram, as written by clean_cli "
                          "--lm-order 2 --save-lm)")
+    ap.add_argument("--quality-classifier", default=None, metavar="PATH",
+                    help="persisted quality-classifier model (as written "
+                         "by clean_cli --quality-classifier train "
+                         "--save-clf): append the model-based quality "
+                         "gate with a FROZEN model.  Increments never "
+                         "train — the decision boundary must not drift "
+                         "with daily batch composition.  Requires "
+                         "exactly one of --clf-threshold / --clf-pareto")
+    ap.add_argument("--clf-threshold", type=float, default=None,
+                    help="hard gate: keep docs with classifier score "
+                         ">= this")
+    ap.add_argument("--clf-pareto", type=float, default=None,
+                    metavar="ALPHA",
+                    help="GPT-3 Pareto lottery instead of a hard gate "
+                         "(deterministic per doc id)")
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
@@ -172,6 +187,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ap.error(str(e))
     elif args.lm_cutoffs:
         ap.error("--lm-cutoffs requires --quality-lm")
+    if args.quality_classifier:
+        if args.quality_classifier == "train":
+            ap.error("--quality-classifier takes a persisted model PATH "
+                     "here; training belongs to clean_cli on a "
+                     "reference batch")
+        if (args.clf_threshold is None) == (args.clf_pareto is None):
+            ap.error("--quality-classifier requires exactly one of "
+                     "--clf-threshold / --clf-pareto")
+    elif args.clf_threshold is not None or args.clf_pareto is not None:
+        ap.error("--clf-threshold/--clf-pareto require "
+                 "--quality-classifier")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -279,6 +305,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             kept1, gq_ledger = gopher_quality_filter(
                 kept1, text_col=args.text_col, id_col=args.id_col)
             ledger = ledger.unionByName(gq_ledger)
+        if args.quality_classifier:
+            from khl_pdf_ocr_spark.operators.quality_model import (
+                classifier_quality_filter, load_classifier)
+
+            # frozen model, before the history probes: a doc the
+            # classifier rejects must never enter the state stores
+            clf = load_classifier(spark, args.quality_classifier)
+            kept1, clf_ledger = classifier_quality_filter(
+                kept1, clf, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.clf_threshold,
+                pareto_alpha=args.clf_pareto)
+            ledger = ledger.unionByName(clf_ledger)
 
         audit_inc: dict = {}
         if first_run:

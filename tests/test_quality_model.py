@@ -276,6 +276,60 @@ def test_clean_cli_clf_flag_validation(tmp_path):
         assert "Traceback" not in proc.stderr
 
 
+def test_increment_cli_frozen_classifier(spark, model, tmp_path):
+    """The increment CLI applies a FROZEN persisted model before the
+    history probes (spam never enters the state stores); 'train' and
+    unpaired --clf-* flags are clean usage errors."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    clf_path = str(tmp_path / "clf")
+    save_classifier(model, clf_path)
+    day = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, _doc(SEED_WORDS, 5) + " with the people walking and "
+             "talking about the calm days", "s"),
+         (1, "buy the cheap pills now and click here to win the casino "
+             "prize with the free offer and the deal for you to claim "
+             "the winner bonus today", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day, "--state", str(tmp_path / "state"),
+         "--output", str(tmp_path / "out1"),
+         "--langs", "en", "--min-quality", "0.1",
+         "--quality-classifier", clf_path, "--clf-threshold", "0.5",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("clf_quality") == 1
+    assert stats["n_kept"] == 1
+    # the rejected spam doc must not enter the state stores
+    assert stats["state_fingerprints"] == 1
+    assert stats["state_signatures"] == 1
+
+    def run_err(extra):
+        return subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+             "--input", day, "--state", str(tmp_path / "s2"),
+             "--output", str(tmp_path / "o2")] + extra,
+            capture_output=True, text=True, timeout=120, cwd=cwd)
+
+    p2 = run_err(["--quality-classifier", "train",
+                  "--clf-threshold", "0.5"])
+    assert p2.returncode == 2 and "training belongs to clean_cli" \
+        in p2.stderr
+    p3 = run_err(["--quality-classifier", clf_path])
+    assert p3.returncode == 2 and "exactly one" in p3.stderr
+    p4 = run_err(["--clf-pareto", "9"])
+    assert p4.returncode == 2 and "require" in p4.stderr
+
+
 def test_save_load_roundtrip(spark, corpus, model, tmp_path):
     pos, neg = corpus
     path = str(tmp_path / "clf")
