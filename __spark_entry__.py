@@ -875,16 +875,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_cosine_topk"] = emb_cosine_topk
 
     def emb_near_dup_pairs(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.similarity import embedding_near_dup_pairs
+        # BOTH embedding near-dup candidate strategies in one driver
+        # slot (r5 consolidation, the emb_ann_topk precedent): the
+        # label-blocked all-pairs path and the hyperplane-LSH-bucketed
+        # path, tagged by method.  Each branch is computed exactly as
+        # its standalone predecessor was; the oracle recomputes both in
+        # SQL (blocked join + the bucket expression from the same plane
+        # literals).  dim feeds the hot-block LSH fallback guard (r2
+        # verdict #3); no sf0.01 label block exceeds the bound, so the
+        # all-pairs oracle remains exact ground truth for the blocked
+        # branch.
+        from khl_pdf_ocr_spark.operators.similarity import (
+            embedding_near_dup_pairs, lsh_near_dup_pairs)
 
-        # dim feeds the hot-block LSH fallback guard (r2 verdict #3);
-        # no sf0.01 label block exceeds the bound, so the all-pairs
-        # oracle remains exact ground truth
         emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-        return embedding_near_dup_pairs(emb, threshold=0.3,
-                                        dim=_emb_dim(sf_dir))
+        blocked = (embedding_near_dup_pairs(emb, threshold=0.3,
+                                            dim=_emb_dim(sf_dir))
+                   .select(F.lit("blocked").alias("method"),
+                           "id_a", "id_b", "cos_sim"))
+        lsh = (lsh_near_dup_pairs(emb, threshold=0.3, nbits=6,
+                                  dim=_emb_dim(sf_dir))
+               .select(F.lit("lsh").alias("method"),
+                       "id_a", "id_b", "cos_sim"))
+        return blocked.unionByName(lsh)
 
     q["emb_near_dup_pairs"] = emb_near_dup_pairs
+
+    def emb_semdedup(spark, sf_dir):
+        # SemDeDup (Abbas et al. 2023) under the hash gate: k-means
+        # cell blocking → within-cell ε-similar pairs → connected
+        # components → survivor election, for ALL THREE keep rules in
+        # one kind-tagged frame (farthest = paper default, closest,
+        # min_id).  The quantizer is the SAME disk-cached seeded-kmeans
+        # centers the IVF ANN index uses (_ivf_centroids), so the
+        # oracle replays cell assignment from identical double
+        # literals; threshold 0.3 matches the other embedding near-dup
+        # driver queries on this data (pairwise cosine has no mass
+        # above 0.5 here).  No sf0.01 cell exceeds max_cell, so the
+        # oracle's all-pairs-within-cell recomputation is exact.
+        from khl_pdf_ocr_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        cents = _ivf_centroids(sf_dir)
+        parts = []
+        for rule in ("farthest", "closest", "min_id"):
+            _, dropped = semdedup(emb, cents, threshold=0.3,
+                                  vec_col="embedding", id_col="vec_id",
+                                  keep=rule, dim=_emb_dim(sf_dir))
+            parts.append(dropped.select(
+                F.lit(rule).alias("rule"),
+                F.col("id").alias("vec_id"), "reject_reason"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q["emb_semdedup"] = emb_semdedup
 
     def emb_ann_topk(spark, sf_dir):
         # BOTH persisted ANN indexes in one driver slot (r5
@@ -918,14 +964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("method", F.col("cos_sim").desc(), "vec_id"))
 
     q["emb_ann_topk"] = emb_ann_topk
-
-    def emb_lsh_near_dup_pairs(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.similarity import lsh_near_dup_pairs
-
-        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-        return lsh_near_dup_pairs(emb, threshold=0.3, nbits=6, dim=_emb_dim(sf_dir))
-
-    q["emb_lsh_near_dup_pairs"] = emb_lsh_near_dup_pairs
 
     def corpus_clean_ledger(spark, sf_dir):
         # end-to-end cleaning composition: lang/quality filters → exact
@@ -1051,9 +1089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consolidations (ANN twins → emb_ann_topk with a method
         # column; semi/anti join pair → joins_semi_anti with a kind
         # column — every branch still computed)
-        "doc_repeated_spans", "doc_pagerank",
+        # round-5 (session 4) rotation: SemDeDup placed early; its slot
+        # came from a genuine consolidation (embedding near-dup blocked
+        # + LSH twins → emb_near_dup_pairs with a method column — both
+        # branches still computed)
+        "doc_repeated_spans", "doc_pagerank", "emb_semdedup",
         "doc_chunks", "doc_split_assignment", "doc_unigram_quality",
-        "emb_lsh_near_dup_pairs", "corpus_clean_ledger",
+        "corpus_clean_ledger",
         "doc_winnow_fingerprints", "masters_validate",
         "html_boilerplate_strip",
         "extract_words_mode", "extract_refs_mode", "extract_goalies_mode",
@@ -1619,16 +1661,6 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
 
-    o["emb_near_dup_pairs"] = """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               floor((list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
-    """
-
     o["lineitem_revenue_metrics"] = """
         SELECT * FROM (
           SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0
@@ -1973,14 +2005,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY method, cos_sim DESC, vec_id ASC
         """
 
-        # embedding LSH near-dup: same bucket (nbits=6 planes) + cosine
-        # >= threshold — the full operator recomputed in SQL
-        o["emb_lsh_near_dup_pairs"] = f"""
-            WITH b AS (
-              SELECT vec_id, embedding, ({bucket_expr}) AS bucket
+        # both embedding near-dup strategies in one method-tagged frame
+        # (mirrors the consolidated emb_near_dup_pairs driver slot):
+        # label-blocked all-pairs, and same-LSH-bucket (nbits=6 planes)
+        # candidates + exact cosine verification
+        o["emb_near_dup_pairs"] = f"""
+            WITH b AS MATERIALIZED (
+              SELECT vec_id, label, embedding, ({bucket_expr}) AS bucket
               FROM embeddings
             )
-            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+            SELECT 'blocked' AS method, a.vec_id AS id_a, c.vec_id AS id_b,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+            FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+            WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))
+                        * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+            UNION ALL
+            SELECT 'lsh' AS method, a.vec_id AS id_a, c.vec_id AS id_b,
                    floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                                  c.embedding::DOUBLE[]))
                          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
@@ -1988,6 +2031,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                                 c.embedding::DOUBLE[]))
                         * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+        """
+
+        # SemDeDup: full independent recomputation — cell assignment
+        # from the SAME centroid double literals (unrolled squared-
+        # distance chains ≡ the Spark left fold; first-occurrence
+        # argmin on both engines), all-pairs ε-similarity within cells
+        # (exact here: no cell exceeds max_cell), recursive-CTE
+        # transitive closure for duplicate groups, then survivor
+        # election per keep rule (farthest/closest = centroid-cosine
+        # window rank with min-id tie-break; min_id = the component
+        # label itself).
+        sd_dists = "[" + ", ".join(
+            _sql_dist2("embedding", c) for c in cents) + "]"
+        sd_cdim = ", ".join(f"({i}, {_sql_arr(c)})"
+                            for i, c in enumerate(cents))
+        o["emb_semdedup"] = f"""
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT vec_id, embedding, {sd_dists} AS dists
+              FROM embeddings
+            ), c AS MATERIALIZED (
+              SELECT vec_id, embedding,
+                     (list_position(dists, list_min(dists)) - 1)::INT AS cell
+              FROM d
+            ), p AS MATERIALIZED (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]))
+                          * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+            ), e AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(id, lbl) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+            ), comp AS MATERIALIZED (
+              SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            ), cd(cell, centroid) AS (VALUES {sd_cdim}),
+            m AS MATERIALIZED (
+              SELECT comp.id, comp.component,
+                     floor((list_cosine_similarity(c.embedding::DOUBLE[],
+                                                   cd.centroid))
+                           * 1000000.0 + 0.5) / 1000000.0 AS csim
+              FROM comp JOIN c ON c.vec_id = comp.id
+                        JOIN cd ON cd.cell = c.cell
+            ), rk AS MATERIALIZED (
+              SELECT id, component, csim,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY csim ASC, id ASC) AS rk_far,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY csim DESC, id ASC) AS rk_close
+              FROM m
+            )
+            SELECT 'farthest' AS rule, id AS vec_id,
+                   'semantic_dup' AS reject_reason FROM rk WHERE rk_far > 1
+            UNION ALL
+            SELECT 'closest', id, 'semantic_dup' FROM rk WHERE rk_close > 1
+            UNION ALL
+            SELECT 'min_id', id, 'semantic_dup' FROM comp WHERE id != component
         """
     except Exception:  # pragma: no cover — testdata absent in odd envs
         pass
