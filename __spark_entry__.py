@@ -89,6 +89,14 @@ def _n_docs(sf_dir: str) -> int:
 # hyperplanes/centroids, so queries() and oracle_sql() cannot drift.
 ANN_NBITS, ANN_SEED, ANN_CELLS, ANN_NPROBE = 6, 42, 8, 3
 
+# doc_mixture_sample parameters, shared by the Spark query and the
+# oracle-SQL builder: uneven weights over six sources + a budget sized
+# so some sources are prefix-limited while src0 (weight 0.5 → budget
+# 2000 > its ~1435 available tokens) exercises the keep-all branch
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.15, "src3": 0.1,
+               "src4": 0.04, "src5": 0.01}
+MIX_BUDGET, MIX_SEED = 4000, 7
+
 
 def _ann_cache(kind: str, sf_dir: str, tag: str) -> str:
     import hashlib
@@ -163,6 +171,32 @@ def _split_golden() -> str:
         pq.write_table(pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "split": pa.array([split_of(i) for i in ids])}), path)
+    return path
+
+
+def _mixture_golden() -> str:
+    """Golden (doc_id, h) parquet for the doc_mixture_sample oracle:
+    the lottery hash ``xxhash64(doc_id, MIX_SEED)`` computed by the
+    PURE-PYTHON XXH64 (functions/xxh.py) — the oracle then replays the
+    exact-window prefix semantics in SQL over these independently
+    derived hashes, checking both the JVM hash and the bucketed
+    production path in one compare."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_spark.functions.xxh import xxhash64_long_int
+
+    path = _ann_cache("mixgold", ORACLE_SF_DIR, f"s{MIX_SEED}") + ".parquet"
+    if not os.path.exists(path):
+        ids = [r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet("
+            f"'{_t(ORACLE_SF_DIR, 'documents')}') ORDER BY doc_id"
+        ).fetchall()]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array([xxhash64_long_int(i, MIX_SEED) for i in ids],
+                          pa.int64())}), path)
     return path
 
 
@@ -860,7 +894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- embeddings: similarity search -----------------------------------
 
-    def emb_cosine_topk(spark, sf_dir):
+    def _exact_cosine_topk(spark, sf_dir):
+        # the former standalone emb_cosine_topk slot, unchanged: exact
+        # brute-force cosine top-k against the vec_id=0 query vector
+        # (broadcast 1-row cross join, pure codegen'd arithmetic)
         emb = spark.read.parquet(_t(sf_dir, "embeddings"))
         from khl_pdf_ocr_spark.operators.similarity import cosine
 
@@ -871,8 +908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (joined.select("vec_id", sim.alias("cos_sim"))
                 .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
                 .limit(10))
-
-    q["emb_cosine_topk"] = emb_cosine_topk
 
     def emb_near_dup_pairs(spark, sf_dir):
         # BOTH embedding near-dup candidate strategies in one driver
@@ -933,15 +968,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_semdedup"] = emb_semdedup
 
     def emb_ann_topk(spark, sf_dir):
-        # BOTH persisted ANN indexes in one driver slot (r5
-        # consolidation — the twins shared the top-k schema
-        # (vec_id, cos_sim); each branch still builds/probes its own
-        # index exactly as the standalone predecessors did):
-        # hyperplane-LSH buckets and IVF inverted lists, each
-        # partition-pruned to the probed buckets/cells (plan-asserted in
+        # ALL THREE similarity-search strategies in one driver slot
+        # (r5 consolidations — they share the top-k schema
+        # (vec_id, cos_sim); each branch still computed exactly as its
+        # standalone predecessor was): exact brute-force cosine
+        # (session-4 merge of emb_cosine_topk), hyperplane-LSH buckets,
+        # and IVF inverted lists — the index branches partition-pruned
+        # to the probed buckets/cells (plan-asserted in
         # tests/test_ann_index.py), tagged by method.  The oracle
-        # recomputes both pipelines in SQL from the same plane/centroid
-        # literals.
+        # recomputes all three pipelines in SQL from the same
+        # plane/centroid literals.
+        exact = (_exact_cosine_topk(spark, sf_dir)
+                 .select(F.lit("exact").alias("method"),
+                         "vec_id", "cos_sim"))
         from khl_pdf_ocr_spark.operators.ann_index import (build_ivf_index,
                                                            build_lsh_index,
                                                            ivf_index_topk,
@@ -960,7 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf = (ivf_index_topk(spark, vidx, _qvec(sf_dir), k=10,
                               nprobe=ANN_NPROBE)
                .select(F.lit("ivf").alias("method"), "vec_id", "cos_sim"))
-        return (lsh.unionByName(ivf)
+        return (exact.unionByName(lsh).unionByName(ivf)
                 .orderBy("method", F.col("cos_sim").desc(), "vec_id"))
 
     q["emb_ann_topk"] = emb_ann_topk
@@ -1011,6 +1050,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    "test": 0.05}, seed=17)
 
     q["doc_split_assignment"] = doc_split_assignment
+
+    def doc_mixture_sample(spark, sf_dir):
+        # token-budget mixture sampling (mixture.mixture_sample — the
+        # Pile/LLaMA per-source mixture-weights stage): each source
+        # keeps the maximal (xxhash64(id, seed), id)-order prefix of
+        # its docs whose cumulative whitespace-token count fits its
+        # floor(budget·w/Σw) share.  Runs the production BUCKETED path
+        # (top-bits histogram → boundary-bucket-only window); the
+        # oracle replays the defining exact-window semantics over a
+        # golden (doc_id, h) table from the pure-Python XXH64 —
+        # JVM hash vs independent reimplementation, AND bucketed-path
+        # vs single-window semantics, both under the value-hash gate.
+        from khl_pdf_ocr_spark.operators.mixture import mixture_sample
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        base = docs.select(
+            "doc_id", "source",
+            F.coalesce(X.token_count(F.col("text")),
+                       F.lit(0)).cast("long").alias("n_tokens"))
+        kept, _ = mixture_sample(base, MIX_WEIGHTS, MIX_BUDGET,
+                                 token_col="n_tokens", seed=MIX_SEED)
+        return kept.select("doc_id", "source", "n_tokens")
+
+    q["doc_mixture_sample"] = doc_mixture_sample
 
     def doc_unigram_quality(spark, sf_dir):
         # CCNet-style unigram-LM quality scores (textstats.
@@ -1089,11 +1152,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consolidations (ANN twins → emb_ann_topk with a method
         # column; semi/anti join pair → joins_semi_anti with a kind
         # column — every branch still computed)
-        # round-5 (session 4) rotation: SemDeDup placed early; its slot
-        # came from a genuine consolidation (embedding near-dup blocked
-        # + LSH twins → emb_near_dup_pairs with a method column — both
-        # branches still computed)
+        # round-5 (session 4) rotation: SemDeDup and mixture sampling
+        # placed early; their slots came from genuine consolidations
+        # (embedding near-dup blocked + LSH twins → emb_near_dup_pairs
+        # with a method column; exact cosine top-k folded into
+        # emb_ann_topk as the 'exact' method — every branch still
+        # computed)
         "doc_repeated_spans", "doc_pagerank", "emb_semdedup",
+        "doc_mixture_sample",
         "doc_chunks", "doc_split_assignment", "doc_unigram_quality",
         "corpus_clean_ledger",
         "doc_winnow_fingerprints", "masters_validate",
@@ -1115,7 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_median_chars_by_source", "doc_longest_per_lang",
         "doc_top_terms_per_lang", "doc_ngram_jaccard_pairs",
         "doc_minhash_lsh_pairs", "doc_near_dup_components",
-        "doc_simhash_pairs", "emb_cosine_topk", "emb_near_dup_pairs",
+        "doc_simhash_pairs", "emb_near_dup_pairs",
         "emb_ann_topk",
     ]
     assert set(order) == set(q) and len(order) == 50, (
@@ -1526,6 +1592,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, split FROM read_parquet('{_split_golden()}')
     """
 
+    # mixture sampling: the DEFINING exact-window semantics (per-source
+    # running token sum in (h, doc_id) order, keep while <= the
+    # floor(budget·w/Σw) share) replayed over pure-Python XXH64 hashes
+    # (_mixture_golden) — one compare gates the JVM hash AND the Spark
+    # side's bucketed histogram/boundary-window rewrite.  Budgets come
+    # from the same mixture_budgets arithmetic the operator uses.
+    from khl_pdf_ocr_spark.operators.mixture import mixture_budgets
+    _mix_budget_case = ("CASE d.source " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in
+        sorted(mixture_budgets(MIX_WEIGHTS, MIX_BUDGET).items()))
+        + " END")
+    _mix_sources = ", ".join(f"'{s}'" for s in sorted(MIX_WEIGHTS))
+    o["doc_mixture_sample"] = f"""
+        WITH base AS MATERIALIZED (
+          SELECT d.doc_id, d.source,
+                 CASE WHEN d.text IS NULL OR length(trim(d.text)) = 0
+                      THEN 0
+                      ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                 END::BIGINT AS n_tokens,
+                 g.h, {_mix_budget_case} AS budget
+          FROM documents d
+          JOIN read_parquet('{_mixture_golden()}') g USING (doc_id)
+          WHERE d.source IN ({_mix_sources})
+        ), c AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                        ORDER BY h ASC, doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM base
+        )
+        SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
+    """
+
     # full unigram-LM recomputation: counts → top-V logprobs → per-doc
     # sorted left-fold mean, mirroring deterministic_fold exactly (the
     # 0.0 seed of Spark's F.aggregate is an IEEE no-op; list_reduce is
@@ -1649,16 +1747,6 @@ def oracle_sql() -> dict[str, str]:
         WITH {_sql_jaccard_pair_ctes('documents', block='source')}
         SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
         WHERE {_SQL_JACCARD} >= 0.05
-    """
-
-    o["emb_cosine_topk"] = """
-        SELECT b.vec_id,
-               floor((list_cosine_similarity(b.embedding::DOUBLE[],
-                                            q.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-        FROM embeddings b,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        ORDER BY cos_sim DESC, b.vec_id ASC
-        LIMIT 10
     """
 
     o["lineitem_revenue_metrics"] = """
@@ -1967,10 +2055,22 @@ def oracle_sql() -> dict[str, str]:
         cells = nearest_cells(qv, cents, ANN_NPROBE)
         dist_list = "[" + ", ".join(
             _sql_dist2("embedding", c) for c in cents) + "]"
-        # both ANN pipelines recomputed in SQL (same plane/centroid
-        # literals), per-method top-10 then unioned — mirrors the
-        # consolidated emb_ann_topk driver slot
+        # all three similarity-search pipelines recomputed in SQL
+        # (exact brute force + both ANN indexes from the same
+        # plane/centroid literals), per-method top-10 then unioned —
+        # mirrors the consolidated emb_ann_topk driver slot
         o["emb_ann_topk"] = f"""
+            SELECT * FROM (
+              SELECT 'exact' AS method, b.vec_id,
+                     floor((list_cosine_similarity(b.embedding::DOUBLE[],
+                                                   q.embedding::DOUBLE[]))
+                           * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM embeddings b,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              ORDER BY cos_sim DESC, b.vec_id ASC
+              LIMIT 10
+            )
+            UNION ALL
             SELECT * FROM (
               WITH b AS (
                 SELECT vec_id, embedding, ({bucket_expr}) AS bucket

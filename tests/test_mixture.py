@@ -1,0 +1,149 @@
+"""Token-budget mixture sampling (operators/mixture.py): pure-Python
+XXH64 oracle equality, exact-vs-bucketed path agreement, budget edge
+cases, repartition stability, stats, validation."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.functions.xxh import xxhash64_long_int
+from khl_pdf_ocr_spark.operators.mixture import (mixture_budgets,
+                                                 mixture_sample)
+
+WEIGHTS = {"wiki": 4.0, "web": 2.0, "code": 1.0}
+SEED = 7
+
+
+def _corpus(spark):
+    """120 docs over 4 sources (one unnamed in WEIGHTS), with zero and
+    NULL token counts sprinkled in — deterministic, no RNG."""
+    rows = []
+    for i in range(120):
+        src = ("wiki", "web", "code", "junk")[i % 4]
+        if i % 17 == 0:
+            tok = None
+        elif i % 11 == 0:
+            tok = 0
+        else:
+            tok = 5 + (i * 13) % 90
+        rows.append((i, src, tok))
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int")
+
+
+def _py_kept(rows, weights, budget, seed=SEED):
+    budgets = mixture_budgets(weights, budget)
+    by_src = defaultdict(list)
+    for i, s, t in rows:
+        if s in weights:
+            by_src[s].append((xxhash64_long_int(i, seed), i,
+                              0 if t is None else t))
+    kept = set()
+    for s, lst in by_src.items():
+        lst.sort()
+        cum = 0
+        for _h, i, t in lst:
+            cum += t
+            if cum <= budgets[s]:
+                kept.add(i)
+    return kept
+
+
+def test_matches_pure_python_oracle(spark):
+    rows, df = _corpus(spark)
+    for budget in (40, 300, 1200, 5000):
+        kept, _ = mixture_sample(df, WEIGHTS, budget, seed=SEED,
+                                 bucket_bits=4)
+        got = {r.doc_id for r in kept.collect()}
+        assert got == _py_kept(rows, WEIGHTS, budget), f"budget={budget}"
+
+
+def test_exact_and_bucketed_agree(spark):
+    rows, df = _corpus(spark)
+    exact, _ = mixture_sample(df, WEIGHTS, 700, seed=SEED, exact=True)
+    want = {r.doc_id for r in exact.collect()}
+    for bits in (1, 3, 6, 12):
+        bucketed, _ = mixture_sample(df, WEIGHTS, 700, seed=SEED,
+                                     bucket_bits=bits)
+        assert {r.doc_id for r in bucketed.collect()} == want, f"bits={bits}"
+
+
+def test_budget_exceeds_available_keeps_all_with_epochs(spark):
+    rows, df = _corpus(spark)
+    kept, stats = mixture_sample(df, {"wiki": 1.0}, 10**9, seed=SEED)
+    n_wiki = sum(1 for _, s, _t in rows if s == "wiki")
+    assert kept.count() == n_wiki
+    srow = stats.collect()[0]
+    assert srow.kept_docs == n_wiki
+    assert srow.avail_tokens == srow.kept_tokens
+    assert srow.epochs_needed > 1.0  # under-sized source → repeat signal
+
+
+def test_repartition_stability(spark):
+    rows, df = _corpus(spark)
+    a, _ = mixture_sample(df, WEIGHTS, 500, seed=SEED)
+    b, _ = mixture_sample(df.repartition(7), WEIGHTS, 500, seed=SEED)
+    assert ({r.doc_id for r in a.collect()}
+            == {r.doc_id for r in b.collect()})
+
+
+def test_unnamed_sources_dropped(spark):
+    rows, df = _corpus(spark)
+    kept, stats = mixture_sample(df, WEIGHTS, 10**9, seed=SEED)
+    assert {r.source for r in kept.collect()} == set(WEIGHTS)
+    assert {r.source for r in stats.collect()} == set(WEIGHTS)
+
+
+def test_prefix_rule_is_strict(spark):
+    # hand-traced single source: hash order of ids 0..4 under seed 7,
+    # tokens chosen so the budget is crossed mid-way — everything after
+    # the crossing is dropped even if it would individually fit
+    ids = list(range(5))
+    order = sorted(ids, key=lambda i: (xxhash64_long_int(i, SEED), i))
+    toks = {order[0]: 10, order[1]: 50, order[2]: 1, order[3]: 1,
+            order[4]: 1}
+    df = spark.createDataFrame(
+        [(i, "s", toks[i]) for i in ids],
+        "doc_id long, source string, n_tokens int")
+    kept, _ = mixture_sample(df, {"s": 1.0}, 12, seed=SEED)
+    # prefix: 10 fits (cum 10), 50 crosses (cum 60) → only order[0]
+    assert {r.doc_id for r in kept.collect()} == {order[0]}
+
+
+def test_stats_row_values(spark):
+    rows, df = _corpus(spark)
+    budget = 300
+    kept, stats = mixture_sample(df, WEIGHTS, budget, seed=SEED)
+    budgets = mixture_budgets(WEIGHTS, budget)
+    got = {r.source: r for r in stats.collect()}
+    kept_ids = _py_kept(rows, WEIGHTS, budget)
+    for s in WEIGHTS:
+        sr = [(i, t or 0) for i, src, t in rows if src == s]
+        krows = [(i, t) for i, t in sr if i in kept_ids]
+        assert got[s].budget_tokens == budgets[s]
+        assert got[s].avail_docs == len(sr)
+        assert got[s].avail_tokens == sum(t for _, t in sr)
+        assert got[s].kept_docs == len(krows)
+        assert got[s].kept_tokens == sum(t for _, t in krows)
+
+
+def test_validation_errors(spark):
+    rows, df = _corpus(spark)
+    with pytest.raises(ValueError, match="at least one source"):
+        mixture_budgets({}, 100)
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_budgets({"a": 0.0}, 100)
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_budgets({"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="bucket_bits"):
+        mixture_sample(df, WEIGHTS, 100, bucket_bits=0)
+
+
+def test_no_cartesian_in_plan(spark):
+    _, df = _corpus(spark)
+    kept, _ = mixture_sample(df, WEIGHTS, 500, seed=SEED)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
