@@ -10,6 +10,11 @@ model-ready training shards.
 
 Pipeline (each stage an existing operator):
 
+    mixture_sample      optional per-source token-budget selection
+                        (--mixture + --token-budget): the Pile/LLaMA
+                        mixture-weights stage, applied to whole
+                        documents BEFORE chunking so a doc is either in
+                        or out of the assembled corpus
     chunk_documents     token-bounded overlapping windows (array exprs)
     hash_split          deterministic split by PARENT doc id — all
                         chunks of a doc land in one split (no
@@ -53,6 +58,23 @@ def main(argv: list[str] | None = None) -> int:
                          "whitespace words — whitespace undercounts by "
                          "pieces_per_word, so a whitespace-packed shard "
                          "overflows the context window at train time)")
+    ap.add_argument("--mixture", default=None, metavar="SPEC",
+                    help="per-source mixture weights 'wiki=4,web=2,"
+                         "code=1' (same name=weight format as --split; "
+                         "weights are normalised).  With "
+                         "--token-budget, selects each source's "
+                         "deterministic hash-order document prefix up "
+                         "to floor(budget*w/total) whitespace tokens "
+                         "before chunking; sources not named are "
+                         "dropped")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="total whitespace-token budget the --mixture "
+                         "weights divide (pre-chunking, raw-document "
+                         "tokens — NOT BPE pieces even with "
+                         "--bpe-merges)")
+    ap.add_argument("--source-col", default="source",
+                    help="column naming each document's source for "
+                         "--mixture")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -70,10 +92,47 @@ def main(argv: list[str] | None = None) -> int:
         weights = parse_split_weights(args.split)
     except ValueError as e:
         ap.error(str(e))
+    if (args.mixture is None) != (args.token_budget is None):
+        ap.error("--mixture and --token-budget go together")
+    mix_weights = None
+    if args.mixture is not None:
+        try:
+            mix_weights = parse_split_weights(args.mixture)
+            if args.token_budget < 1:
+                raise ValueError(f"--token-budget must be >= 1, "
+                                 f"got {args.token_budget}")
+        except ValueError as e:
+            ap.error(str(e))
 
     spark = get_spark("khl-shard", cpus=args.cpus)
+    mix_persisted = None
     try:
         docs = spark.read.parquet(args.input)
+        mix_stats = None
+        if mix_weights is not None:
+            from khl_pdf_ocr_spark.functions.text import token_count
+            from khl_pdf_ocr_spark.operators.mixture import mixture_sample
+
+            counted = docs.withColumn(
+                "_mix_tok",
+                F.coalesce(token_count(F.col(args.text_col)), F.lit(0)))
+            kept, stats = mixture_sample(
+                counted, mix_weights, args.token_budget,
+                token_col="_mix_tok", source_col=args.source_col,
+                id_col=args.id_col, seed=args.seed)
+            # stats shares the kept lineage and chunking re-reads it —
+            # persist once, feed both (the split.persist precedent)
+            mix_persisted = kept.persist()
+            mix_stats = {
+                r[args.source_col]: {
+                    "budget_tokens": r["budget_tokens"],
+                    "avail_docs": r["avail_docs"],
+                    "avail_tokens": r["avail_tokens"],
+                    "kept_docs": r["kept_docs"],
+                    "kept_tokens": r["kept_tokens"],
+                    "epochs_needed": r["epochs_needed"],
+                } for r in stats.collect()}
+            docs = mix_persisted.drop("_mix_tok")
         chunks = chunk_documents(docs, text_col=args.text_col,
                                  id_col=args.id_col,
                                  max_tokens=args.max_tokens,
@@ -135,9 +194,13 @@ def main(argv: list[str] | None = None) -> int:
             # just in straggler task times)
             "n_buckets": audit.get("pack_n_buckets"),
         }
+        if mix_stats is not None:
+            stats["mixture"] = mix_stats
         print(json.dumps(stats))
         return 0
     finally:
+        if mix_persisted is not None:
+            mix_persisted.unpersist()
         spark.stop()
 
 

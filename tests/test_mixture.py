@@ -147,3 +147,62 @@ def test_no_cartesian_in_plan(spark):
     kept, _ = mixture_sample(df, WEIGHTS, 500, seed=SEED)
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_shard_cli_mixture_stage(spark, tmp_path):
+    """--mixture/--token-budget select each source's hash-prefix before
+    chunking: shard output contains exactly the oracle-kept docs, and
+    the stats line carries the per-source mixture telemetry."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(4 + (i * 7) % 30)),
+             ("wiki", "web", "junk")[i % 3]) for i in range(45)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+         .write.parquet(inp)
+    out = str(tmp_path / "shards")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+         "--input", inp, "--output", out,
+         "--max-tokens", "16", "--overlap", "4", "--capacity", "64",
+         "--split", "train=0.9,val=0.1",
+         "--mixture", "wiki=3,web=1", "--token-budget", "160",
+         "--seed", "17", "--cpus", "2"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    mix = stats["mixture"]
+    assert set(mix) == {"wiki", "web"}
+    want = _py_kept([(i, s, len(t.split())) for i, t, s in rows],
+                    {"wiki": 3.0, "web": 1.0}, 160, seed=17)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == want
+    for s in mix.values():
+        assert s["kept_tokens"] <= s["budget_tokens"] \
+            or s["epochs_needed"] == 1.0
+    assert (sum(s["kept_docs"] for s in mix.values()) == len(want)
+            and all(s["avail_docs"] == 15 for s in mix.values()))
+
+
+def test_shard_cli_mixture_usage_errors(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for extra in (["--mixture", "a=1"],
+                  ["--token-budget", "100"],
+                  ["--mixture", "a=1,a=2", "--token-budget", "100"],
+                  ["--mixture", "a=1", "--token-budget", "0"]):
+        p = subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+             "--input", "/nonexistent", "--output", str(tmp_path / "o"),
+             *extra],
+            capture_output=True, text=True, timeout=120, cwd=cwd)
+        assert p.returncode == 2, (extra, p.stderr[-500:])
+        assert "Traceback" not in p.stderr, extra
