@@ -130,6 +130,26 @@ def main(argv: list[str] | None = None) -> int:
                          "keep iff a deterministic Lomax(ALPHA) draw "
                          "exceeds 1 - score (keeps tail diversity; "
                          "the paper uses ALPHA=9)")
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR importance resampling (Xie 2023): fit "
+                         "hashed-n-gram models on this target corpus "
+                         "and on the cleaned batch, keep the docs "
+                         "whose Gumbel-perturbed log importance ratio "
+                         "ranks highest.  Requires exactly one of "
+                         "--dsir-keep / --dsir-threshold; drops land "
+                         "as reason 'dsir'")
+    ap.add_argument("--dsir-keep", type=int, default=None, metavar="K",
+                    help="keep the top-K docs by DSIR key (driver-side "
+                         "O(K) top-k merge — use --dsir-threshold for "
+                         "corpus-scale K)")
+    ap.add_argument("--dsir-threshold", type=float, default=None,
+                    help="keep docs with DSIR key >= this (fully "
+                         "distributed; use the equals form "
+                         "--dsir-threshold=-2.5 for negative values)")
+    ap.add_argument("--dsir-no-gumbel", action="store_true",
+                    help="plain top-k/threshold on the log ratio "
+                         "(the paper's argmax variant) instead of "
+                         "Gumbel-perturbed sampling")
     ap.add_argument("--save-clf", default=None,
                     help="with --quality-classifier train: persist the "
                          "fitted model here for reuse by later "
@@ -210,6 +230,15 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--clf-* flags require --quality-classifier")
     if args.save_clf and args.quality_classifier != "train":
         ap.error("--save-clf only applies to --quality-classifier train")
+    if args.dsir_target:
+        if (args.dsir_keep is None) == (args.dsir_threshold is None):
+            ap.error("--dsir-target requires exactly one of "
+                     "--dsir-keep / --dsir-threshold")
+        if args.dsir_keep is not None and args.dsir_keep < 1:
+            ap.error(f"--dsir-keep must be >= 1, got {args.dsir_keep}")
+    elif (args.dsir_keep is not None or args.dsir_threshold is not None
+          or args.dsir_no_gumbel):
+        ap.error("--dsir-* flags require --dsir-target")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -347,6 +376,32 @@ def main(argv: list[str] | None = None) -> int:
                 kept, max_per_domain=args.max_docs_per_domain,
                 url_col=args.url_col, id_col=args.id_col, audit=audit)
             ledger = ledger.unionByName(cap_ledger)
+        if args.dsir_target:
+            from khl_pdf_ocr_spark.operators.dsir import (
+                dsir_logratio_scores, dsir_select, fit_hashed_ngram_model)
+
+            # LAST of the doc-dropping stages: DSIR picks the final
+            # training set (top-K by distribution match to the target),
+            # so an earlier filter dropping a selected doc would
+            # silently shrink K.  The later stages only rewrite text.
+            # q̂ is fitted on the batch AS THE GATES LEFT IT — the
+            # importance ratio describes what selection actually
+            # chooses among, not the pre-filter raw crawl.  Fit +
+            # score + select each read `kept` — persist once.
+            kept = kept.persist()
+            audit.setdefault("persisted", []).append(kept)
+            target = read_documents(spark, args.dsir_target, "parquet")
+            t_model = fit_hashed_ngram_model(target,
+                                             text_col=args.text_col)
+            r_model = fit_hashed_ngram_model(kept, text_col=args.text_col)
+            scores = dsir_logratio_scores(kept, t_model, r_model,
+                                          text_col=args.text_col,
+                                          id_col=args.id_col)
+            kept, dsir_ledger = dsir_select(
+                kept, scores, k=args.dsir_keep or 1, id_col=args.id_col,
+                gumbel=not args.dsir_no_gumbel,
+                threshold=args.dsir_threshold)
+            ledger = ledger.unionByName(dsir_ledger)
         if args.dedup_paragraphs:
             from khl_pdf_ocr_spark.operators.paragraphs import \
                 paragraph_dedup
@@ -435,6 +490,15 @@ def main(argv: list[str] | None = None) -> int:
             "hot_buckets": (audit["hot_buckets"].count()
                             if "hot_buckets" in audit else 0),
         }
+        if args.dsir_target:
+            stats["dsir"] = {
+                "mode": ("threshold" if args.dsir_threshold is not None
+                         else "top_k"),
+                "gumbel": not args.dsir_no_gumbel,
+                **({"keep": args.dsir_keep}
+                   if args.dsir_keep is not None
+                   else {"threshold": args.dsir_threshold}),
+            }
         if "lm_cutoffs" in audit:
             stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
         if "hot_domains" in audit:
