@@ -150,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="plain top-k/threshold on the log ratio "
                          "(the paper's argmax variant) instead of "
                          "Gumbel-perturbed sampling")
+    ap.add_argument("--save-dsir", default=None, metavar="PATH",
+                    help="persist the fitted (target, raw) DSIR model "
+                         "pair here for frozen reuse by later "
+                         "increments (increment_cli --dsir-model)")
     ap.add_argument("--save-clf", default=None,
                     help="with --quality-classifier train: persist the "
                          "fitted model here for reuse by later "
@@ -237,8 +241,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.dsir_keep is not None and args.dsir_keep < 1:
             ap.error(f"--dsir-keep must be >= 1, got {args.dsir_keep}")
     elif (args.dsir_keep is not None or args.dsir_threshold is not None
-          or args.dsir_no_gumbel):
-        ap.error("--dsir-* flags require --dsir-target")
+          or args.dsir_no_gumbel or args.save_dsir):
+        ap.error("--dsir-*/--save-dsir flags require --dsir-target")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -394,6 +398,11 @@ def main(argv: list[str] | None = None) -> int:
             t_model = fit_hashed_ngram_model(target,
                                              text_col=args.text_col)
             r_model = fit_hashed_ngram_model(kept, text_col=args.text_col)
+            if args.save_dsir:
+                from khl_pdf_ocr_spark.operators.dsir import \
+                    save_dsir_model
+
+                save_dsir_model(t_model, r_model, args.save_dsir)
             scores = dsir_logratio_scores(kept, t_model, r_model,
                                           text_col=args.text_col,
                                           id_col=args.id_col)

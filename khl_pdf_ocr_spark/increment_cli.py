@@ -133,6 +133,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     metavar="ALPHA",
                     help="GPT-3 Pareto lottery instead of a hard gate "
                          "(deterministic per doc id)")
+    ap.add_argument("--dsir-model", default=None, metavar="PATH",
+                    help="persisted DSIR model pair (as written by "
+                         "clean_cli --dsir-target ... --save-dsir): "
+                         "append the importance-resampling gate with "
+                         "FROZEN models and a FROZEN absolute "
+                         "threshold (--dsir-threshold, required).  "
+                         "Increments never fit q̂ on the day's batch "
+                         "and never top-k — the selection boundary "
+                         "must not drift with daily composition")
+    ap.add_argument("--dsir-threshold", type=float, default=None,
+                    help="keep docs with DSIR key >= this (use the "
+                         "equals form --dsir-threshold=-2.5 for "
+                         "negative values); required with --dsir-model")
+    ap.add_argument("--dsir-no-gumbel", action="store_true",
+                    help="gate on the plain log ratio instead of the "
+                         "Gumbel-perturbed key")
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop batch docs sharing any 13-gram with it")
@@ -198,6 +214,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.clf_threshold is not None or args.clf_pareto is not None:
         ap.error("--clf-threshold/--clf-pareto require "
                  "--quality-classifier")
+    if args.dsir_model:
+        if args.dsir_threshold is None:
+            ap.error("--dsir-model requires --dsir-threshold (a frozen "
+                     "absolute cut; increments never top-k)")
+    elif args.dsir_threshold is not None or args.dsir_no_gumbel:
+        ap.error("--dsir-threshold/--dsir-no-gumbel require "
+                 "--dsir-model")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -317,6 +340,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 threshold=args.clf_threshold,
                 pareto_alpha=args.clf_pareto)
             ledger = ledger.unionByName(clf_ledger)
+        if args.dsir_model:
+            from khl_pdf_ocr_spark.operators.dsir import (
+                dsir_logratio_scores, dsir_select, load_dsir_model)
+
+            # frozen models + frozen absolute threshold, before the
+            # history probes (a doc DSIR rejects must never enter the
+            # state stores); with both models frozen the gate is a
+            # stateless per-doc score-vs-cut filter — O(batch), zero
+            # history reads.  Scoring + the semi/anti split each read
+            # the batch — persist (released via audit_clean)
+            kept1 = kept1.persist()
+            audit_clean.setdefault("persisted", []).append(kept1)
+            t_model, r_model, dsir_kw = load_dsir_model(
+                spark, args.dsir_model)
+            dsir_scores = dsir_logratio_scores(
+                kept1, t_model, r_model, text_col=args.text_col,
+                id_col=args.id_col, **dsir_kw)
+            kept1, dsir_ledger = dsir_select(
+                kept1, dsir_scores, k=1, id_col=args.id_col,
+                gumbel=not args.dsir_no_gumbel,
+                threshold=args.dsir_threshold)
+            ledger = ledger.unionByName(dsir_ledger)
 
         audit_inc: dict = {}
         if first_run:

@@ -52,7 +52,8 @@ from khl_pdf_ocr_spark.functions import text as X
 from khl_pdf_ocr_spark.functions.rounding import round_half_up
 
 __all__ = ["hashed_ngram_buckets", "fit_hashed_ngram_model",
-           "dsir_logratio_scores", "dsir_select"]
+           "dsir_logratio_scores", "dsir_select",
+           "save_dsir_model", "load_dsir_model"]
 
 
 def _ngram_strings(text_col, orders: tuple[int, ...]):
@@ -234,6 +235,43 @@ def dsir_select(df: DataFrame, scores: DataFrame, k: int, *,
                .select(F.col(id_col).alias("id"),
                        F.lit("dsir").alias("reject_reason")))
     return kept, dropped
+
+
+def save_dsir_model(target_model: DataFrame, raw_model: DataFrame,
+                    path: str, *, num_buckets: int = 10_000,
+                    orders: tuple[int, ...] = (1, 2),
+                    seed: int = 11) -> None:
+    """Persist a fitted (target, raw) model pair with overwrite
+    semantics (the ``save_lm`` layout discipline — one place the
+    convention lives): ``path/target`` + ``path/raw`` hold the two
+    ``(bucket, logp)`` frames, ``path/meta`` one row pinning the
+    FEATURE-SPACE parameters (num_buckets / orders / seed) so a later
+    scorer can't silently hash into a different space.  Only the
+    default ``xxhash64`` feature hash is representable on disk — a
+    custom ``ngram_hash`` callable has no serialization, so models
+    fitted with one must stay in-session (tests/oracles use them;
+    production uses the default)."""
+    spark = target_model.sparkSession
+    target_model.write.mode("overwrite").parquet(f"{path}/target")
+    raw_model.write.mode("overwrite").parquet(f"{path}/raw")
+    spark.createDataFrame(
+        [(int(num_buckets), ",".join(str(n) for n in sorted(set(orders))),
+          int(seed))],
+        "num_buckets int, orders string, seed int") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_dsir_model(spark, path: str
+                    ) -> tuple[DataFrame, DataFrame, dict]:
+    """Inverse of ``save_dsir_model``: returns ``(target_model,
+    raw_model, kw)`` where ``kw`` carries the pinned feature-space
+    parameters, ready to splat into ``dsir_logratio_scores``."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    kw = {"num_buckets": int(meta["num_buckets"]),
+          "orders": tuple(int(n) for n in meta["orders"].split(",")),
+          "seed": int(meta["seed"])}
+    return (spark.read.parquet(f"{path}/target"),
+            spark.read.parquet(f"{path}/raw"), kw)
 
 
 def py_gumbel(id_val: int, seed: int = 13) -> float:

@@ -307,3 +307,105 @@ def test_clean_cli_dsir_flag_validation(tmp_path):
     assert p.returncode == 2 and "exactly one" in p.stderr
     p = run(["--dsir-target", "t", "--dsir-keep", "0"])
     assert p.returncode == 2 and ">= 1" in p.stderr
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """save/load pins the feature-space parameters and reproduces the
+    exact scores; overwrite must not raise (retried-run semantics)."""
+    from khl_pdf_ocr_spark.operators.dsir import (load_dsir_model,
+                                                  save_dsir_model)
+
+    tgt = spark.createDataFrame(_target_rows(), "doc_id long, text string")
+    raw = spark.createDataFrame(_raw_rows(), "doc_id long, text string")
+    kw = dict(num_buckets=M, orders=ORDERS, seed=7)
+    mt = fit_hashed_ngram_model(tgt, alpha=ALPHA, **kw)
+    mr = fit_hashed_ngram_model(raw, alpha=ALPHA, **kw)
+    path = str(tmp_path / "dsir")
+    save_dsir_model(mt, mr, path, **kw)
+    save_dsir_model(mt, mr, path, **kw)  # overwrite must not raise
+    lt, lr, lkw = load_dsir_model(spark, path)
+    assert lkw == {"num_buckets": M, "orders": ORDERS, "seed": 7}
+    direct = {r.doc_id: r.dsir_logratio for r in
+              dsir_logratio_scores(raw, mt, mr, **kw).collect()}
+    loaded = {r.doc_id: r.dsir_logratio for r in
+              dsir_logratio_scores(raw, lt, lr, **lkw).collect()}
+    assert direct == loaded
+
+
+def test_clean_cli_save_dsir_then_increment_frozen(spark, tmp_path):
+    """clean_cli --save-dsir persists the fitted pair; increment_cli
+    --dsir-model applies it FROZEN before the history probes (the
+    rejected doc never enters the state stores); unpaired flags are
+    clean usage errors."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    themes = ["weather", "garden", "river", "market", "season"]
+    target = spark.createDataFrame(
+        [(1000 + i, f"the {themes[i % 5]} report number {i} tells of "
+                    f"the calm and pleasant days in the {themes[i % 5]} "
+                    f"with many people walking and talking near the "
+                    f"{themes[(i + 1) % 5]}")
+         for i in range(30)], ["doc_id", "text"])
+    tgt_path = str(tmp_path / "target")
+    target.write.parquet(tgt_path)
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(_cli_batch_rows(), ["doc_id", "text"]) \
+        .write.parquet(inp)
+    model_path = str(tmp_path / "dsir_model")
+    p = _run_clean_cli(
+        ["--input", inp, "--output", str(tmp_path / "cleaned"),
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95", "--cpus", "4",
+         "--dsir-target", tgt_path, "--dsir-keep", "4",
+         "--dsir-no-gumbel", "--save-dsir", model_path])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.isdir(f"{model_path}/target")
+    assert os.path.isdir(f"{model_path}/raw")
+    assert os.path.isdir(f"{model_path}/meta")
+
+    day = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, "the garden report number 77 tells of the calm and "
+             "pleasant days in the garden with many people walking and "
+             "talking about the garden while children play there", "s"),
+         (1, "buy the cheap pills number 77 now and click here to win "
+             "the casino prize with the free offer and the deal for "
+             "you to claim the winner bonus today", "s")],
+        ["doc_id", "text", "source"]).write.parquet(day)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", day, "--state", str(tmp_path / "state"),
+         "--output", str(tmp_path / "out1"),
+         "--langs", "en", "--min-quality", "0.1",
+         "--dsir-model", model_path, "--dsir-threshold=0",
+         "--dsir-no-gumbel", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=cwd)
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    stats = json.loads([ln for ln in p2.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("dsir") == 1
+    assert stats["n_kept"] == 1
+    # the rejected spam doc must not enter the state stores
+    assert stats["state_fingerprints"] == 1
+    assert stats["state_signatures"] == 1
+
+    def run_err(extra):
+        return subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+             "--input", day, "--state", str(tmp_path / "s2"),
+             "--output", str(tmp_path / "o2")] + extra,
+            capture_output=True, text=True, timeout=120, cwd=cwd)
+
+    p3 = run_err(["--dsir-model", model_path])
+    assert p3.returncode == 2 and "--dsir-threshold" in p3.stderr
+    p4 = run_err(["--dsir-threshold=0"])
+    assert p4.returncode == 2 and "--dsir-model" in p4.stderr
+    p5 = _run_clean_cli(["--input", "x", "--output", "y",
+                         "--save-dsir", "m"], timeout=60)
+    assert p5.returncode == 2 and "--dsir-target" in p5.stderr
+    for proc in (p3, p4, p5):
+        assert "Traceback" not in proc.stderr
