@@ -26,6 +26,7 @@ from pyspark.sql import Window
 
 from khl_pdf_ocr_spark.functions import text as X
 from khl_pdf_ocr_spark.functions.rounding import round_half_up as _r
+from khl_pdf_ocr_spark.functions.rounding import sql_round_half_up
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 FIXTURE_DIR = os.path.join(REPO_DIR, ".fixtures", "entry")
@@ -88,6 +89,7 @@ def _n_docs(sf_dir: str) -> int:
 # (bucket/cell assignment + pruning + scoring) from the same seeded
 # hyperplanes/centroids, so queries() and oracle_sql() cannot drift.
 ANN_NBITS, ANN_SEED, ANN_CELLS, ANN_NPROBE = 6, 42, 8, 3
+DSIR_BUCKETS = 4096  # hashed-n-gram feature buckets for doc_dsir_scores
 
 # doc_mixture_sample parameters, shared by the Spark query and the
 # oracle-SQL builder: uneven weights over six sources + a budget sized
@@ -579,10 +581,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lineitem_grouping_sets"] = lineitem_grouping_sets
 
     def orders_distinct_customers(spark, sf_dir):
+        # exact distinct agg + the HyperLogLog sketch check in ONE
+        # query (r5 consolidation — the standalone hll twin computed
+        # the same countDistinct anyway; tolerance-invariant oracle
+        # pattern: the exact count is value-checked, the sketch must
+        # land within 5% of it)
         orders = spark.read.parquet(_t(sf_dir, "orders"))
-        return (orders.groupBy("o_orderpriority")
-                .agg(F.countDistinct("o_custkey").alias("n_customers"),
-                     F.count(F.lit(1)).alias("n_orders")))
+        agg = (orders.groupBy("o_orderpriority")
+               .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.approx_count_distinct("o_custkey", 0.02)
+                    .alias("_a")))
+        return agg.select(
+            "o_orderpriority", "n_customers", "n_orders",
+            (F.abs(F.col("_a") - F.col("n_customers"))
+             <= F.lit(0.05) * F.col("n_customers"))
+            .alias("hll_within_5pct"))
 
     q["orders_distinct_customers"] = orders_distinct_customers
 
@@ -717,20 +731,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_value_percentiles"] = events_value_percentiles
 
-    def orders_hll_distinct_check(spark, sf_dir):
-        # HyperLogLog distinct sketch vs exact countDistinct, same
-        # tolerance-invariant oracle pattern (exact count also emitted
-        # and value-checked)
-        orders = spark.read.parquet(_t(sf_dir, "orders"))
-        agg = (orders.groupBy("o_orderpriority")
-               .agg(F.countDistinct("o_custkey").alias("n_exact"),
-                    F.approx_count_distinct("o_custkey", 0.02).alias("_a")))
-        return agg.select(
-            "o_orderpriority", "n_exact",
-            (F.abs(F.col("_a") - F.col("n_exact"))
-             <= F.lit(0.05) * F.col("n_exact")).alias("hll_within_5pct"))
+    def doc_dsir_scores(spark, sf_dir):
+        # DSIR importance weights (operators/dsir.py) with the FULL
+        # pipeline oracle-checked: target = every 7th document, raw =
+        # the whole table; hashed-(1,2)-gram models with additive
+        # smoothing; per-doc log importance ratio via the
+        # deterministic sorted fold.  The SQL-reproducible token hash
+        # (the simhash precedent) lets DuckDB recompute model fits AND
+        # scores independently.
+        from khl_pdf_ocr_spark.operators.dedup import sql_token_hash
+        from khl_pdf_ocr_spark.operators.dsir import (
+            dsir_logratio_scores, fit_hashed_ngram_model)
 
-    q["orders_hll_distinct_check"] = orders_hll_distinct_check
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        kw = dict(num_buckets=DSIR_BUCKETS, orders=(1, 2),
+                  ngram_hash=sql_token_hash)
+        target = docs.filter(F.col("doc_id") % 7 == 0)
+        mt = fit_hashed_ngram_model(target, **kw)
+        mr = fit_hashed_ngram_model(docs, **kw)
+        return dsir_logratio_scores(docs, mt, mr,
+                                    deterministic_fold=True, **kw)
+
+    q["doc_dsir_scores"] = doc_dsir_scores
 
     def orders_monthly_trend(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1175,7 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seq_features",
         "lineitem_grouping_sets", "orders_distinct_customers",
         "events_sessionize", "events_hourly_rollup",
-        "events_value_percentiles", "orders_hll_distinct_check",
+        "events_value_percentiles", "doc_dsir_scores",
         "orders_monthly_trend", "events_props_extract",
         "doc_text_analytics", "doc_fingerprint_dedup",
         "doc_median_chars_by_source", "doc_longest_per_lang",
@@ -1923,19 +1945,66 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
-    o["orders_hll_distinct_check"] = """
-        SELECT o_orderpriority,
-               count(DISTINCT o_custkey) AS n_exact,
-               true AS hll_within_5pct
-        FROM orders GROUP BY o_orderpriority
-    """
-
     o["orders_distinct_customers"] = """
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_customers,
-               count(*) AS n_orders
+               count(*) AS n_orders,
+               true AS hll_within_5pct
         FROM orders
         GROUP BY o_orderpriority
+    """
+
+    # --- DSIR: model fits AND scores recomputed independently ---------------
+    # Token hash = the SQL-reproducible polynomial hash (simhash
+    # precedent); both engines compute ln() separately per model and
+    # sum the per-occurrence deltas through the identical sorted
+    # 0.0-seeded left fold (IEEE no-op seed), rounded half-up at 6 dp
+    # to absorb 1-ulp ln() differences.
+    _B = DSIR_BUCKETS
+    o["doc_dsir_scores"] = f"""
+        WITH n AS (
+          SELECT doc_id, {_NORM} AS t FROM documents
+        ), tk AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(t, '\\s+'),
+                                     x -> length(x) > 0) AS tk
+          FROM n
+        ), g AS (
+          SELECT doc_id, list_concat(tk,
+                   list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                  i -> tk[i] || ' ' || tk[i + 1])) AS gs
+          FROM tk
+        ), bh AS MATERIALIZED (
+          SELECT doc_id, list_transform(gs, g2 ->
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(range(1, length(g2) + 1),
+                                    ci -> unicode(g2[ci])::BIGINT)),
+                     (a,b) -> (a * 131 + b) % 2147483647) % {_B}) AS bs
+          FROM g
+        ), occ AS MATERIALIZED (
+          SELECT doc_id, unnest(bs) AS b FROM bh
+        ), tc AS MATERIALIZED (
+          SELECT b, count(*)::DOUBLE AS c FROM occ
+          WHERE doc_id % 7 = 0 GROUP BY b
+        ), rc AS MATERIALIZED (
+          SELECT b, count(*)::DOUBLE AS c FROM occ GROUP BY b
+        ), dim AS MATERIALIZED (
+          SELECT rc.b,
+                 ln((coalesce(tc.c, 0) + 1.0) /
+                    ((SELECT sum(c) FROM tc) + 1.0 * {_B}))
+                 - ln((rc.c + 1.0) /
+                      ((SELECT sum(c) FROM rc) + 1.0 * {_B})) AS dlog
+          FROM rc LEFT JOIN tc USING (b)
+        ), sums AS (
+          SELECT o2.doc_id, count(*)::BIGINT AS nng,
+                 list_reduce(list_prepend(0.0,
+                   list_sort(list(d.dlog))), (a,b) -> a + b) AS s
+          FROM occ o2 JOIN dim d USING (b)
+          GROUP BY o2.doc_id
+        )
+        SELECT doc.doc_id,
+               coalesce(s.nng, 0) AS n_ngrams,
+               {sql_round_half_up('s.s', 6)} AS dsir_logratio
+        FROM documents doc LEFT JOIN sums s USING (doc_id)
     """
 
     o["url_construction"] = """

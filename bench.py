@@ -42,7 +42,12 @@ HEADLINE = [
     "q1_pricing_summary", "orders_topk_metrics", "q5_nation_revenue",
     "scan_filter_project", "top_spenders_window", "events_sessionize",
     "events_hourly_rollup", "doc_fingerprint_dedup", "doc_text_analytics",
-    "doc_minhash_lsh_pairs", "emb_cosine_topk",
+    # r5 session-4 rotation: emb_cosine_topk's exact brute-force scan
+    # now rides inside emb_ann_topk (its 'exact' method branch, below);
+    # the freed embedding slot
+    # benches the SemDeDup pipeline (cells -> pairs -> components ->
+    # survivor election) instead
+    "doc_minhash_lsh_pairs", "emb_semdedup",
     # persisted-ANN path.  NOTE the index build is NOT in either column:
     # it runs (once, then disk-cached in .ann_cache) while the query is
     # CONSTRUCTED, before timing starts — deliberately, because build-
