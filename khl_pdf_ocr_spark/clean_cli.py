@@ -72,8 +72,15 @@ def main(argv: list[str] | None = None) -> int:
                          "reasons — combine with --repetition for the "
                          "full Gopher gate)")
     ap.add_argument("--repetition", action="store_true",
-                    help="append the Gopher-style repetition filter "
+                    help="append the light 2-measure repetition filter "
                          "(rep_lines/rep_2gram ledger reasons)")
+    ap.add_argument("--gopher-repetition", action="store_true",
+                    help="append the FULL Gopher repetition table (Rae "
+                         "et al. 2021 Table A1: dup line/paragraph "
+                         "occurrence+char fractions, top 2-4-gram char "
+                         "fractions, dup 5-10-gram char fractions, "
+                         "published thresholds; rep_* ledger reasons "
+                         "name the first failing measure)")
     ap.add_argument("--max-dup-line-fraction", type=float, default=0.3)
     ap.add_argument("--max-top-2gram-fraction", type=float, default=0.2)
     ap.add_argument("--quality-lm", default=None, metavar="train|PATH",
@@ -349,6 +356,15 @@ def main(argv: list[str] | None = None) -> int:
             kept, gq_ledger = gopher_quality_filter(
                 kept, text_col=args.text_col, id_col=args.id_col)
             ledger = ledger.unionByName(gq_ledger)
+        if args.gopher_repetition:
+            from khl_pdf_ocr_spark.operators.repetition import \
+                gopher_repetition_filter
+
+            # the quality rules' 50-word floor runs first when both
+            # flags are on — the n-gram measures presuppose it
+            kept, grep_ledger = gopher_repetition_filter(
+                kept, text_col=args.text_col, id_col=args.id_col)
+            ledger = ledger.unionByName(grep_ledger)
         if clf is not None:
             from khl_pdf_ocr_spark.operators.quality_model import \
                 classifier_quality_filter

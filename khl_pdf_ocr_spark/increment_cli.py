@@ -160,6 +160,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--gopher-rules", action="store_true",
                     help="apply the Gopher document-quality rules to "
                          "the batch (gopher_* ledger reasons)")
+    ap.add_argument("--gopher-repetition", action="store_true",
+                    help="apply the full Gopher repetition table (Rae "
+                         "et al. 2021 Table A1) to the batch, before "
+                         "the history probes (rep_* ledger reasons)")
     ap.add_argument("--c4-rules", action="store_true",
                     help="apply the C4 line/page heuristics to the "
                          "batch BEFORE the history probes (fingerprints "
@@ -328,6 +332,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             kept1, gq_ledger = gopher_quality_filter(
                 kept1, text_col=args.text_col, id_col=args.id_col)
             ledger = ledger.unionByName(gq_ledger)
+        if args.gopher_repetition:
+            from khl_pdf_ocr_spark.operators.repetition import \
+                gopher_repetition_filter
+
+            # stateless per-doc measures — safe before the history
+            # probes, and a repetitive doc must never enter the stores
+            kept1, grep_ledger = gopher_repetition_filter(
+                kept1, text_col=args.text_col, id_col=args.id_col)
+            ledger = ledger.unionByName(grep_ledger)
         if args.quality_classifier:
             from khl_pdf_ocr_spark.operators.quality_model import (
                 classifier_quality_filter, load_classifier)
