@@ -449,6 +449,8 @@ def main() -> None:
     from khl_pdf_ocr_spark.operators.prepare import (chunk_documents,
                                                      hash_split,
                                                      pack_sequences)
+    from khl_pdf_ocr_spark.operators.repetition import \
+        gopher_repetition_stats
 
     docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     prepare: dict[str, float] = {}
@@ -465,6 +467,9 @@ def main() -> None:
                             capacity=512, n_buckets=64)),
             ("paragraph_dedup", paragraph_dedup(crawl.drop("url"))),
             ("domain_cap", cap_per_domain(crawl, max_per_domain=24)[0]),
+            # full Table A1 stats (r5 session 4) — the 9-way gram
+            # explode is the cost to watch at scale
+            ("gopher_repetition", gopher_repetition_stats(crawl)),
     ):
         frame.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()

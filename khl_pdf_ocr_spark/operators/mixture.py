@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_budgets", "mixture_sample"]
+__all__ = ["mixture_budgets", "mixture_sample", "temperature_weights"]
 
 
 def mixture_budgets(weights: dict[str, float],
@@ -161,3 +161,35 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
                                     / F.col("avail_tokens"), 6))
                      .otherwise(F.lit(1.0)).alias("epochs_needed")))
     return kept, stats
+
+
+def temperature_weights(df: DataFrame, *, temperature: float,
+                        token_col: str = "n_tokens",
+                        source_col: str = "source"
+                        ) -> dict[str, float]:
+    """Temperature-scaled mixture weights from the corpus's OWN source
+    sizes (Conneau et al. 2020, XLM-R §3.1; Xue et al. 2021, mT5
+    §3.2): ``w_s ∝ (n_s / Σn)^(1/T)``.  ``T = 1`` reproduces the
+    natural proportions, ``T → ∞`` approaches uniform — the standard
+    knob for upweighting small sources without hand-picking every
+    weight.  Feed the result straight to ``mixture_sample`` (which
+    normalises, so these are returned unnormalised-but-proportional).
+
+    One map-side-combined ``groupBy(source)`` and a source-count-sized
+    collect — the only action, bounded by the number of sources, never
+    by rows.  NULL token counts weigh 0; sources whose total is 0 are
+    dropped (a zero share stays zero at any temperature, and
+    ``mixture_budgets`` rejects non-positive weights).
+    """
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    rows = (df.groupBy(source_col)
+            .agg(F.sum(F.coalesce(F.col(token_col).cast("long"),
+                                  F.lit(0))).alias("_n"))
+            .collect())
+    counts = {r[source_col]: int(r["_n"]) for r in rows if r["_n"]}
+    total = sum(counts.values())
+    if not counts:
+        raise ValueError("no source has a positive token count")
+    return {s: (n / total) ** (1.0 / temperature)
+            for s, n in sorted(counts.items())}

@@ -72,9 +72,18 @@ def main(argv: list[str] | None = None) -> int:
                          "weights divide (pre-chunking, raw-document "
                          "tokens — NOT BPE pieces even with "
                          "--bpe-merges)")
+    ap.add_argument("--mixture-temperature", type=float, default=None,
+                    metavar="T",
+                    help="derive the mixture weights from the corpus's "
+                         "OWN per-source token shares raised to 1/T "
+                         "(XLM-R/mT5 temperature sampling: T=1 keeps "
+                         "natural proportions, larger T flattens "
+                         "toward uniform).  Requires --token-budget; "
+                         "mutually exclusive with --mixture; the "
+                         "derived weights are printed in stats")
     ap.add_argument("--source-col", default="source",
                     help="column naming each document's source for "
-                         "--mixture")
+                         "--mixture / --mixture-temperature")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -92,12 +101,22 @@ def main(argv: list[str] | None = None) -> int:
         weights = parse_split_weights(args.split)
     except ValueError as e:
         ap.error(str(e))
-    if (args.mixture is None) != (args.token_budget is None):
-        ap.error("--mixture and --token-budget go together")
+    if args.mixture is not None and args.mixture_temperature is not None:
+        ap.error("--mixture and --mixture-temperature are mutually "
+                 "exclusive (explicit weights vs derived weights)")
+    wants_mix = (args.mixture is not None
+                 or args.mixture_temperature is not None)
+    if wants_mix != (args.token_budget is not None):
+        ap.error("--mixture/--mixture-temperature and --token-budget "
+                 "go together")
     mix_weights = None
-    if args.mixture is not None:
+    if wants_mix:
         try:
-            mix_weights = parse_split_weights(args.mixture)
+            if args.mixture is not None:
+                mix_weights = parse_split_weights(args.mixture)
+            elif not args.mixture_temperature > 0:
+                raise ValueError(f"--mixture-temperature must be > 0, "
+                                 f"got {args.mixture_temperature}")
             if args.token_budget < 1:
                 raise ValueError(f"--token-budget must be >= 1, "
                                  f"got {args.token_budget}")
@@ -109,13 +128,20 @@ def main(argv: list[str] | None = None) -> int:
     try:
         docs = spark.read.parquet(args.input)
         mix_stats = None
-        if mix_weights is not None:
+        if wants_mix:
             from khl_pdf_ocr_spark.functions.text import token_count
-            from khl_pdf_ocr_spark.operators.mixture import mixture_sample
+            from khl_pdf_ocr_spark.operators.mixture import (
+                mixture_sample, temperature_weights)
 
             counted = docs.withColumn(
                 "_mix_tok",
                 F.coalesce(token_count(F.col(args.text_col)), F.lit(0)))
+            if mix_weights is None:
+                # derived from the corpus itself — one source-sized
+                # action over the same counted column the sampler uses
+                mix_weights = temperature_weights(
+                    counted, temperature=args.mixture_temperature,
+                    token_col="_mix_tok", source_col=args.source_col)
             kept, stats = mixture_sample(
                 counted, mix_weights, args.token_budget,
                 token_col="_mix_tok", source_col=args.source_col,
@@ -196,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
         }
         if mix_stats is not None:
             stats["mixture"] = mix_stats
+            if args.mixture_temperature is not None:
+                stats["mixture_temperature"] = {
+                    "T": args.mixture_temperature,
+                    "weights": {s: round(w, 6)
+                                for s, w in mix_weights.items()}}
         print(json.dumps(stats))
         return 0
     finally:

@@ -206,3 +206,99 @@ def test_shard_cli_mixture_usage_errors(tmp_path):
             capture_output=True, text=True, timeout=120, cwd=cwd)
         assert p.returncode == 2, (extra, p.stderr[-500:])
         assert "Traceback" not in p.stderr, extra
+
+
+def test_temperature_weights_math(spark):
+    from khl_pdf_ocr_spark.operators.mixture import temperature_weights
+
+    rows, df = _corpus(spark)
+    totals = defaultdict(int)
+    for _i, s, t in rows:
+        totals[s] += t or 0
+    grand = sum(totals.values())
+    for T in (1.0, 2.0, 100.0):
+        w = temperature_weights(df, temperature=T)
+        assert set(w) == set(totals)  # all four sources have tokens
+        for s in w:
+            assert w[s] == pytest.approx((totals[s] / grand) ** (1 / T),
+                                         rel=1e-12)
+    # T=1 is proportional to the natural shares; huge T ~ uniform
+    w1 = temperature_weights(df, temperature=1.0)
+    r = {s: w1[s] / (totals[s] / grand) for s in w1}
+    assert max(r.values()) == pytest.approx(min(r.values()), rel=1e-12)
+    whuge = temperature_weights(df, temperature=1e9)
+    assert max(whuge.values()) == pytest.approx(min(whuge.values()),
+                                                rel=1e-6)
+
+
+def test_temperature_weights_validation(spark):
+    from khl_pdf_ocr_spark.operators.mixture import temperature_weights
+
+    _rows, df = _corpus(spark)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights(df, temperature=0.0)
+    zero = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", None)],
+        "doc_id long, source string, n_tokens int")
+    with pytest.raises(ValueError, match="positive token count"):
+        temperature_weights(zero, temperature=2.0)
+    # a zero-token source silently drops, the rest survive
+    mixed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 0)],
+        "doc_id long, source string, n_tokens int")
+    assert set(temperature_weights(mixed, temperature=2.0)) == {"a"}
+
+
+def test_shard_cli_mixture_temperature(spark, tmp_path):
+    """--mixture-temperature derives the weights from the corpus's own
+    source sizes; the kept set equals the python oracle run with those
+    derived weights, and stats disclose T + weights."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(4 + (i * 7) % 30)),
+             ("wiki", "web", "junk")[i % 3]) for i in range(45)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+         .write.parquet(inp)
+    out = str(tmp_path / "shards")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+         "--input", inp, "--output", out,
+         "--max-tokens", "16", "--overlap", "4", "--capacity", "64",
+         "--split", "train=1.0",
+         "--mixture-temperature", "2.0", "--token-budget", "160",
+         "--seed", "17", "--cpus", "2"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    mt = stats["mixture_temperature"]
+    assert mt["T"] == 2.0 and set(mt["weights"]) == {"wiki", "web", "junk"}
+    totals = defaultdict(int)
+    for i, t, s in rows:
+        totals[s] += len(t.split())
+    grand = sum(totals.values())
+    for s, w in mt["weights"].items():
+        assert w == pytest.approx((totals[s] / grand) ** 0.5, abs=5e-7)
+    want = _py_kept([(i, s, len(t.split())) for i, t, s in rows],
+                    {s: (n / grand) ** 0.5 for s, n in totals.items()},
+                    160, seed=17)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == want
+    # flag pairing errors stay clean usage errors
+    for extra in (["--mixture", "a=1", "--mixture-temperature", "2",
+                   "--token-budget", "10"],
+                  ["--mixture-temperature", "2"],
+                  ["--mixture-temperature", "0", "--token-budget", "10"]):
+        p2 = subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+             "--input", "/nonexistent", "--output", str(tmp_path / "o2"),
+             *extra],
+            capture_output=True, text=True, timeout=120,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert p2.returncode == 2, (extra, p2.stderr[-500:])
+        assert "Traceback" not in p2.stderr, extra
