@@ -161,75 +161,119 @@ def gopher_repetition_stats(df: DataFrame, *, text_col: str = "text",
     paras = _elements(text, r"\n[ \t\r]*\n")
 
     ldup, pdup = _dup_scan(lines), _dup_scan(paras)
-    base = df.select(
+    w_col = F.size(F.col("_tk"))
+
+    # top-{2,3,4} PER ROW (measured 2× the explode→groupBy version,
+    # and zero shuffle): sort the gram-string array, then one
+    # adjacent-equal scan tracking the best run — scalar accumulators
+    # only.  Exact string equality (no hash), ties toward the larger
+    # char footprint.  Gram char length = string length − (n−1)
+    # separators (tokens are whitespace-free, so the NUL join is
+    # unambiguous for any token not itself containing NUL).
+    def _top_chars(n: int):
+        def one(i):
+            return F.concat_ws("\x00", F.slice(F.col("_tk"), i + 1, n))
+        grams = F.when(w_col >= n, F.sort_array(
+            F.transform(F.sequence(F.lit(0), w_col - n), one))) \
+            .otherwise(F.array().cast("array<string>"))
+        zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(0).cast("long").alias("best"),
+                        F.lit(0).cast("long").alias("bl"))
+
+        def step(acc, x):
+            run = (F.when(acc["prev"].isNotNull() & (x == acc["prev"]),
+                          acc["run"] + 1)
+                   .otherwise(F.lit(1).cast("long")))
+            xl = (F.length(x) - F.lit(n - 1)).cast("long")
+            better = (run > acc["best"]) | ((run == acc["best"])
+                                            & (xl > acc["bl"]))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, xl).otherwise(acc["bl"]).alias("bl"))
+
+        fin = F.aggregate(grams, zero, step)
+        return (fin["best"] * fin["bl"]).alias(f"_top{n}")
+
+    base = (df.select(
         F.col(id_col).alias("_id"), toks.alias("_tk"),
         _frac(ldup["d"], F.size(lines)).alias("dup_line_fraction"),
         _frac(ldup["dc"], _chars(lines)).alias("dup_line_char_fraction"),
         _frac(pdup["d"], F.size(paras)).alias("dup_para_fraction"),
-        _frac(pdup["dc"], _chars(paras)).alias("dup_para_char_fraction"),
-    ).withColumn("_tc", _chars(F.col("_tk"))) \
-     .withColumn("_w", F.size("_tk"))
+        _frac(pdup["dc"], _chars(paras)).alias("dup_para_char_fraction"))
+        .select("*", _chars(F.col("_tk")).alias("_tc"),
+                w_col.alias("_w"), *[_top_chars(n) for n in _TOP_NS]))
 
-    # ONE tagged gram pass for all nine n values.  Rows are (n, start,
-    # hash[, gram char length]) scalars — the token array stays behind.
-    w_col = F.col("_w")
+    # dup-{5..10}: ONE tagged explode of (n, start, hash) scalars —
+    # the token array stays behind.  Gram hash = left fold of
+    # F.xxhash64(acc, token_hash) over a PRE-HASHED token array
+    # (measured ~1.4× the concat-the-window-then-hash variant: the
+    # window's characters are hashed once per token, not once per
+    # containing gram).
+    hashed = base.withColumn(
+        "_th", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)))
 
     def gram_structs(n: int):
         # NB: one(i) must stay 1-arg — F.transform treats a 2-param
         # callable as (element, index) and silently rebinds defaults;
         # gram_structs itself is the closure factory capturing n
         def one(i):
-            win = F.slice(F.col("_tk"), i + 1, n)
-            gl = (_chars(win) if n in _TOP_NS
-                  else F.lit(None).cast("long"))
+            h = F.aggregate(F.slice(F.col("_th"), i + 1, n),
+                            F.lit(0).cast("long"),
+                            lambda a, b: F.xxhash64(a, b))
             return F.struct(F.lit(n).alias("n"), i.alias("s"),
-                            F.xxhash64(F.concat_ws("\x00", win)).alias("gh"),
-                            gl.alias("gl"))
-        empty = F.array().cast(
-            "array<struct<n:int,s:int,gh:bigint,gl:bigint>>")
-        return F.when(w_col >= n,
-                      F.transform(F.sequence(F.lit(0), w_col - n), one)) \
+                            h.alias("gh"))
+        empty = F.array().cast("array<struct<n:int,s:int,gh:bigint>>")
+        return F.when(F.col("_w") >= n,
+                      F.transform(F.sequence(F.lit(0), F.col("_w") - n),
+                                  one)) \
                 .otherwise(empty)
 
-    occ = (base.select("_id", F.explode(F.flatten(F.array(
-               *[gram_structs(n) for n in _TOP_NS + _DUP_NS]))).alias("g"))
+    occ = (hashed.select("_id", F.explode(F.flatten(F.array(
+               *[gram_structs(n) for n in _DUP_NS]))).alias("g"))
            .select("_id", "g.*"))
 
-    # top-{2,3,4}: most frequent gram's count × its char length.
-    # max(struct(c, gl)) = max count, ties → larger char footprint.
-    top = (occ.filter(F.col("n").isin(*_TOP_NS))
-           .groupBy("_id", "n", "gh")
-           .agg(F.count(F.lit(1)).alias("c"), F.max("gl").alias("gl"))
-           .groupBy("_id", "n")
-           .agg(F.max(F.struct("c", "gl")).alias("b"))
-           .select("_id", "n",
-                   (F.col("b.c") * F.col("b.gl")).alias("chars"))
-           .groupBy("_id").pivot("n", list(_TOP_NS)).agg(F.first("chars")))
-    top = top.select("_id", *[F.col(str(n)).alias(f"_top{n}")
-                              for n in _TOP_NS])
-
-    # dup-{5..10}: occurrences of grams repeating within the doc →
-    # covered token positions (distinct — overlaps count once) →
-    # token lengths.  The window on (id, n, hash) keeps occurrence
-    # rows flat (no collect_list array per hot gram).
+    # occurrences of grams repeating within the doc (window keeps the
+    # rows flat — no per-hot-gram array during the count), collapsed
+    # to ONE row per (doc, n) carrying the sorted duplicate start
+    # positions; covered chars = a linear interval-union scan over
+    # those starts against the doc's token-length array (replaces the
+    # covered-position explode → distinct → token join of the first
+    # version — two corpus-scale shuffles gone).  Starts are strictly
+    # increasing and every interval has length n, so each interval's
+    # uncovered remainder [max(s, prev_end), s+n) is never empty.
     cnt_w = Window.partitionBy("_id", "n", "gh")
-    covered = (occ.filter(F.col("n") >= _DUP_NS[0])
-               .withColumn("c", F.count(F.lit(1)).over(cnt_w))
-               .filter(F.col("c") >= 2)
-               .select("_id", "n",
-                       F.explode(F.sequence(
-                           F.col("s"), F.col("s") + F.col("n") - 1))
-                       .alias("p"))
-               .distinct())
-    tok_lens = (base.select("_id", F.posexplode("_tk").alias("p", "t"))
-                .select("_id", "p", F.length("t").cast("long").alias("tl")))
-    dup = (covered.join(tok_lens, ["_id", "p"])
-           .groupBy("_id", "n").agg(F.sum("tl").alias("chars"))
+    dup_starts = (occ.withColumn("c", F.count(F.lit(1)).over(cnt_w))
+                  .filter(F.col("c") >= 2)
+                  .groupBy("_id", "n")
+                  .agg(F.sort_array(F.collect_list("s")).alias("ss")))
+
+    zero_iv = F.struct(F.lit(0).cast("int").alias("end"),
+                       F.lit(0).cast("long").alias("tot"))
+
+    def iv_step(acc, s):
+        lo = F.greatest(s, acc["end"])
+        hi = s + F.col("n")
+        piece = F.aggregate(
+            F.sequence(lo, hi - 1), F.lit(0).cast("long"),
+            lambda t, p: t + F.element_at(F.col("_tl"), p + 1))
+        return F.struct(hi.cast("int").alias("end"),
+                        (acc["tot"] + piece).alias("tot"))
+
+    dup = (dup_starts
+           .join(base.select(
+               "_id", F.transform(F.col("_tk"),
+                                  lambda t: F.length(t).cast("long"))
+               .alias("_tl")), "_id")
+           .select("_id", "n",
+                   F.aggregate("ss", zero_iv, iv_step)["tot"]
+                   .alias("chars"))
            .groupBy("_id").pivot("n", list(_DUP_NS)).agg(F.first("chars")))
     dup = dup.select("_id", *[F.col(str(n)).alias(f"_dup{n}")
                               for n in _DUP_NS])
 
-    out = base.drop("_tk").join(top, "_id", "left").join(dup, "_id", "left")
+    out = base.drop("_tk").join(dup, "_id", "left")
     gram_cols = [
         *[_frac(F.coalesce(F.col(f"_top{n}"), F.lit(0)), F.col("_tc"))
           .alias(f"top_{n}gram_char_fraction") for n in _TOP_NS],

@@ -176,7 +176,7 @@ def test_gram_rows_do_not_carry_token_arrays(spark):
         # INSIDE the generator expression (that's the slicing), never
         # in the output attribute list after it
         tail = ln.rsplit("], ", 1)[-1]
-        assert "_tk#" not in tail, ln[-200:]
+        assert "_tk#" not in tail and "_th#" not in tail, ln[-200:]
 
 
 def _run_cli(module, extra, timeout=300):
