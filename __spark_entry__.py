@@ -630,16 +630,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = events_sessionize
 
-    def events_hourly_rollup(spark, sf_dir):
+    def time_rollups(spark, sf_dir):
+        # BOTH time-series rollups in one driver slot (r5 session-4
+        # consolidation — the joins_semi_anti kind-tag precedent; each
+        # branch computes exactly what its standalone predecessor did):
+        # hourly event rollup (grp = event_type) + monthly order trend
+        # with the month-over-month lag delta (grp NULL, delta carries
+        # the window result)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         ev = spark.read.parquet(_t(sf_dir, "events"))
-        return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
-                                         "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
-                           "event_type")
-                .agg(F.count(F.lit(1)).alias("n_events"),
-                     _r(F.sum("value"), 2).alias("sum_value")))
+        hourly = (ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("event_type").alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.sum("value"), 2).alias("val"))
+            .select(F.lit("events_hourly").alias("kind"), "bucket",
+                    "grp", "n", "val",
+                    F.lit(None).cast("long").alias("delta")))
+        orders = spark.read.parquet(_t(sf_dir, "orders"))
+        monthly = (orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"),
+                          "yyyy-MM").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.sum("o_totalprice"), 2).alias("val")))
+        w = Window.orderBy("bucket")
+        monthly = monthly.select(
+            F.lit("orders_monthly").alias("kind"), "bucket",
+            F.lit(None).cast("string").alias("grp"), "n", "val",
+            (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0)))
+            .cast("long").alias("delta"))
+        return hourly.unionByName(monthly)
 
-    q["events_hourly_rollup"] = events_hourly_rollup
+    q["time_rollups"] = time_rollups
 
     def events_asof_enrich(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -754,21 +777,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dsir_scores"] = doc_dsir_scores
 
-    def orders_monthly_trend(spark, sf_dir):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # time-series rollup + lag window (month-over-month delta)
-        orders = spark.read.parquet(_t(sf_dir, "orders"))
-        monthly = (orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
-                                                "yyyy-MM").alias("month"))
-                   .agg(F.count(F.lit(1)).alias("n_orders"),
-                        _r(F.sum("o_totalprice"), 2).alias("total")))
-        w = Window.orderBy("month")
-        return monthly.select(
-            "month", "n_orders", "total",
-            (F.col("n_orders") - F.coalesce(F.lag("n_orders").over(w), F.lit(0))
-             ).alias("mom_delta"))
+    def doc_gopher_repetition(spark, sf_dir):
+        # the FULL Gopher repetition table (operators/repetition.py —
+        # all 13 Rae et al. Table A1 measures) over a deterministically
+        # CONSTRUCTED multi-line corpus (the doc_paragraph_dedup
+        # precedent: sf documents are single-paragraph, so the query
+        # builds the web-crawl shape in-engine and the oracle performs
+        # the identical construction): a DUPLICATED cookie-banner line,
+        # the doc's own text, a per-doc promo line, and — when the doc
+        # has ≥12 tokens — its own first 12 tokens pasted again as a
+        # trailing paragraph (doc-dependent duplicate 5..10-grams).
+        # The oracle recomputes every measure relationally in DuckDB;
+        # all fractions are exact integer ratios, so the doubles are
+        # bit-identical cross-engine with no rounding.
+        from khl_pdf_ocr_spark.operators.repetition import \
+            gopher_repetition_stats
 
-    q["orders_monthly_trend"] = orders_monthly_trend
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        tk = F.filter(F.split(F.col("text"), r"\s+"),
+                      lambda t: F.length(t) > 0)
+        banner = "Accept cookies to continue reading."
+        built = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(banner + "\n" + banner + "\n\n"),
+                F.col("text"), F.lit("\n"),
+                F.concat(F.lit("promo line variant "),
+                         (F.col("doc_id") % 5).cast("string")),
+                F.when(F.size(tk) >= 12,
+                       F.concat(F.lit("\n\n"),
+                                F.concat_ws(" ", F.slice(tk, 1, 12))))
+                .otherwise(F.lit(""))).alias("text"))
+        return gopher_repetition_stats(built)
+
+    q["doc_gopher_repetition"] = doc_gopher_repetition
 
     def events_props_extract(spark, sf_dir):
         # regex field extraction shadow (app.py:146-160) AND the JSON-path
@@ -1196,9 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joins_semi_anti",
         "events_seq_features",
         "lineitem_grouping_sets", "orders_distinct_customers",
-        "events_sessionize", "events_hourly_rollup",
+        "events_sessionize", "time_rollups",
         "events_value_percentiles", "doc_dsir_scores",
-        "orders_monthly_trend", "events_props_extract",
+        "doc_gopher_repetition", "events_props_extract",
         "doc_text_analytics", "doc_fingerprint_dedup",
         "doc_median_chars_by_source", "doc_longest_per_lang",
         "doc_top_terms_per_lang", "doc_ngram_jaccard_pairs",
@@ -1485,13 +1527,26 @@ def oracle_sql() -> dict[str, str]:
         FROM sessions s LEFT JOIN band b USING (user_id)
     """
 
-    o["events_hourly_rollup"] = """
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-               event_type,
-               count(*) AS n_events,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    o["time_rollups"] = """
+        SELECT 'events_hourly' AS kind,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS bucket,
+               event_type AS grp,
+               count(*) AS n,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS val,
+               NULL::BIGINT AS delta
         FROM events
-        GROUP BY 1, 2
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'orders_monthly', month, NULL, n_orders, total,
+               (n_orders
+                - coalesce(lag(n_orders) OVER (ORDER BY month), 0))::BIGINT
+        FROM (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                         AS month,
+                     count(*) AS n_orders,
+                     floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0
+                         AS total
+              FROM orders GROUP BY 1)
     """
 
     o["events_asof_enrich"] = """
@@ -1549,17 +1604,155 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
 
-    o["orders_monthly_trend"] = """
-        WITH monthly AS (
-          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-                 count(*) AS n_orders,
-                 floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
-          FROM orders GROUP BY 1
+    # --- full Gopher repetition table, recomputed relationally --------------
+    # Mirrors doc_gopher_repetition's in-engine corpus construction,
+    # then derives all 13 Table A1 measures from scratch: element dup
+    # fractions via unnest→GROUP BY counts, top n-grams via gram
+    # unnest→count→lexicographic struct max (count, then char
+    # footprint — the operator's tie-break), dup n-gram coverage via a
+    # window count ≥2 → DISTINCT covered positions → token-length
+    # join.  Every fraction is an exact integer ratio, so the doubles
+    # are bit-identical cross-engine without rounding.  Trim = the
+    # explicit \s-class strip (RE2 and Java agree on the ASCII set).
+    o["doc_gopher_repetition"] = r"""
+        WITH src AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> length(x) > 0) AS tk0
+          FROM documents
+        ), built AS MATERIALIZED (
+          SELECT doc_id,
+                 'Accept cookies to continue reading.' || chr(10) ||
+                 'Accept cookies to continue reading.' || chr(10) ||
+                 chr(10) || text || chr(10) ||
+                 'promo line variant ' || (doc_id % 5) ||
+                 CASE WHEN len(tk0) >= 12
+                      THEN chr(10) || chr(10) ||
+                           array_to_string(list_slice(tk0, 1, 12), ' ')
+                      ELSE '' END AS t
+          FROM src
+        ), tok AS MATERIALIZED (
+          SELECT doc_id, t,
+                 list_filter(regexp_split_to_array(t, '\s+'),
+                             x -> length(x) > 0) AS tk
+          FROM built
+        ), tch AS MATERIALIZED (
+          SELECT doc_id, length(array_to_string(tk, '')) AS tc,
+                 len(tk) AS w
+          FROM tok
+        ), lelems AS (
+          SELECT doc_id, 'line' AS el, unnest(list_filter(
+                   list_transform(string_split(t, chr(10)),
+                                  x -> regexp_replace(x,
+                                       '^\s+|\s+$', '', 'g')),
+                   x -> length(x) > 0)) AS e
+          FROM built
+          UNION ALL
+          SELECT doc_id, 'para', unnest(list_filter(
+                   list_transform(regexp_split_to_array(t,
+                                      '\n[ \t\r]*\n'),
+                                  x -> regexp_replace(x,
+                                       '^\s+|\s+$', '', 'g')),
+                   x -> length(x) > 0))
+          FROM built
+        ), ecnt AS MATERIALIZED (
+          SELECT doc_id, el, e, count(*) AS c
+          FROM lelems GROUP BY 1, 2, 3
+        ), ed AS MATERIALIZED (
+          SELECT doc_id,
+                 max(CASE WHEN el = 'line' THEN df END) AS dlf,
+                 max(CASE WHEN el = 'line' THEN dcf END) AS dlcf,
+                 max(CASE WHEN el = 'para' THEN df END) AS dpf,
+                 max(CASE WHEN el = 'para' THEN dcf END) AS dpcf
+          FROM (SELECT doc_id, el,
+                       sum(c - 1)::DOUBLE / sum(c) AS df,
+                       sum((c - 1) * length(e))::DOUBLE
+                         / nullif(sum(c * length(e)), 0) AS dcf
+                FROM ecnt GROUP BY 1, 2)
+          GROUP BY doc_id
+        ), tgrams AS MATERIALIZED (
+          SELECT tok.doc_id, ns.n, unnest(list_transform(
+                   range(1, greatest(len(tk) - ns.n + 1, 0) + 1),
+                   i -> array_to_string(
+                            list_slice(tk, i, i + ns.n - 1), ' '))) AS g
+          FROM tok CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+        ), topc AS MATERIALIZED (
+          SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN ch END) AS t2,
+                 max(CASE WHEN n = 3 THEN ch END) AS t3,
+                 max(CASE WHEN n = 4 THEN ch END) AS t4
+          FROM (SELECT doc_id, n,
+                       struct_extract(b, 'c')
+                         * struct_extract(b, 'gl') AS ch
+                FROM (SELECT doc_id, n,
+                             max(struct_pack(c := c, gl := gl)) AS b
+                      FROM (SELECT doc_id, n, g, count(*) AS c,
+                                   length(g) - (n - 1) AS gl
+                            FROM tgrams GROUP BY 1, 2, 3)
+                      GROUP BY 1, 2))
+          GROUP BY doc_id
+        ), docc AS MATERIALIZED (
+          SELECT doc_id, n, u['s'] AS s, u['g'] AS g
+          FROM (SELECT tok.doc_id, ns.n, unnest(list_transform(
+                         range(1, greatest(len(tk) - ns.n + 1, 0) + 1),
+                         i -> struct_pack(s := i,
+                                  g := array_to_string(
+                                    list_slice(tk, i, i + ns.n - 1),
+                                    ' ')))) AS u
+                FROM tok
+                CROSS JOIN (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns)
+        ), cov AS MATERIALIZED (
+          SELECT DISTINCT doc_id, n, unnest(range(s, s + n)) AS p
+          FROM (SELECT doc_id, n, s,
+                       count(*) OVER (PARTITION BY doc_id, n, g) AS c
+                FROM docc)
+          WHERE c >= 2
+        ), tlen AS MATERIALIZED (
+          SELECT doc_id, u['i'] AS p, length(u['tkn']) AS tl
+          FROM (SELECT doc_id, unnest(list_transform(tk,
+                         (x, i) -> struct_pack(i := i, tkn := x))) AS u
+                FROM tok)
+        ), dch AS MATERIALIZED (
+          SELECT doc_id,
+                 max(CASE WHEN n = 5 THEN ch END) AS d5,
+                 max(CASE WHEN n = 6 THEN ch END) AS d6,
+                 max(CASE WHEN n = 7 THEN ch END) AS d7,
+                 max(CASE WHEN n = 8 THEN ch END) AS d8,
+                 max(CASE WHEN n = 9 THEN ch END) AS d9,
+                 max(CASE WHEN n = 10 THEN ch END) AS d10
+          FROM (SELECT cov.doc_id, cov.n, sum(tl) AS ch
+                FROM cov JOIN tlen
+                  ON cov.doc_id = tlen.doc_id AND cov.p = tlen.p
+                GROUP BY 1, 2)
+          GROUP BY doc_id
         )
-        SELECT month, n_orders, total,
-               n_orders - coalesce(lag(n_orders) OVER (ORDER BY month), 0)
-                   AS mom_delta
-        FROM monthly
+        SELECT tch.doc_id,
+               coalesce(ed.dlf, 0.0) AS dup_line_fraction,
+               coalesce(ed.dpf, 0.0) AS dup_para_fraction,
+               coalesce(ed.dlcf, 0.0) AS dup_line_char_fraction,
+               coalesce(ed.dpcf, 0.0) AS dup_para_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(t2, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS top_2gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(t3, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS top_3gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(t4, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS top_4gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(d5, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS dup_5gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(d6, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS dup_6gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(d7, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS dup_7gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(d8, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS dup_8gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(d9, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS dup_9gram_char_fraction,
+               CASE WHEN tc > 0 THEN coalesce(d10, 0)::DOUBLE / tc
+                    ELSE 0.0 END AS dup_10gram_char_fraction
+        FROM tch
+        LEFT JOIN ed USING (doc_id)
+        LEFT JOIN topc USING (doc_id)
+        LEFT JOIN dch USING (doc_id)
     """
 
     o["events_props_extract"] = """

@@ -41,7 +41,9 @@ BENCH_CORPUS_DIR = os.path.join(REPO, ".bench_cache", f"corpus_{BENCH_DOCS}_{BEN
 HEADLINE = [
     "q1_pricing_summary", "orders_topk_metrics", "q5_nation_revenue",
     "scan_filter_project", "top_spenders_window", "events_sessionize",
-    "events_hourly_rollup", "doc_fingerprint_dedup", "doc_text_analytics",
+    # r5 session-4 rotation: events_hourly_rollup now rides inside
+    # time_rollups (kind-tagged union with the monthly orders trend)
+    "time_rollups", "doc_fingerprint_dedup", "doc_text_analytics",
     # r5 session-4 rotation: emb_cosine_topk's exact brute-force scan
     # now rides inside emb_ann_topk (its 'exact' method branch, below);
     # the freed embedding slot

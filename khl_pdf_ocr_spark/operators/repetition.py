@@ -97,9 +97,16 @@ GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
 
 
 def _elements(text, sep_regex: str):
-    """Trimmed non-empty elements of ``text`` split on ``sep_regex``."""
+    """Trimmed non-empty elements of ``text`` split on ``sep_regex``.
+
+    Trim = explicit ``\\s``-class strip, NOT ``F.trim`` — SQL trim
+    removes only the space character, so a tab-padded line would
+    survive in one engine and vanish in another (Python ``strip()``
+    and DuckDB ``trim()`` disagree with it in different directions).
+    """
     return F.filter(F.transform(F.split(text, sep_regex),
-                                lambda e: F.trim(e)),
+                                lambda e: F.regexp_replace(
+                                    e, r"^\s+|\s+$", "")),
                     lambda e: F.length(e) > 0)
 
 

@@ -20,10 +20,13 @@ _WS = r"[ \t\n\x0b\f\r]+"
 def py_repetition_stats(text: str | None) -> dict:
     """Independent recomputation of all 13 measures."""
     text = text or ""
+    def jtrim(e):  # the engine's explicit \s-class strip (Java set)
+        return re.sub(rf"^(?:{_WS})|(?:{_WS})$", "", e)
+
     toks = [t for t in re.split(_WS, text) if t]
-    lines = [e.strip() for e in text.split("\n") if e.strip()]
-    paras = [e.strip() for e in re.split(r"\n[ \t\r]*\n", text)
-             if e.strip()]
+    lines = [e for e in (jtrim(x) for x in text.split("\n")) if e]
+    paras = [e for e in (jtrim(x)
+                         for x in re.split(r"\n[ \t\r]*\n", text)) if e]
 
     def dup(els):
         c = Counter(els)
@@ -71,6 +74,7 @@ DOCS = [
     (10, "wordy " + " ".join(f"tok{i}" for i in range(120))),  # clean long
     (11, "mixed nbsp separated tokens stay joined"),  # NBSP: Java
     (12, "start " + " ".join(f"w{i % 9}" for i in range(90)) + " end"),
+    (13, "\tweird pad\t\n\tweird pad  \nclean tail line"),  # tab trim
 ]
 
 
