@@ -286,6 +286,64 @@ def prepare_corpus_cols(docs):
     return docs.select("doc_id", text.alias("text"), url.alias("url"))
 
 
+def _replicated_prep_docs(spark, K: int):
+    """The shared scaling corpus: sf documents replicated xK with the
+    constructed banner/footer/url crawl columns (disk-cached per K)."""
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    # v2: the v1 cache carried single-registrable-domain urls (r5 review)
+    docs_dir = os.path.join(REPO, ".bench_cache",
+                            f"prep_docs_v2_{sf_tag}_x{K}")
+    if not os.path.exists(os.path.join(docs_dir, "_done")):
+        raw = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        docs = None
+        for k in range(K):
+            rep = raw.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+                F.concat(F.col("text"),
+                         F.lit(f" rep {k} marker {k * 7919}")).alias("text"))
+            docs = rep if docs is None else docs.unionByName(rep)
+        prepare_corpus_cols(docs).write.mode("overwrite") \
+            .parquet(os.path.join(docs_dir, "docs"))
+        open(os.path.join(docs_dir, "_done"), "w").close()
+    return spark.read.parquet(os.path.join(docs_dir, "docs"))
+
+
+def repetition_only(cpus: int) -> None:
+    """Child mode for ``--scaling --job repetition``: the full Gopher
+    repetition table (the newest shuffle-heavy prepare operator) over
+    the shared replicated crawl corpus.  x16 (~770k docs) keeps one
+    run at tens of seconds on the big level — long enough to amortize
+    scheduling, short enough for the 3-run median discipline."""
+    from khl_pdf_ocr_spark.operators.repetition import \
+        gopher_repetition_stats
+    from khl_pdf_ocr_spark.session import get_spark
+
+    spark = get_spark(f"bench-repetition-{cpus}", cpus=cpus,
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  "16777216"})
+    K = int(os.environ.get("SPARK_GRAFT_REP_REPLICATE", "16"))
+    tbl = _replicated_prep_docs(spark, K).select("doc_id", "text")
+    n = tbl.count()
+
+    def run_chain():
+        gopher_repetition_stats(tbl).write.format("noop") \
+            .mode("overwrite").save()
+
+    run_chain()                                    # warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run_chain()
+        times.append(round(time.time() - t0, 3))
+    med = sorted(times)[1]
+    print(json.dumps({"cpus": cpus, "n_docs": n, "elapsed_s": med,
+                      "docs_per_sec": round(n / med, 1),
+                      "all_runs": times}))
+    spark.stop()
+
+
 def prepare_only(cpus: int) -> None:
     """Child mode for ``--scaling --job prepare``: the corpus-balancing
     chain (domain caps → paragraph dedup, the clean_cli order) over the
@@ -310,23 +368,7 @@ def prepare_only(cpus: int) -> None:
     # the gate measures the chain, not the scheduler; the env var lets
     # a quick probe run cheaply
     K = int(os.environ.get("SPARK_GRAFT_PREP_REPLICATE", "256"))
-    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
-    # v2: the v1 cache carried single-registrable-domain urls (r5 review)
-    docs_dir = os.path.join(REPO, ".bench_cache",
-                            f"prep_docs_v2_{sf_tag}_x{K}")
-    if not os.path.exists(os.path.join(docs_dir, "_done")):
-        raw = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        docs = None
-        for k in range(K):
-            rep = raw.select(
-                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
-                F.concat(F.col("text"),
-                         F.lit(f" rep {k} marker {k * 7919}")).alias("text"))
-            docs = rep if docs is None else docs.unionByName(rep)
-        prepare_corpus_cols(docs).write.mode("overwrite") \
-            .parquet(os.path.join(docs_dir, "docs"))
-        open(os.path.join(docs_dir, "_done"), "w").close()
-    tbl = spark.read.parquet(os.path.join(docs_dir, "docs"))
+    tbl = _replicated_prep_docs(spark, K)
     n = tbl.count()
 
     def run_chain():
@@ -350,7 +392,8 @@ def scaling(cpus_big: int, job: str = "extract") -> dict:
     cpus_small = max(1, cpus_big // 4)
     flag = {"extract": "--extract-only",
             "increment": "--increment-only",
-            "prepare": "--prepare-only"}[job]
+            "prepare": "--prepare-only",
+            "repetition": "--repetition-only"}[job]
     results = {}
     for c in (cpus_small, cpus_big):
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
@@ -379,8 +422,10 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--increment-only", action="store_true")
     ap.add_argument("--prepare-only", action="store_true")
+    ap.add_argument("--repetition-only", action="store_true")
     ap.add_argument("--job", default="extract",
-                    choices=["extract", "increment", "prepare"],
+                    choices=["extract", "increment", "prepare",
+                             "repetition"],
                     help="which job --scaling measures: the extraction "
                          "pipeline, the steady-state daily increment "
                          "(day 3 against two days of persisted state), "
@@ -404,6 +449,10 @@ def main() -> None:
 
     if args.prepare_only:
         prepare_only(args.cpus)
+        return
+
+    if args.repetition_only:
+        repetition_only(args.cpus)
         return
 
     if args.scaling:

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["word_frequency_table", "train_bpe", "bpe_segment",
            "encode_word", "with_bpe_piece_counts", "save_merges",
-           "load_merges"]
+           "load_merges", "corpus_alphabet", "build_vocab",
+           "save_vocab", "load_vocab", "bpe_encode"]
 
 END = "</w>"  # word-final marker (Sennrich): "est" mid-word != "est</w>"
 
@@ -173,6 +174,123 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     """Load a ``save_merges`` table back in rank order."""
     return [(r["left"], r["right"]) for r in
             spark.read.parquet(path).orderBy("rank").collect()]
+
+
+UNK = "<unk>"
+
+
+def corpus_alphabet(word_freqs: DataFrame) -> list[str]:
+    """The base symbol set of a trained tokenizer, derived from the
+    SAME (word, n) table the trainer consumed: every character that
+    occurs in any word, in both its mid-word form ``c`` and its
+    word-final form ``c</w>`` (the trainer fuses END onto the last
+    character, so both forms are reachable encode-time symbols).
+
+    One explode → distinct over the Zipf-small word table — the result
+    is alphabet-sized (hundreds of rows), never corpus-sized, so the
+    driver collect is bounded by construction.
+    """
+    chars = (word_freqs
+             .select(F.explode(F.split("word", "")).alias("c"))
+             .filter(F.length("c") > 0).distinct())
+    out: list[str] = []
+    for r in chars.collect():
+        out.append(r["c"])
+        out.append(r["c"] + END)
+    return sorted(out)
+
+
+def build_vocab(merges: list[tuple[str, str]],
+                alphabet: list[str]) -> dict[str, int]:
+    """piece → id mapping, fully determined by (merges, alphabet):
+    id 0 is ``<unk>`` (any piece outside the vocabulary — a character
+    never seen at training time), then the sorted base alphabet, then
+    one symbol per merge in rank order (exactly how subword-nmt and the
+    GPT-2 tokenizer number their vocabularies: base symbols first,
+    merged symbols in learned order).
+
+    Two different merges can concatenate to the same surface string
+    (``ab``+``c`` and ``a``+``bc`` both yield ``abc``); the first
+    occurrence keeps its id and later duplicates are skipped, so ids
+    stay dense and the mapping piece→id is a function.
+    """
+    vocab: dict[str, int] = {UNK: 0}
+    for sym in sorted(set(alphabet)):
+        vocab.setdefault(sym, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def save_vocab(spark, vocab: dict[str, int], path: str) -> None:
+    """Persist a vocabulary as (id, piece) parquet."""
+    spark.createDataFrame(sorted((i, p) for p, i in vocab.items()),
+                          "id long, piece string").write \
+        .mode("overwrite").parquet(path)
+
+
+def load_vocab(spark, path: str) -> dict[str, int]:
+    """Load a ``save_vocab`` table back as piece → id."""
+    return {r["piece"]: int(r["id"])
+            for r in spark.read.parquet(path).collect()}
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               vocab: dict[str, int], *, text_col: str,
+               out_col: str = "token_ids",
+               lowercase: bool = True) -> DataFrame:
+    """Append ``out_col`` = the text's BPE token ids (``array<int>``)
+    to every input row — the stage that turns packed shards into
+    model-ready training data (ids, not strings, are what a trainer
+    memory-maps).  NULL text encodes to an empty array; pieces outside
+    the vocabulary map to id 0 (``<unk>``).
+
+    Scale shape: the merge table and vocabulary broadcast (a few 10k
+    entries each); encoding runs in Arrow batches with a per-task
+    word → ids cache, so the cost is per *distinct* word per task —
+    Zipf makes the hit rate enormous.  This deliberately mirrors
+    ``with_bpe_piece_counts`` (same broadcast + cache shape) rather
+    than the distinct-word-join alternative: the join would trade one
+    extra corpus shuffle (explode → join → re-collect in order) for
+    cache misses the cache already absorbs.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        ({pair: i for i, pair in enumerate(merges)}, dict(vocab)))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType(), False))])
+
+    def enc(batches):
+        ranks, voc = bc.value
+        unk = voc[UNK]
+        cache: dict = {}
+        ids_cache: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = ids_cache.get(w)
+            if got is None:
+                got = [voc.get(p, unk)
+                       for p in encode_word(w, ranks, cache)]
+                ids_cache[w] = got
+            return got
+
+        def doc_ids(t):
+            if t is None:
+                return []
+            out: list[int] = []
+            for w in (t.lower() if lowercase else t).split():
+                out.extend(word_ids(w))
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [doc_ids(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(enc, schema)
 
 
 def with_bpe_piece_counts(df: DataFrame, merges: list[tuple[str, str]], *,

@@ -620,7 +620,14 @@ def pack_sequences(chunks: DataFrame, *, len_col: str = "n_tokens",
     out_schema = T.StructType(
         list(bucketed.schema.fields)
         + [T.StructField("pack_id", T.LongType(), False)])
-    order_cols = [len_col] + [c for c in in_cols if c != len_col]
+    # only atomic-typed columns can key the in-bucket sort: pandas
+    # cannot hash/compare array//map/struct cells (token_ids payloads
+    # arrive as ndarrays), and the scalar columns already carry the
+    # identifying keys that make the order total in practice
+    atomic = {f.name for f in chunks.schema.fields
+              if isinstance(f.dataType, T.AtomicType)}
+    order_cols = [len_col] + [c for c in in_cols
+                              if c != len_col and c in atomic]
     ascending = [False] + [True] * (len(order_cols) - 1)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

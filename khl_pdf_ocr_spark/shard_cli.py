@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
                          "whitespace words — whitespace undercounts by "
                          "pieces_per_word, so a whitespace-packed shard "
                          "overflows the context window at train time)")
+    ap.add_argument("--emit-token-ids", action="store_true",
+                    help="with --bpe-merges and --bpe-vocab: write each "
+                         "chunk's BPE token ids (array<int>) into the "
+                         "shard rows — model-ready ids, not strings.  "
+                         "One encode pass serves both the ids and the "
+                         "piece counts packing is denominated in")
+    ap.add_argument("--bpe-vocab", default=None, metavar="PATH",
+                    help="vocabulary table from bpe.save_vocab "
+                         "(piece -> id), required by --emit-token-ids")
     ap.add_argument("--mixture", default=None, metavar="SPEC",
                     help="per-source mixture weights 'wiki=4,web=2,"
                          "code=1' (same name=weight format as --split; "
@@ -101,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         weights = parse_split_weights(args.split)
     except ValueError as e:
         ap.error(str(e))
+    if args.emit_token_ids and not (args.bpe_merges and args.bpe_vocab):
+        ap.error("--emit-token-ids requires both --bpe-merges and "
+                 "--bpe-vocab (ids are defined by the trained merge "
+                 "table plus its vocabulary numbering)")
+    if args.bpe_vocab and not args.emit_token_ids:
+        ap.error("--bpe-vocab only makes sense with --emit-token-ids")
     if args.mixture is not None and args.mixture_temperature is not None:
         ap.error("--mixture and --mixture-temperature are mutually "
                  "exclusive (explicit weights vs derived weights)")
@@ -166,11 +181,21 @@ def main(argv: list[str] | None = None) -> int:
         len_col = "n_tokens"
         if args.bpe_merges:
             from khl_pdf_ocr_spark.operators.bpe import (
-                load_merges, with_bpe_piece_counts)
+                bpe_encode, load_merges, load_vocab,
+                with_bpe_piece_counts)
 
-            chunks = with_bpe_piece_counts(
-                chunks, load_merges(spark, args.bpe_merges),
-                text_col="chunk_text")
+            merges = load_merges(spark, args.bpe_merges)
+            if args.emit_token_ids:
+                # one encode pass yields both the ids the trainer
+                # consumes and the piece counts packing is sized by
+                chunks = bpe_encode(chunks, merges,
+                                    load_vocab(spark, args.bpe_vocab),
+                                    text_col="chunk_text")
+                chunks = chunks.withColumn(
+                    "n_pieces", F.size("token_ids").cast("long"))
+            else:
+                chunks = with_bpe_piece_counts(chunks, merges,
+                                               text_col="chunk_text")
             len_col = "n_pieces"
         split = hash_split(chunks, id_col=args.id_col, weights=weights,
                            seed=args.seed)

@@ -164,3 +164,147 @@ def test_shard_cli_packs_on_bpe_pieces(spark, tmp_path):
     infl = rb.filter(F.col("n_pieces") < F.col("n_tokens")).count()
     assert infl == 0
     assert rb.filter(F.col("n_pieces") > F.col("n_tokens")).count() > 0
+
+
+def test_build_vocab_numbering_and_duplicate_surfaces():
+    from khl_pdf_ocr_spark.operators.bpe import UNK, build_vocab
+
+    # two merge paths to the same surface string "abc" — first keeps
+    # its id, second is skipped, ids stay dense
+    merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")]
+    vocab = build_vocab(merges, ["b", "a", "a" + END])
+    assert vocab[UNK] == 0
+    # sorted base alphabet next
+    assert vocab["a"] == 1 and vocab["a" + END] == 2 and vocab["b"] == 3
+    # merges in rank order; "abc" (rank 1) keeps id, rank-3 dup skipped
+    assert vocab["ab"] == 4 and vocab["abc"] == 5 and vocab["bc"] == 6
+    assert len(vocab) == 7 and len(set(vocab.values())) == 7
+
+
+def test_corpus_alphabet_both_forms(spark):
+    from khl_pdf_ocr_spark.operators.bpe import corpus_alphabet
+
+    wf = spark.createDataFrame([("low", 5), ("cab", 2)], "word string, n long")
+    alpha = corpus_alphabet(wf)
+    chars = set("lowcab")
+    assert set(alpha) == chars | {c + END for c in chars}
+    assert alpha == sorted(alpha)          # deterministic order
+
+
+def test_save_load_vocab_roundtrip(spark, tmp_path):
+    from khl_pdf_ocr_spark.operators.bpe import (build_vocab, load_vocab,
+                                                 save_vocab)
+
+    merges, _ = train_bpe(SENNRICH, n_merges=6, min_pair_count=1)
+    vocab = build_vocab(merges, ["l", "o", "w" + END])
+    save_vocab(spark, vocab, str(tmp_path / "v"))
+    assert load_vocab(spark, str(tmp_path / "v")) == vocab
+    save_vocab(spark, {"<unk>": 0}, str(tmp_path / "v"))  # overwrite
+    assert load_vocab(spark, str(tmp_path / "v")) == {"<unk>": 0}
+
+
+def test_bpe_encode_matches_driver_and_handles_oov(spark):
+    """token_ids per doc == the driver's per-word encode mapped through
+    the vocabulary; NULL text → empty array; a character never seen at
+    training time → <unk> (id 0); decode(ids) is lossless back to the
+    normalized text."""
+    from khl_pdf_ocr_spark.operators.bpe import (UNK, bpe_encode,
+                                                 build_vocab,
+                                                 corpus_alphabet,
+                                                 word_frequency_table)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, "low ß zzz")],
+        "doc_id long, text string")
+    docs = docs.select("doc_id", "text").unionByName(extra)
+
+    wf = word_frequency_table(docs)
+    merges, _ = train_bpe(wf, n_merges=120)
+    vocab = build_vocab(merges, corpus_alphabet(wf))
+    out = {r["doc_id"]: list(r["token_ids"])
+           for r in bpe_encode(docs, merges, vocab,
+                               text_col="text").collect()}
+    assert set(out) == {r["doc_id"] for r in docs.collect()}
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    id2p = {i: p for p, i in vocab.items()}
+    cache: dict = {}
+    for r in docs.collect():
+        ids = out[r["doc_id"]]
+        if r["text"] is None:
+            assert ids == []
+            continue
+        want = []
+        for w in r["text"].lower().split():
+            want.extend(vocab.get(p, 0) for p in encode_word(w, ranks, cache))
+        assert ids == want
+        if 0 not in ids:   # no <unk>: decode is exactly lossless
+            dec = "".join(id2p[i] for i in ids).replace(END, " ").strip()
+            assert dec == " ".join(r["text"].lower().split())
+    # the planted doc trains too, so its words are in-vocab — but ß
+    # lowercases identically and IS seen; verify true OOV via a vocab
+    # built WITHOUT it
+    poor = build_vocab(merges, [c for c in corpus_alphabet(wf)
+                                if "ß" not in c])
+    row = {r["doc_id"]: list(r["token_ids"])
+           for r in bpe_encode(docs.filter(F.col("doc_id") == 900002),
+                               merges, poor, text_col="text").collect()}
+    assert 0 in row[900002] and poor[UNK] == 0
+
+
+def test_shard_cli_emit_token_ids(spark, tmp_path):
+    """--emit-token-ids: shard rows carry model-ready ids; n_pieces ==
+    size(token_ids) (one encode pass serves both); flag validation."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from khl_pdf_ocr_spark.operators.bpe import (build_vocab,
+                                                 corpus_alphabet,
+                                                 save_merges, save_vocab,
+                                                 word_frequency_table)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "kept")
+    docs.write.parquet(inp)
+    wf = word_frequency_table(docs)
+    merges, _ = train_bpe(wf, n_merges=50)
+    mp, vp = str(tmp_path / "merges"), str(tmp_path / "vocab")
+    save_merges(spark, merges, mp)
+    save_vocab(spark, build_vocab(merges, corpus_alphabet(wf)), vp)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "shards")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+         "--input", inp, "--output", out,
+         "--max-tokens", "32", "--overlap", "4", "--capacity", "256",
+         "--split", "train=1.0", "--bpe-merges", mp, "--bpe-vocab", vp,
+         "--emit-token-ids", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=repo)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["len_col"] == "n_pieces"
+    rb = spark.read.parquet(out)
+    assert "token_ids" in rb.columns
+    assert rb.filter(F.size("token_ids") != F.col("n_pieces")).count() == 0
+    assert rb.filter(F.size("token_ids") > 0).count() == rb.count()
+    over = (rb.groupBy("split", "pack_id")
+            .agg(F.sum("n_pieces").alias("load"))
+            .filter(F.col("load") > 256).count())
+    assert over == 0
+
+    # flag validation: both halves required, each direction
+    for argv in ([ "--emit-token-ids", "--bpe-merges", mp],
+                 ["--bpe-vocab", vp]):
+        q = subprocess.run(
+            [sys.executable, "-m", "khl_pdf_ocr_spark.shard_cli",
+             "--input", inp, "--output", str(tmp_path / "x"),
+             "--max-tokens", "32", "--split", "train=1.0"] + argv,
+            capture_output=True, text=True, timeout=120, cwd=repo)
+        assert q.returncode == 2
+        assert "emit-token-ids" in q.stderr

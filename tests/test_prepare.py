@@ -745,3 +745,29 @@ def test_parse_split_weights():
         parse_split_weights("train=0.5,train=0.5")
     with pytest.raises(ValueError, match="bad split spec"):
         parse_split_weights("train=0.5,oops")
+
+
+def test_pack_sequences_carries_array_payload_columns(spark):
+    """Complex-typed payload columns (token_ids from bpe_encode) ride
+    through packing untouched: pandas cannot hash/sort ndarray cells,
+    so they must not join the in-bucket ordering key — and the result
+    must stay deterministic via the scalar key columns alone."""
+    from khl_pdf_ocr_spark.operators.prepare import pack_sequences
+
+    rows = [(f"d{i}", j, 10 + (i * 7 + j * 3) % 40,
+             list(range(j, j + 3)))
+            for i in range(50) for j in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id string, chunk_id int, n_tokens int, "
+              "token_ids array<int>")
+    packed = pack_sequences(chunks, capacity=64, n_buckets=8)
+    got = {(r["doc_id"], r["chunk_id"]): (r["pack_id"],
+                                          list(r["token_ids"]))
+           for r in packed.collect()}
+    assert len(got) == 150
+    for (d, j), (_, ids) in got.items():
+        assert ids == list(range(j, j + 3))      # payload untouched
+    again = {(r["doc_id"], r["chunk_id"]): r["pack_id"]
+             for r in pack_sequences(chunks.repartition(7), capacity=64,
+                                     n_buckets=8).collect()}
+    assert again == {k: v[0] for k, v in got.items()}
