@@ -313,17 +313,27 @@ def _replicated_prep_docs(spark, K: int):
 def repetition_only(cpus: int) -> None:
     """Child mode for ``--scaling --job repetition``: the full Gopher
     repetition table (the newest shuffle-heavy prepare operator) over
-    the shared replicated crawl corpus.  x16 (~770k docs) keeps one
-    run at tens of seconds on the big level — long enough to amortize
-    scheduling, short enough for the 3-run median discipline."""
+    the shared replicated crawl corpus.  x64 (320k docs): the 13-measure
+    query carries a ~3-6 s per-run DRIVER-side constant (Catalyst
+    planning of the 9-way tagged explode + window plan, measured at
+    3.1-3.6 s on a 1-row input), so the corpus must be big enough that
+    the data-parallel term dominates — x16 runs finish in ~18 s on 16
+    cores and the constant alone caps efficiency at ~0.75."""
     from khl_pdf_ocr_spark.operators.repetition import \
         gopher_repetition_stats
     from khl_pdf_ocr_spark.session import get_spark
 
+    # the replicated corpus snappy-compresses ~24x (repeated text), so
+    # size-based split packing underestimates tokenize work per byte:
+    # 16 MB splits give ONE task wave on 16 cores and the slowest task
+    # sets the stage time.  2 MB splits (+ scaled-down openCost, the
+    # r4 §4.15 pairing) give ~4 waves — granular enough to balance.
     spark = get_spark(f"bench-repetition-{cpus}", cpus=cpus,
                       extra_conf={"spark.sql.files.maxPartitionBytes":
-                                  "16777216"})
-    K = int(os.environ.get("SPARK_GRAFT_REP_REPLICATE", "16"))
+                                  "2097152",
+                                  "spark.sql.files.openCostInBytes":
+                                  "262144"})
+    K = int(os.environ.get("SPARK_GRAFT_REP_REPLICATE", "64"))
     tbl = _replicated_prep_docs(spark, K).select("doc_id", "text")
     n = tbl.count()
 

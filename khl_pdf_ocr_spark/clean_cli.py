@@ -201,6 +201,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="deterministic split assignment, e.g. "
                          "'train=0.98,val=0.01,test=0.01'; kept output "
                          "gains a split column and is partitioned by it")
+    ap.add_argument("--datacard", default=None, metavar="PATH",
+                    help="write a training-data card (JSON: composition "
+                         "by source/lang/split, token totals + length "
+                         "quantiles, filter funnel, top domains) "
+                         "aggregated from the written outputs")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -564,6 +569,19 @@ def main(argv: list[str] | None = None) -> int:
             stats["splits"] = {r["split"]: r["n"] for r in
                                kept_rb.groupBy("split")
                                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if args.datacard:
+            from khl_pdf_ocr_spark.datacard import build_datacard
+
+            # aggregated from the READ-BACK outputs (the stats rule):
+            # the card describes what was actually written
+            card = build_datacard(
+                kept_rb, ledger_rb, text_col=args.text_col,
+                source_col="source", lang_col="lang",
+                split_col="split" if args.split else None,
+                url_col=args.url_col)
+            with open(args.datacard, "w") as fh:
+                json.dump(card, fh, indent=2, sort_keys=True)
+            stats["datacard"] = args.datacard
         for cached in audit.get("persisted", ()):
             cached.unpersist()
         print(json.dumps(stats))
