@@ -201,6 +201,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="deterministic split assignment, e.g. "
                          "'train=0.98,val=0.01,test=0.01'; kept output "
                          "gains a split column and is partitioned by it")
+    ap.add_argument("--lm-tiers", action="store_true",
+                    help="with --quality-lm: add a CCNet-style lm_tier "
+                         "column (head/middle/tail by avg_logprob) to "
+                         "the kept output; boundaries from the batch "
+                         "quantiles at --lm-tier-fractions, or frozen "
+                         "--lm-tier-cutoffs; per-tier counts + cutoffs "
+                         "land in run stats")
+    ap.add_argument("--lm-tier-fractions", default="0.333,0.667",
+                    metavar="LO,HI",
+                    help="batch quantiles of avg_logprob that bound the "
+                         "tiers (default terciles)")
+    ap.add_argument("--lm-tier-cutoffs", default=None, metavar="LO,HI",
+                    help="absolute avg_logprob tier boundaries instead "
+                         "of batch quantiles (reproducible across "
+                         "batches; use the equals form for negative "
+                         "values: --lm-tier-cutoffs=-8.1,-6.9)")
     ap.add_argument("--datacard", default=None, metavar="PATH",
                     help="write a training-data card (JSON: composition "
                          "by source/lang/split, token totals + length "
@@ -230,6 +246,25 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--save-lm/--lm-cutoffs require --quality-lm")
     if args.save_lm and args.quality_lm != "train":
         ap.error("--save-lm only applies to --quality-lm train")
+    tier_fractions = tier_cutoffs = None
+    if args.lm_tiers:
+        if not args.quality_lm:
+            ap.error("--lm-tiers requires --quality-lm (tiers are "
+                     "defined by the LM score)")
+        if args.lm_tier_cutoffs:
+            tier_cutoffs = parse_bounds(args.lm_tier_cutoffs)
+            if None in tier_cutoffs or tier_cutoffs[0] > tier_cutoffs[1]:
+                ap.error(f"--lm-tier-cutoffs must be LO,HI with "
+                         f"LO <= HI, got {args.lm_tier_cutoffs!r}")
+        else:
+            tier_fractions = parse_bounds(args.lm_tier_fractions)
+            if (None in tier_fractions
+                    or not 0 < tier_fractions[0] < tier_fractions[1] < 1):
+                ap.error(f"--lm-tier-fractions must be quantiles with "
+                         f"0 < LO < HI < 1, "
+                         f"got {args.lm_tier_fractions!r}")
+    elif args.lm_tier_cutoffs:
+        ap.error("--lm-tier-cutoffs requires --lm-tiers")
     if args.quality_classifier:
         if (args.clf_threshold is None) == (args.clf_pareto is None):
             ap.error("--quality-classifier requires exactly one of "
@@ -480,6 +515,31 @@ def main(argv: list[str] | None = None) -> int:
                     .drop(args.text_col)
                     .withColumnRenamed(f"{args.text_col}_redacted",
                                        args.text_col))
+        if args.lm_tiers:
+            from khl_pdf_ocr_spark.operators.textstats import (
+                bigram_logprob_scores, lm_tier_assign,
+                unigram_logprob_scores)
+
+            # tiers score the FINAL text (post span-strip/redaction),
+            # and the quantile derivation + the later write both read
+            # the kept lineage — persist once (the lm_tails precedent)
+            kept = kept.persist()
+            audit.setdefault("persisted", []).append(kept)
+            scores = (bigram_logprob_scores(kept, lm[0], lm[1],
+                                            text_col=args.text_col,
+                                            id_col=args.id_col)
+                      if args.lm_order == 2 else
+                      unigram_logprob_scores(kept, lm,
+                                             text_col=args.text_col,
+                                             id_col=args.id_col))
+            kept = kept.join(
+                scores.select(args.id_col, "avg_logprob"),
+                args.id_col, "left")
+            kept = lm_tier_assign(
+                kept, cutoffs=tier_cutoffs,
+                **({"fractions": tier_fractions}
+                   if tier_fractions else {}),
+                audit=audit).drop("avg_logprob")
         partition_by: tuple = ()
         if split_weights:
             from khl_pdf_ocr_spark.operators.prepare import hash_split
@@ -531,6 +591,12 @@ def main(argv: list[str] | None = None) -> int:
             }
         if "lm_cutoffs" in audit:
             stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
+        if args.lm_tiers:
+            stats["lm_tiers"] = {
+                (r["lm_tier"] if r["lm_tier"] is not None else "(null)"):
+                r["n"] for r in kept_rb.groupBy("lm_tier")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+            stats["lm_tier_cutoffs"] = audit.get("lm_tier_cutoffs")
         if "hot_domains" in audit:
             # no-silent-caps: how many domains actually hit the cap
             # (reads the persisted tagged frame, not the live lineage)

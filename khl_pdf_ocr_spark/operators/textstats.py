@@ -12,7 +12,8 @@ from khl_pdf_ocr_spark.functions import text as X
 
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
            "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores",
-           "train_bigram_lm", "bigram_logprob_scores", "save_lm", "load_lm"]
+           "train_bigram_lm", "bigram_logprob_scores", "save_lm", "load_lm",
+           "lm_tier_assign"]
 
 
 def save_lm(lm, path: str) -> None:
@@ -357,3 +358,86 @@ def unigram_logprob_scores(df: DataFrame, lm: DataFrame, *,
                  F.avg("lp").alias("avg_logprob"))
             .select(F.col("id").alias(id_col), "n_scored_tokens",
                     "avg_logprob"))
+
+
+def lm_tier_assign(scored: DataFrame, *, score_col: str = "avg_logprob",
+                   by: str | None = None,
+                   fractions: tuple[float, float] = (1 / 3, 2 / 3),
+                   cutoffs: tuple[float, float] | None = None,
+                   out_col: str = "lm_tier",
+                   relative_error: float = 1e-4,
+                   audit: dict | None = None) -> DataFrame:
+    """CCNet-style quality tiers: bucket documents into ``tail`` /
+    ``middle`` / ``head`` by their LM score (CCNet §4.3 splits each
+    language's crawl into perplexity terciles and publishes the tiers
+    instead of hard-filtering; head = lowest perplexity = HIGHEST
+    ``avg_logprob`` here).
+
+    ``scored`` must already carry ``score_col`` (the output of
+    ``unigram_logprob_scores``/``bigram_logprob_scores`` joined onto
+    the corpus, or any other quality score).  Tier boundaries come
+    from either
+
+    - ``cutoffs=(lo, hi)`` — explicit frozen values (the increment /
+      reproducibility path: score a new batch against the REFERENCE
+      corpus's boundaries, exactly how CCNet scores every crawl
+      against the Wikipedia-trained model's terciles), or
+    - the batch's own quantiles at ``fractions`` — global, or
+      PER-GROUP when ``by`` names a column (CCNet's per-language
+      terciles).  Derived via ``percentile_approx`` (one aggregate
+      row, or one bounded-cardinality group aggregate broadcast back);
+      the corpus never shuffles — tier assignment is a projection.
+
+    NULL scores (docs with no scorable tokens) get a NULL tier —
+    unjudgeable is not ``tail``.  ``audit`` receives
+    ``lm_tier_cutoffs``: ``{"_global": [lo, hi]}`` or per-group values.
+    """
+    if not (0 < fractions[0] < fractions[1] < 1):
+        raise ValueError(f"fractions must satisfy 0 < lo < hi < 1, "
+                         f"got {fractions!r}")
+    accuracy = max(100, int(1.0 / relative_error))
+    s = F.col(score_col)
+    if cutoffs is not None:
+        lo, hi = float(cutoffs[0]), float(cutoffs[1])
+        if not lo <= hi:
+            raise ValueError(f"cutoffs must satisfy lo <= hi, "
+                             f"got {cutoffs!r}")
+        if audit is not None:
+            audit["lm_tier_cutoffs"] = {"_global": [lo, hi]}
+        tier = (F.when(s.isNull(), None)
+                .when(s >= hi, "head")
+                .when(s >= lo, "middle")
+                .otherwise("tail"))
+        return scored.withColumn(out_col, tier)
+    q = F.percentile_approx(score_col, list(fractions), accuracy)
+    if by is None:
+        row = scored.agg(q.alias("q")).first()
+        qs = row["q"]
+        if qs is None or any(v is None for v in qs):
+            raise ValueError(
+                f"cannot derive tier cutoffs: no non-NULL {score_col!r} "
+                "values in the batch (pass cutoffs= explicitly)")
+        return lm_tier_assign(scored, score_col=score_col,
+                              cutoffs=(float(qs[0]), float(qs[1])),
+                              out_col=out_col, audit=audit)
+    # per-group boundaries: the group table is bounded (languages,
+    # sources), so it broadcasts; groups whose scores are all NULL get
+    # NULL bounds and their rows a NULL tier (disclosed in the audit)
+    bounds = (scored.groupBy(F.col(by).alias("_tier_key"))
+              .agg(q.alias("_tier_q")))
+    if audit is not None:
+        audit["lm_tier_cutoffs"] = {
+            r["_tier_key"]: ([float(r["_tier_q"][0]),
+                              float(r["_tier_q"][1])]
+                             if r["_tier_q"] is not None else None)
+            for r in bounds.collect()}
+    joined = scored.join(
+        F.broadcast(bounds),
+        F.col(by).eqNullSafe(F.col("_tier_key")), "left")
+    lo_b, hi_b = F.col("_tier_q")[0], F.col("_tier_q")[1]
+    tier = (F.when(s.isNull() | F.col("_tier_q").isNull(), None)
+            .when(s >= hi_b, "head")
+            .when(s >= lo_b, "middle")
+            .otherwise("tail"))
+    return (joined.withColumn(out_col, tier)
+            .drop("_tier_key", "_tier_q"))
