@@ -98,6 +98,11 @@ DSIR_BUCKETS = 4096  # hashed-n-gram feature buckets for doc_dsir_scores
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.15, "src3": 0.1,
                "src4": 0.04, "src5": 0.01}
 MIX_BUDGET, MIX_SEED = 4000, 7
+# frozen CCNet tier boundaries for doc_unigram_quality's lm_tier
+# ride-along: the sf0.01 corpus's avg_logprob terciles, pinned as
+# literals (the cross-batch-reproducible path) so both engines
+# compare identical rounded doubles
+LM_TIER_LO, LM_TIER_HI = -3.4039, -3.3998
 
 
 def _ann_cache(kind: str, sf_dir: str, tag: str) -> str:
@@ -1148,14 +1153,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the default F.avg depends on arrival order), and the DuckDB
         # twin folds the same sorted list, so values match to the last
         # ulp before the shared round-half-up at 5 decimals.
+        # lm_tier rides along (textstats.lm_tier_assign, the CCNet
+        # head/middle/tail split): FROZEN literal cutoffs — the
+        # reproducible cross-batch path — assigned on the ROUNDED
+        # score, so both engines compare identical doubles and the
+        # tier is exact, not quantile-approximate.
         from khl_pdf_ocr_spark.operators.textstats import (
-            train_unigram_lm, unigram_logprob_scores)
+            lm_tier_assign, train_unigram_lm, unigram_logprob_scores)
 
         docs = spark.read.parquet(_t(sf_dir, "documents"))
         lm = train_unigram_lm(docs)
         s = unigram_logprob_scores(docs, lm, deterministic_fold=True)
-        return s.select("doc_id", "n_scored_tokens",
-                        _r(F.col("avg_logprob"), 5).alias("avg_logprob"))
+        scored = s.select("doc_id", "n_scored_tokens",
+                          _r(F.col("avg_logprob"), 5).alias("avg_logprob"))
+        return lm_tier_assign(scored, cutoffs=(LM_TIER_LO, LM_TIER_HI))
 
     q["doc_unigram_quality"] = doc_unigram_quality
 
@@ -1868,13 +1879,21 @@ def oracle_sql() -> dict[str, str]:
           WHERE length(t.token) > 0
           GROUP BY t.doc_id
         )
-        SELECT d.doc_id,
-               coalesce(len(f.lps), 0) AS n_scored_tokens,
-               CASE WHEN len(f.lps) > 0 THEN
-                 floor((list_reduce(f.lps, (a, b) -> a + b) / len(f.lps))
-                       * 100000.0 + 0.5) / 100000.0
-               END AS avg_logprob
-        FROM documents d LEFT JOIN folded f USING (doc_id)
+        , scored AS (
+          SELECT d.doc_id,
+                 coalesce(len(f.lps), 0) AS n_scored_tokens,
+                 CASE WHEN len(f.lps) > 0 THEN
+                   floor((list_reduce(f.lps, (a, b) -> a + b) / len(f.lps))
+                         * 100000.0 + 0.5) / 100000.0
+                 END AS avg_logprob
+          FROM documents d LEFT JOIN folded f USING (doc_id)
+        )
+        SELECT doc_id, n_scored_tokens, avg_logprob,
+               CASE WHEN avg_logprob IS NULL THEN NULL
+                    WHEN avg_logprob >= {LM_TIER_HI} THEN 'head'
+                    WHEN avg_logprob >= {LM_TIER_LO} THEN 'middle'
+                    ELSE 'tail' END AS lm_tier
+        FROM scored
     """
 
     # doc_repeated_spans: INDEPENDENT recomputation — DuckDB groups by
