@@ -190,6 +190,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--para-min-chars", type=int, default=1,
                     help="paragraphs whose normalized form is shorter "
                          "than this are exempt from --dedup-paragraphs")
+    ap.add_argument("--lm-tiers", action="store_true",
+                    help="with --quality-lm: add the CCNet lm_tier "
+                         "column (head/middle/tail) to kept output "
+                         "using FROZEN --lm-tier-cutoffs — per-batch "
+                         "quantiles would make tiers mean different "
+                         "things on different days")
+    ap.add_argument("--lm-tier-cutoffs", default=None, metavar="LO,HI",
+                    help="absolute avg_logprob tier boundaries (from "
+                         "the reference batch's clean_cli stats line; "
+                         "equals form for negative values)")
+    ap.add_argument("--datacard", default=None, metavar="PATH",
+                    help="write this increment's training-data card "
+                         "(JSON) aggregated from the written outputs")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -207,6 +220,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ap.error(str(e))
     elif args.lm_cutoffs:
         ap.error("--lm-cutoffs requires --quality-lm")
+    tier_cutoffs = None
+    if args.lm_tiers:
+        if not (args.quality_lm and args.lm_tier_cutoffs):
+            ap.error("--lm-tiers requires --quality-lm and frozen "
+                     "--lm-tier-cutoffs here (batch quantiles belong "
+                     "to clean_cli on a reference batch)")
+        from khl_pdf_ocr_spark.operators.prepare import parse_float_bounds
+
+        try:
+            tier_cutoffs = parse_float_bounds(args.lm_tier_cutoffs)
+        except ValueError as e:
+            ap.error(str(e))
+        if None in tier_cutoffs or tier_cutoffs[0] > tier_cutoffs[1]:
+            ap.error(f"--lm-tier-cutoffs must be LO,HI with LO <= HI, "
+                     f"got {args.lm_tier_cutoffs!r}")
+    elif args.lm_tier_cutoffs:
+        ap.error("--lm-tier-cutoffs requires --lm-tiers")
     if args.quality_classifier:
         if args.quality_classifier == "train":
             ap.error("--quality-classifier takes a persisted model PATH "
@@ -455,6 +485,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 id_col=args.id_col, min_chars=args.para_min_chars,
                 audit=audit_inc)
 
+        if args.lm_tiers:
+            from khl_pdf_ocr_spark.operators.textstats import (
+                bigram_logprob_scores, lm_tier_assign,
+                unigram_logprob_scores)
+
+            # frozen cutoffs keep this fully lazy (no quantile action):
+            # one scoring join + a projection on the way to the write
+            scores = (bigram_logprob_scores(kept, lm[0], lm[1],
+                                            text_col=args.text_col,
+                                            id_col=args.id_col)
+                      if args.lm_order == 2 else
+                      unigram_logprob_scores(kept, lm,
+                                             text_col=args.text_col,
+                                             id_col=args.id_col))
+            kept = kept.join(scores.select(args.id_col, "avg_logprob"),
+                             args.id_col, "left")
+            kept = lm_tier_assign(kept, cutoffs=tier_cutoffs) \
+                .drop("avg_logprob")
+
         base = args.output.rstrip("/")
         kept.write.mode("overwrite").parquet(f"{base}/kept")
         ledger.write.mode("overwrite").parquet(f"{base}/ledger")
@@ -549,6 +598,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 frame = frame.select(distinct_col).distinct()
             return frame.count()
 
+        if args.lm_tiers:
+            stats["lm_tiers"] = {
+                (r["lm_tier"] if r["lm_tier"] is not None else "(null)"):
+                r["n"] for r in kept_rb.groupBy("lm_tier")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+            stats["lm_tier_cutoffs"] = [tier_cutoffs[0], tier_cutoffs[1]]
+        if args.datacard:
+            from khl_pdf_ocr_spark.datacard import build_datacard
+
+            card = build_datacard(
+                kept_rb, ledger_rb, text_col=args.text_col,
+                source_col="source", lang_col="lang",
+                url_col=args.url_col)
+            with open(args.datacard, "w") as fh:
+                json.dump(card, fh, indent=2, sort_keys=True)
+            stats["datacard"] = args.datacard
         stats["state_fingerprints"] = _store_count(fp_store)
         stats["state_signatures"] = _store_count(sig_store)
         if new_para_h is not None:

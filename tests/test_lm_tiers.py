@@ -131,3 +131,57 @@ def test_clean_cli_lm_tiers(spark, tmp_path):
         capture_output=True, text=True, timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert q.returncode == 2 and "quality-lm" in q.stderr
+
+
+def test_increment_cli_frozen_tiers_and_datacard(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from khl_pdf_ocr_spark.operators.textstats import (save_lm,
+                                                       train_unigram_lm)
+
+    common = ("the quick brown fox jumps over the lazy dog and it was "
+              "a very good day for all of them in the field")
+    rares = ["zymurgy", "quixotic", "phlogiston", "absquatulate",
+             "borborygmus", "callipygian", "defenestrate", "eigenvalue"]
+    rows = [(i, common + " " + " ".join(rares[:i]), "s")
+            for i in range(8)]
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    docs.write.parquet(inp)
+    lmp = str(tmp_path / "lm")
+    save_lm(train_unigram_lm(docs), lmp)
+
+    out, state = str(tmp_path / "inc_out"), str(tmp_path / "state")
+    cardp = str(tmp_path / "inc_card.json")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", inp, "--state", state, "--output", out,
+         "--increment-id", "d1", "--langs", "en", "--min-quality", "0.1",
+         "--quality-lm", lmp, "--lm-cutoffs=-99.0,none",
+         "--lm-tiers", "--lm-tier-cutoffs=-3.9,-3.6",
+         "--datacard", cardp, "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=repo)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["lm_tier_cutoffs"] == [-3.9, -3.6]
+    assert sum(stats["lm_tiers"].values()) == stats["n_kept"] > 0
+    kept = spark.read.parquet(f"{out}/kept")
+    assert "lm_tier" in kept.columns
+    card = json.load(open(cardp))
+    assert card["totals"]["n_docs"] == stats["n_kept"]
+    assert card["funnel"]["input_docs"] == 8
+    assert stats["datacard"] == cardp
+
+    # frozen discipline: tiers without cutoffs is a usage error here
+    q = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", inp, "--state", state, "--output", str(tmp_path / "x"),
+         "--quality-lm", lmp, "--lm-cutoffs=-99.0,none", "--lm-tiers",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=120, cwd=repo)
+    assert q.returncode == 2 and "lm-tier-cutoffs" in q.stderr
