@@ -65,6 +65,7 @@ def build_datacard(kept: DataFrame, ledger: DataFrame | None = None, *,
                    lang_col: str | None = None,
                    split_col: str | None = None,
                    url_col: str | None = None,
+                   extra_dims: tuple[str, ...] = (),
                    top_domains: int = 20,
                    max_groups: int = 100) -> dict:
     """Aggregate a cleaned corpus (and optionally its reject ledger)
@@ -87,7 +88,10 @@ def build_datacard(kept: DataFrame, ledger: DataFrame | None = None, *,
     """
     dims = {name: col for name, col in
             (("source", source_col), ("lang", lang_col),
-             ("split", split_col))
+             ("split", split_col),
+             # extra low-cardinality columns (quality tiers, formats):
+             # reported under their own name
+             *((c, c) for c in extra_dims))
             if col is not None and col in kept.columns}
     cols = [token_count(F.col(text_col)).alias("_tok"),
             F.coalesce(F.length(text_col), F.lit(0)).alias("_chars"),

@@ -610,7 +610,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             card = build_datacard(
                 kept_rb, ledger_rb, text_col=args.text_col,
                 source_col="source", lang_col="lang",
-                url_col=args.url_col)
+                url_col=args.url_col,
+                extra_dims=("lm_tier",) if args.lm_tiers else ())
             with open(args.datacard, "w") as fh:
                 json.dump(card, fh, indent=2, sort_keys=True)
             stats["datacard"] = args.datacard

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.datacard import build_datacard
 
@@ -153,3 +154,13 @@ def test_clean_cli_writes_datacard(spark, tmp_path):
         == stats["n_kept"]
     assert "example.com" in card["top_domains"] \
         or "example.org" in card["top_domains"]
+
+
+def test_extra_dims_composition(corpus, spark):
+    df, _ = corpus
+    tagged = df.withColumn(
+        "lm_tier", F.when(F.col("doc_id") < 3, "head").otherwise("tail"))
+    card = build_datacard(tagged, extra_dims=("lm_tier", "absent_col"))
+    groups = card["composition"]["lm_tier"]["groups"]
+    assert groups["head"]["docs"] == 3 and groups["tail"]["docs"] == 3
+    assert "absent_col" not in card["composition"]
