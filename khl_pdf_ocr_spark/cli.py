@@ -34,10 +34,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="all",
                     choices=["all", "words", "refs", "gk", "goalies"])
     ap.add_argument("--format", default="parquet",
-                    choices=["parquet", "iceberg", "warc"],
+                    choices=["parquet", "iceberg", "warc", "cdx"],
                     help="warc: extract straight from raw crawl "
                          "archives (*.warc / *.warc.gz) — the ingest "
-                         "front door, no staging table needed")
+                         "front door, no staging table needed; "
+                         "cdx: --input is CDXJ index files and only "
+                         "the selected records' gzip members are "
+                         "range-read from the archives")
+    ap.add_argument("--cdx-where", default=None, metavar="SQL",
+                    help="with --format cdx: predicate over the "
+                         "index columns (urlkey, cdx_ts, url, "
+                         "status, mime, digest, offset, length, "
+                         "filename), e.g. \"status = 200 AND mime "
+                         "= 'text/html'\" — filtering happens on "
+                         "the index, before any archive byte is read")
+    ap.add_argument("--cdx-base", default=None, metavar="DIR",
+                    help="directory for relative archive filenames "
+                         "in the index (Common Crawl indexes store "
+                         "crawl-relative paths)")
     ap.add_argument("--resume", action="store_true",
                     help="bucketed run with checkpointed manifests")
     ap.add_argument("--buckets", type=int, default=64)
@@ -83,15 +97,23 @@ def main(argv: list[str] | None = None) -> int:
                                   "detail": "PyMuPDF/Pillow/tesseract not "
                                             "installed; running text-layer "
                                             "only"}), file=sys.stderr)
+        reader_opts = None
+        if args.format == "cdx":
+            reader_opts = {"cdx_where": args.cdx_where,
+                           "cdx_base": args.cdx_base}
+        elif args.cdx_where or args.cdx_base:
+            ap.error("--cdx-where/--cdx-base require --format cdx")
         if args.resume:
             stats = run_resumable(spark, args.input, args.output,
                                   n_buckets=args.buckets, mode=args.mode,
-                                  input_format=args.format)
+                                  input_format=args.format,
+                                  reader_opts=reader_opts)
         else:
             _, stats = run_extraction(spark, args.input, args.output,
                                       mode=args.mode, salt=args.salt,
                                       num_partitions=args.partitions,
                                       input_format=args.format,
+                                      reader_opts=reader_opts,
                                       debug=args.debug, ocr_stage=ocr_stage)
         print(json.dumps(stats))
         return 0

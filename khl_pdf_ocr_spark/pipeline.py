@@ -85,7 +85,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    salt: bool = False, input_format: str = "parquet",
                    run_id: str | None = None, write_metrics: bool = True,
                    ocr_stage=None, debug: bool = False,
-                   cache: list | None = None):
+                   cache: list | None = None,
+                   reader_opts: dict | None = None):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -112,7 +113,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                                                           with_ocr_fallback)
 
     run_id = run_id or uuid.uuid4().hex[:12]
-    docs = read_documents(spark, input_path, input_format)
+    docs = read_documents(spark, input_path, input_format,
+                          **(reader_opts or {}))
     if salt:
         n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
         docs = repartition_for_extraction(docs, n_part)
@@ -195,7 +197,8 @@ def completed_buckets(output_dir: str) -> set[int]:
 def run_resumable(spark: SparkSession, input_path: str, output_dir: str, *,
                   n_buckets: int = 16, mode: str = "all",
                   input_format: str = "parquet", run_id: str | None = None,
-                  fail_after: int | None = None) -> dict:
+                  fail_after: int | None = None,
+                  reader_opts: dict | None = None) -> dict:
     """Bucketed run with checkpointed manifests; rerun = resume.
 
     ``fail_after`` injects a crash after N freshly-processed buckets
@@ -219,7 +222,8 @@ def run_resumable(spark: SparkSession, input_path: str, output_dir: str, *,
                 f"resume requested n_buckets={n_buckets} — rerun with the "
                 "original bucket count or start a fresh output dir")
         break
-    docs = read_documents(spark, input_path, input_format)
+    docs = read_documents(spark, input_path, input_format,
+                          **(reader_opts or {}))
     docs = docs.withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
     docs.persist()
     try:

@@ -31,7 +31,9 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
+                   *, cdx_where: str | None = None,
+                   cdx_base: str | None = None) -> DataFrame:
     """Load the (url, warc_ts, html, text, lang) table.
 
     ``fmt="iceberg"`` expects ``path`` to be a catalog table name; when
@@ -41,7 +43,21 @@ def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     ``fmt="warc"`` reads raw Common-Crawl-style archives (plain or
     ``.warc.gz``) through ``sources.warc.read_warc`` — the ingest
     front door, yielding the same (url, warc_ts, html, …) shape.
+    ``fmt="cdx"`` treats ``path`` as CDXJ index files and range-reads
+    only the selected records' gzip members (``cdx_where`` = SQL
+    predicate over the index columns; ``cdx_base`` = directory for
+    relative archive filenames) — the partial-crawl access path.
     """
+    if fmt == "cdx":
+        from pyspark.sql import functions as F
+
+        from khl_pdf_ocr_spark.sources.cdx import (fetch_warc_records,
+                                                   read_cdx)
+
+        idx = read_cdx(spark, path)
+        if cdx_where:
+            idx = idx.filter(F.expr(cdx_where))
+        return fetch_warc_records(idx, base_dir=cdx_base)
     if fmt == "warc":
         from khl_pdf_ocr_spark.sources.warc import read_warc
 
