@@ -46,7 +46,7 @@ from khl_pdf_ocr_spark.sources.warc import (_parse_warc_date, _split_http,
                                             iter_warc_records)
 
 __all__ = ["index_warc", "format_cdxj", "surt_key", "read_cdx",
-           "fetch_warc_records"]
+           "fetch_warc_records", "build_cdx"]
 
 
 def surt_key(url: str) -> str:
@@ -256,3 +256,54 @@ def _entry_row(member: bytes, fname: str) -> dict | None:
     except (OSError, EOFError, zlib.error):
         return None
     return None
+
+
+_IDX_SCHEMA = ("urlkey string, cdx_ts string, url string, status int, "
+               "mime string, digest string, offset long, length long, "
+               "filename string")
+
+
+def build_cdx(spark, path: str, *, bad_files_acc=None):
+    """Index archives at scale: ``*.warc.gz`` files → the same frame
+    ``read_cdx`` yields — the write-time half of the CDX workflow (a
+    crawler indexes every archive once; every later partial read pays
+    index bytes, not archive bytes).
+
+    ``binaryFile`` scan (file-level parallelism, the ``read_warc``
+    shape) → ``index_warc`` per archive inside ``mapInArrow``.  A
+    plain/corrupt archive contributes zero entries and counts into
+    ``bad_files_acc`` — an unindexable archive must be visible, not
+    silently absent from the index.  Persist the result with
+    ``df.write.parquet`` (columnar, predicate-pushdown-friendly) or
+    as CDXJ text via ``format_cdxj`` for interchange.
+    """
+    import pyarrow as pa
+
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def index(batches):
+        cols = ["urlkey", "cdx_ts", "url", "status", "mime", "digest",
+                "offset", "length", "filename"]
+        types = {"status": pa.int32(), "offset": pa.int64(),
+                 "length": pa.int64()}
+        for batch in batches:
+            out: dict = {c: [] for c in cols}
+            for name, payload in zip(batch.column("path").to_pylist(),
+                                     batch.column("content").to_pylist()):
+                if name.startswith("file:"):
+                    name = name[len("file:"):]
+                try:
+                    entries = index_warc(name, payload)
+                except (ValueError, zlib.error):
+                    if bad_files_acc is not None:
+                        bad_files_acc.add(1)
+                    continue
+                for e in entries:
+                    for c in cols:
+                        out[c].append(e[c])
+            yield pa.RecordBatch.from_pydict({
+                c: pa.array(out[c], types.get(c, pa.string()))
+                for c in cols})
+
+    return files.mapInArrow(index, _IDX_SCHEMA)

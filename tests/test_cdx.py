@@ -169,3 +169,34 @@ def test_cli_format_cdx_end_to_end(spark, tmp_path, fixture_tables):
          "--cdx-where", "status = 200"],
         capture_output=True, text=True, timeout=120, cwd=repo)
     assert q.returncode == 2 and "cdx" in q.stderr
+
+
+def test_build_cdx_distributed_indexer(spark, tmp_path):
+    """build_cdx over a directory of archives == per-file index_warc;
+    an unindexable (plain) archive counts and contributes nothing."""
+    pa_, pb = write_warc(RECS[:5], gzipped=True), \
+        write_warc(RECS[5:9], gzipped=True)
+    fa, fb = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    open(fa, "wb").write(pa_)
+    open(fb, "wb").write(pb)
+    open(str(tmp_path / "plain.warc"), "wb").write(
+        write_warc(RECS[9:], gzipped=False))
+
+    from khl_pdf_ocr_spark.sources.cdx import build_cdx
+
+    acc = spark.sparkContext.accumulator(0)
+    got = sorted((r["filename"], r["offset"], r["length"], r["url"],
+                  r["status"], r["digest"])
+                 for r in build_cdx(spark, str(tmp_path / "*.warc*"),
+                                    bad_files_acc=acc).collect())
+    want = sorted((e["filename"], e["offset"], e["length"], e["url"],
+                   e["status"], e["digest"])
+                  for e in index_warc(fa, pa_) + index_warc(fb, pb))
+    assert got == want and len(got) == 9
+    assert acc.value == 1  # the plain archive, counted not silent
+
+    # the built index round-trips through the fetch path
+    idx = build_cdx(spark, str(tmp_path / "*.warc.gz"))
+    docs = {r["url"]: bytes(r["html"])
+            for r in fetch_warc_records(idx).collect()}
+    assert docs == {u: b for (u, _, b) in RECS[:9]}
