@@ -516,30 +516,19 @@ def main(argv: list[str] | None = None) -> int:
                     .withColumnRenamed(f"{args.text_col}_redacted",
                                        args.text_col))
         if args.lm_tiers:
-            from khl_pdf_ocr_spark.operators.textstats import (
-                bigram_logprob_scores, lm_tier_assign,
-                unigram_logprob_scores)
+            from khl_pdf_ocr_spark.operators.textstats import \
+                append_lm_tiers
 
-            # tiers score the FINAL text (post span-strip/redaction),
-            # and the quantile derivation + the later write both read
-            # the kept lineage — persist once (the lm_tails precedent)
-            kept = kept.persist()
-            audit.setdefault("persisted", []).append(kept)
-            scores = (bigram_logprob_scores(kept, lm[0], lm[1],
-                                            text_col=args.text_col,
-                                            id_col=args.id_col)
-                      if args.lm_order == 2 else
-                      unigram_logprob_scores(kept, lm,
-                                             text_col=args.text_col,
-                                             id_col=args.id_col))
-            kept = kept.join(
-                scores.select(args.id_col, "avg_logprob"),
-                args.id_col, "left")
-            kept = lm_tier_assign(
-                kept, cutoffs=tier_cutoffs,
-                **({"fractions": tier_fractions}
-                   if tier_fractions else {}),
-                audit=audit).drop("avg_logprob")
+            # tiers score the FINAL text (post span-strip/redaction);
+            # the shared helper owns the persist discipline (post-join
+            # cache only when deriving quantiles — r5 review) and both
+            # CLIs' tier semantics
+            kept = append_lm_tiers(kept, lm, order=args.lm_order,
+                                   text_col=args.text_col,
+                                   id_col=args.id_col,
+                                   cutoffs=tier_cutoffs,
+                                   fractions=tier_fractions,
+                                   audit=audit)
         partition_by: tuple = ()
         if split_weights:
             from khl_pdf_ocr_spark.operators.prepare import hash_split
@@ -592,10 +581,10 @@ def main(argv: list[str] | None = None) -> int:
         if "lm_cutoffs" in audit:
             stats["lm_cutoffs"] = list(audit["lm_cutoffs"])
         if args.lm_tiers:
-            stats["lm_tiers"] = {
-                (r["lm_tier"] if r["lm_tier"] is not None else "(null)"):
-                r["n"] for r in kept_rb.groupBy("lm_tier")
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
+            from khl_pdf_ocr_spark.operators.textstats import \
+                lm_tier_stats
+
+            stats["lm_tiers"] = lm_tier_stats(kept_rb)
             stats["lm_tier_cutoffs"] = audit.get("lm_tier_cutoffs")
         if "hot_domains" in audit:
             # no-silent-caps: how many domains actually hit the cap

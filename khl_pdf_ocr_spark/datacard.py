@@ -129,7 +129,9 @@ def build_datacard(kept: DataFrame, ledger: DataFrame | None = None, *,
                    .limit(top_domains).collect())
             card["top_domains"] = {r["_dom"]: int(r["docs"]) for r in dom}
         if ledger is not None:
-            by_reason = (ledger.groupBy("reject_reason")
+            by_reason = (ledger.groupBy(
+                F.coalesce(F.col("reject_reason"), F.lit("(null)"))
+                .alias("reject_reason"))
                          .agg(F.count(F.lit(1)).alias("n"))
                          .orderBy(F.desc("n"), F.asc("reject_reason"))
                          .limit(max_groups + 1).collect())

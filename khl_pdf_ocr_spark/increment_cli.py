@@ -486,23 +486,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 audit=audit_inc)
 
         if args.lm_tiers:
-            from khl_pdf_ocr_spark.operators.textstats import (
-                bigram_logprob_scores, lm_tier_assign,
-                unigram_logprob_scores)
+            from khl_pdf_ocr_spark.operators.textstats import \
+                append_lm_tiers
 
-            # frozen cutoffs keep this fully lazy (no quantile action):
-            # one scoring join + a projection on the way to the write
-            scores = (bigram_logprob_scores(kept, lm[0], lm[1],
-                                            text_col=args.text_col,
-                                            id_col=args.id_col)
-                      if args.lm_order == 2 else
-                      unigram_logprob_scores(kept, lm,
-                                             text_col=args.text_col,
-                                             id_col=args.id_col))
-            kept = kept.join(scores.select(args.id_col, "avg_logprob"),
-                             args.id_col, "left")
-            kept = lm_tier_assign(kept, cutoffs=tier_cutoffs) \
-                .drop("avg_logprob")
+            # frozen cutoffs keep this fully lazy (no quantile action,
+            # no cache): one scoring join + a projection on the way to
+            # the write — the shared helper owns both CLIs' semantics
+            kept = append_lm_tiers(kept, lm, order=args.lm_order,
+                                   text_col=args.text_col,
+                                   id_col=args.id_col,
+                                   cutoffs=tier_cutoffs,
+                                   audit=audit_inc)
 
         base = args.output.rstrip("/")
         kept.write.mode("overwrite").parquet(f"{base}/kept")
@@ -599,11 +593,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             return frame.count()
 
         if args.lm_tiers:
-            stats["lm_tiers"] = {
-                (r["lm_tier"] if r["lm_tier"] is not None else "(null)"):
-                r["n"] for r in kept_rb.groupBy("lm_tier")
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
-            stats["lm_tier_cutoffs"] = [tier_cutoffs[0], tier_cutoffs[1]]
+            from khl_pdf_ocr_spark.operators.textstats import \
+                lm_tier_stats
+
+            stats["lm_tiers"] = lm_tier_stats(kept_rb)
+            # same telemetry shape as clean_cli — a script freezing
+            # boundaries from a reference batch's stats line must read
+            # one shape from both jobs (r5 review)
+            stats["lm_tier_cutoffs"] = audit_inc.get("lm_tier_cutoffs")
         if args.datacard:
             from khl_pdf_ocr_spark.datacard import build_datacard
 

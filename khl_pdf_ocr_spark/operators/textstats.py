@@ -13,7 +13,7 @@ from khl_pdf_ocr_spark.functions import text as X
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
            "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores",
            "train_bigram_lm", "bigram_logprob_scores", "save_lm", "load_lm",
-           "lm_tier_assign"]
+           "lm_tier_assign", "append_lm_tiers", "lm_tier_stats"]
 
 
 def save_lm(lm, path: str) -> None:
@@ -421,18 +421,24 @@ def lm_tier_assign(scored: DataFrame, *, score_col: str = "avg_logprob",
                               cutoffs=(float(qs[0]), float(qs[1])),
                               out_col=out_col, audit=audit)
     # per-group boundaries: the group table is bounded (languages,
-    # sources), so it broadcasts; groups whose scores are all NULL get
-    # NULL bounds and their rows a NULL tier (disclosed in the audit)
+    # sources), so collect it ONCE — the corpus-scale groupBy aggregate
+    # runs a single time, and the collected rows rebuild as a local
+    # frame for the broadcast join (a lazy `bounds` in the join would
+    # re-run the full aggregate at write time — r5 review).  Groups
+    # whose scores are all NULL get NULL bounds and their rows a NULL
+    # tier (disclosed in the audit).
     bounds = (scored.groupBy(F.col(by).alias("_tier_key"))
               .agg(q.alias("_tier_q")))
+    rows = bounds.collect()
     if audit is not None:
         audit["lm_tier_cutoffs"] = {
             r["_tier_key"]: ([float(r["_tier_q"][0]),
                               float(r["_tier_q"][1])]
                              if r["_tier_q"] is not None else None)
-            for r in bounds.collect()}
+            for r in rows}
+    local = scored.sparkSession.createDataFrame(rows, bounds.schema)
     joined = scored.join(
-        F.broadcast(bounds),
+        F.broadcast(local),
         F.col(by).eqNullSafe(F.col("_tier_key")), "left")
     lo_b, hi_b = F.col("_tier_q")[0], F.col("_tier_q")[1]
     tier = (F.when(s.isNull() | F.col("_tier_q").isNull(), None)
@@ -441,3 +447,45 @@ def lm_tier_assign(scored: DataFrame, *, score_col: str = "avg_logprob",
             .otherwise("tail"))
     return (joined.withColumn(out_col, tier)
             .drop("_tier_key", "_tier_q"))
+
+
+def append_lm_tiers(kept: DataFrame, lm, *, order: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    cutoffs: tuple[float, float] | None = None,
+                    fractions: tuple[float, float] | None = None,
+                    audit: dict | None = None) -> DataFrame:
+    """The CLI-facing tier stage, shared by clean_cli and increment_cli
+    so their tier semantics can't drift (the ``parse_float_bounds``
+    precedent): score ``kept`` under ``lm`` (order 1 = unigram frame,
+    2 = (unigram, bigram) pair), join the score on, assign tiers, drop
+    the score column.
+
+    Persist discipline: with FROZEN ``cutoffs`` everything is lazy —
+    one scoring join + projection on the way to the caller's write, no
+    extra action, no cache.  With derived ``fractions`` the quantile
+    agg is an action over the scored lineage, so the POST-join frame
+    persists (caching only pre-join kept would re-run the corpus-scale
+    scoring join at write time — r5 review); the handle lands in
+    ``audit["persisted"]`` for the caller's unpersist sweep.
+    """
+    scores = (bigram_logprob_scores(kept, lm[0], lm[1], text_col=text_col,
+                                    id_col=id_col)
+              if order == 2 else
+              unigram_logprob_scores(kept, lm, text_col=text_col,
+                                     id_col=id_col))
+    kept = kept.join(scores.select(id_col, "avg_logprob"), id_col, "left")
+    if cutoffs is None:
+        kept = kept.persist()
+        if audit is not None:
+            audit.setdefault("persisted", []).append(kept)
+    kw = {"fractions": fractions} if fractions else {}
+    return lm_tier_assign(kept, cutoffs=cutoffs, audit=audit,
+                          **kw).drop("avg_logprob")
+
+
+def lm_tier_stats(kept_rb: DataFrame) -> dict:
+    """Per-tier counts for a run-stats line (NULL tier → "(null)") —
+    the shared telemetry shape for both CLIs."""
+    return {(r["lm_tier"] if r["lm_tier"] is not None else "(null)"):
+            r["n"] for r in kept_rb.groupBy("lm_tier")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}

@@ -211,8 +211,21 @@ def fetch_warc_records(index, *, base_dir: str | None = None,
                     batch.column("filename").to_pylist(),
                     batch.column("offset").to_pylist(),
                     batch.column("length").to_pylist()):
+                if fname is None or off is None or ln is None:
+                    # malformed index line (torn download, cut JSON):
+                    # read_cdx's from_json yields NULL fields — counted,
+                    # never fatal (the module contract)
+                    if bad_records_acc is not None:
+                        bad_records_acc.add(1)
+                    continue
                 member = read_range(fname, int(off), int(ln))
+                if member is None:
+                    continue  # open/seek failure — counted in read_range
                 if not member:
+                    # offset at/past EOF (truncated archive): a selected
+                    # record must never vanish without telemetry
+                    if bad_records_acc is not None:
+                        bad_records_acc.add(1)
                     continue
                 row = _entry_row(member, fname)
                 if row is None:

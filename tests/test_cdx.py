@@ -200,3 +200,32 @@ def test_build_cdx_distributed_indexer(spark, tmp_path):
     docs = {r["url"]: bytes(r["html"])
             for r in fetch_warc_records(idx).collect()}
     assert docs == {u: b for (u, _, b) in RECS[:9]}
+
+
+def test_fetch_counts_malformed_index_lines_and_eof_offsets(spark,
+                                                            tmp_path):
+    """The 'counted, never fatal' contract under torn INDEX data: a
+    truncated CDXJ line yields NULL fields after from_json — it must
+    count, not TypeError the job; an offset at/past a truncated
+    archive's EOF must count, not vanish silently."""
+    payload = write_warc(RECS[:3], gzipped=True)
+    fa = str(tmp_path / "a.warc.gz")
+    open(fa, "wb").write(payload)
+    entries = index_warc(fa, payload)
+    good = format_cdxj(entries)
+    torn = good + 'com,x)/ 20260817120000 {"url": "https://x.com"\n'
+    (tmp_path / "idx.cdxj").write_text(torn)
+
+    idx = read_cdx(spark, str(tmp_path / "idx.cdxj"))
+    assert idx.count() == 4
+    acc = spark.sparkContext.accumulator(0)
+    docs = fetch_warc_records(idx, bad_records_acc=acc).collect()
+    assert len(docs) == 3 and acc.value == 1   # torn line counted
+
+    # EOF offset: entry pointing past the archive end
+    eof = spark.createDataFrame(
+        [(fa, len(payload), 100)],
+        "filename string, offset long, length long")
+    acc2 = spark.sparkContext.accumulator(0)
+    assert fetch_warc_records(eof, bad_records_acc=acc2).collect() == []
+    assert acc2.value == 1

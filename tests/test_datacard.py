@@ -164,3 +164,14 @@ def test_extra_dims_composition(corpus, spark):
     groups = card["composition"]["lm_tier"]["groups"]
     assert groups["head"]["docs"] == 3 and groups["tail"]["docs"] == 3
     assert "absent_col" not in card["composition"]
+
+
+def test_null_reject_reason_serializes(corpus, spark):
+    import json
+
+    df, _ = corpus
+    ledger = spark.createDataFrame(
+        [(1, "lang"), (2, None)], "id long, reject_reason string")
+    card = build_datacard(df, ledger)
+    assert card["funnel"]["rejected"]["(null)"]["docs"] == 1
+    json.dumps(card, sort_keys=True)   # must not TypeError on None key

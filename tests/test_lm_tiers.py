@@ -168,7 +168,7 @@ def test_increment_cli_frozen_tiers_and_datacard(spark, tmp_path):
     assert p.returncode == 0, p.stderr[-3000:]
     stats = json.loads([ln for ln in p.stdout.splitlines()
                         if ln.startswith("{")][-1])
-    assert stats["lm_tier_cutoffs"] == [-3.9, -3.6]
+    assert stats["lm_tier_cutoffs"] == {"_global": [-3.9, -3.6]}
     assert sum(stats["lm_tiers"].values()) == stats["n_kept"] > 0
     kept = spark.read.parquet(f"{out}/kept")
     assert "lm_tier" in kept.columns
