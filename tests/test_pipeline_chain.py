@@ -91,3 +91,71 @@ def test_warc_to_shards_chain(spark, tmp_path, fixture_tables):
         .agg(F.sum(sh["len_col"]).alias("n")) \
         .filter(F.col("n") > 256).count()
     assert over == 0
+
+
+def test_chain_with_model_ready_token_ids(spark, tmp_path,
+                                          fixture_tables):
+    """The chain's last hop upgraded to model-ready output: train the
+    tokenizer on the CLEANED corpus (exactly what a real run does),
+    then the shard step packs in model tokens AND writes token ids —
+    ids decode losslessly back to each chunk's normalized text."""
+    docs_path, _ = fixture_tables
+    sample = duckdb.sql(
+        f"SELECT url, html FROM read_parquet('{docs_path}') LIMIT 10"
+    ).fetchall()
+    (tmp_path / "crawl.warc.gz").write_bytes(
+        write_warc([(u, TS, bytes(h)) for u, h in sample], gzipped=True))
+
+    ex_out = str(tmp_path / "extracted")
+    _run("khl_pdf_ocr_spark.cli",
+         ["--input", str(tmp_path / "crawl.warc.gz"),
+          "--output", ex_out, "--format", "warc",
+          "--mode", "all", "--cpus", "4"])
+    cl_out = str(tmp_path / "cleaned")
+    cl = _run("khl_pdf_ocr_spark.clean_cli",
+              ["--input", f"{ex_out}/data", "--output", cl_out,
+               "--id-col", "url", "--text-col", "extracted_text",
+               "--langs", "en", "ru", "other",
+               "--min-quality", "0.05",
+               "--near-dup-threshold", "0.95", "--cpus", "4"])
+    assert cl["n_kept"] >= 1
+
+    from khl_pdf_ocr_spark.operators.bpe import (build_vocab,
+                                                 corpus_alphabet,
+                                                 encode_word,
+                                                 save_merges, save_vocab,
+                                                 train_bpe,
+                                                 word_frequency_table)
+
+    kept = spark.read.parquet(f"{cl_out}/kept")
+    wf = word_frequency_table(kept, text_col="extracted_text")
+    merges, _ = train_bpe(wf, n_merges=60)
+    vocab = build_vocab(merges, corpus_alphabet(wf))
+    mp, vp = str(tmp_path / "merges"), str(tmp_path / "vocab")
+    save_merges(spark, merges, mp)
+    save_vocab(spark, vocab, vp)
+
+    sh_out = str(tmp_path / "shards")
+    sh = _run("khl_pdf_ocr_spark.shard_cli",
+              ["--input", f"{cl_out}/kept", "--output", sh_out,
+               "--id-col", "url", "--text-col", "extracted_text",
+               "--max-tokens", "48", "--overlap", "8",
+               "--capacity", "4096", "--split", "train=1.0",
+               "--bpe-merges", mp, "--bpe-vocab", vp,
+               "--emit-token-ids", "--cpus", "4"])
+    assert sh["len_col"] == "n_pieces"
+
+    from pyspark.sql import functions as F
+
+    packs = spark.read.parquet(sh_out)
+    assert packs.count() == sh["n_chunks"] > 0
+    assert packs.filter(
+        F.size("token_ids") != F.col("n_pieces")).count() == 0
+    # lossless decode: ids → pieces → text == the chunk's own
+    # lowercased whitespace-normalized words (training on the same
+    # corpus ⇒ no <unk>)
+    id2p = {i: p for p, i in vocab.items()}
+    for r in packs.select("chunk_text", "token_ids").collect():
+        dec = "".join(id2p[i] for i in r["token_ids"]) \
+            .replace("</w>", " ").strip()
+        assert dec == " ".join(r["chunk_text"].lower().split())
