@@ -171,6 +171,20 @@ def main(argv: list[str] | None = None) -> int:
                          "domains drop FIRST, before any text work "
                          "(blocked_domain ledger reason; requires "
                          "--url-col)")
+    ap.add_argument("--allow-licenses", default=None, metavar="LIST",
+                    help="comma list of license tags to KEEP (e.g. "
+                         "'cc-by,cc-by-sa,cc0') — docs whose "
+                         "--license-col is not listed drop before any "
+                         "text work (license ledger reason; tag at "
+                         "ingest with operators.licensing."
+                         "with_license_tag while the html is in hand)")
+    ap.add_argument("--license-col", default="license",
+                    help="column carrying the license tag (default "
+                         "'license')")
+    ap.add_argument("--keep-untagged", action="store_true",
+                    help="with --allow-licenses: keep docs with a NULL "
+                         "tag (default drops them — no declaration is "
+                         "not a grant)")
     ap.add_argument("--max-docs-per-domain", type=int, default=None,
                     metavar="N",
                     help="keep at most N docs per registrable domain "
@@ -265,6 +279,8 @@ def main(argv: list[str] | None = None) -> int:
                          f"got {args.lm_tier_fractions!r}")
     elif args.lm_tier_cutoffs:
         ap.error("--lm-tier-cutoffs requires --lm-tiers")
+    if args.keep_untagged and not args.allow_licenses:
+        ap.error("--keep-untagged requires --allow-licenses")
     if args.quality_classifier:
         if (args.clf_threshold is None) == (args.clf_pareto is None):
             ap.error("--quality-classifier requires exactly one of "
@@ -329,6 +345,20 @@ def main(argv: list[str] | None = None) -> int:
             # spam farm must not shape the quality model)
             docs, blocked_ledger = filter_blocked_domains(
                 docs, doms, url_col=args.url_col, id_col=args.id_col)
+        license_ledger = None
+        if args.allow_licenses:
+            from khl_pdf_ocr_spark.operators.licensing import \
+                filter_by_license
+
+            # same cheapest-first rule as the blocklist: a
+            # wrongly-licensed page must not shape the LM either
+            try:
+                docs, license_ledger = filter_by_license(
+                    docs, args.allow_licenses.split(","),
+                    license_col=args.license_col, id_col=args.id_col,
+                    keep_untagged=args.keep_untagged)
+            except ValueError as e:
+                ap.error(str(e))
         benchmark = (spark.read.parquet(args.decontaminate_against)
                      if args.decontaminate_against else None)
         lm = None
@@ -380,6 +410,8 @@ def main(argv: list[str] | None = None) -> int:
             lm_cutoffs=lm_cutoffs, audit=audit)
         if blocked_ledger is not None:
             ledger = ledger.unionByName(blocked_ledger)
+        if license_ledger is not None:
+            ledger = ledger.unionByName(license_ledger)
 
         if args.c4_rules:
             from khl_pdf_ocr_spark.operators.prepare import c4_filters
@@ -634,7 +666,8 @@ def main(argv: list[str] | None = None) -> int:
                 source_col="source", lang_col="lang",
                 split_col="split" if args.split else None,
                 url_col=args.url_col,
-                extra_dims=("lm_tier",) if args.lm_tiers else ())
+                extra_dims=(("lm_tier",) if args.lm_tiers else ())
+                + ((args.license_col,) if args.allow_licenses else ()))
             with open(args.datacard, "w") as fh:
                 json.dump(card, fh, indent=2, sort_keys=True)
             stats["datacard"] = args.datacard
