@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["license_tag", "with_license_tag", "filter_by_license"]
+__all__ = ["license_tag", "with_license_tag", "filter_by_license",
+           "robots_noindex", "filter_noindex"]
 
 # creativecommons.org/licenses/by-sa/4.0/ → by-sa;
 # creativecommons.org/publicdomain/zero/1.0/ → zero; /mark/ → mark
@@ -81,4 +82,38 @@ def filter_by_license(df: DataFrame, allowed, *,
     ledger = (df.filter(~F.coalesce(ok, F.lit(False)))
               .select(F.col(id_col).alias("id"),
                       F.lit("license").alias("reject_reason")))
+    return kept, ledger
+
+
+# <meta name="robots" content="... noindex ..."> — attribute order and
+# quoting vary in the wild, so match name= and noindex anywhere inside
+# one meta tag (content= values are comma/space lists)
+_NOINDEX_RE = (r"<meta\s+[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*"
+               r"noindex")
+_NOINDEX_RE_REV = (r"<meta\s+[^>]*noindex[^>]*"
+                   r"name\s*=\s*[\"']?robots[\"']?")
+
+
+def robots_noindex(html: Column) -> Column:
+    """True when the page opts out of indexing via
+    ``<meta name="robots" content="noindex">`` (either attribute
+    order) — the machine-readable publisher signal a compliant web
+    corpus honors at ingest, exactly like the license tag.  NULL html
+    stays NULL."""
+    s = F.lower(html.cast("string"))
+    return (F.when(html.isNull(), F.lit(None).cast("boolean"))
+            .otherwise(s.rlike(_NOINDEX_RE) | s.rlike(_NOINDEX_RE_REV)))
+
+
+def filter_noindex(df: DataFrame, *, html_col: str = "html",
+                   id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Drop pages that declare ``noindex`` (ledger reason
+    ``robots_noindex``); NULL html (no page to inspect) passes
+    through.  One projection filter, zero shuffles — run at ingest,
+    with the html in hand."""
+    flag = robots_noindex(F.col(html_col))
+    kept = df.filter(~F.coalesce(flag, F.lit(False)))
+    ledger = (df.filter(F.coalesce(flag, F.lit(False)))
+              .select(F.col(id_col).alias("id"),
+                      F.lit("robots_noindex").alias("reject_reason")))
     return kept, ledger

@@ -124,3 +124,30 @@ def test_clean_cli_allow_licenses(spark, tmp_path):
         capture_output=True, text=True, timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 2 and "allow-licenses" in r.stderr
+
+
+def test_robots_noindex_detection_and_filter(spark):
+    from khl_pdf_ocr_spark.operators.licensing import (filter_noindex,
+                                                       robots_noindex)
+
+    rows = [
+        (0, b'<meta name="robots" content="noindex, nofollow">'),
+        (1, b"<meta name=robots content=noindex>"),
+        (2, b'<META NAME="ROBOTS" CONTENT="NOINDEX">'),
+        (3, b'<meta content="noindex" name="robots">'),   # reversed
+        (4, b'<meta name="robots" content="index, follow">'),
+        (5, b'<meta name="viewport" content="noindex-lookalike">'),
+        (6, b"<p>no meta at all</p>"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r["doc_id"]: r["f"]
+           for r in df.select("doc_id",
+                              robots_noindex(F.col("html")).alias("f"))
+           .collect()}
+    assert got == {0: True, 1: True, 2: True, 3: True,
+                   4: False, 5: False, 6: False, 7: None}
+    kept, ledger = filter_noindex(df)
+    assert {r["doc_id"] for r in kept.collect()} == {4, 5, 6, 7}
+    assert {(r["id"], r["reject_reason"]) for r in ledger.collect()} \
+        == {(i, "robots_noindex") for i in (0, 1, 2, 3)}
