@@ -157,6 +157,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "blocklist: batch docs from listed domains "
                          "drop before any text work (requires "
                          "--url-col)")
+    ap.add_argument("--allow-licenses", default=None, metavar="LIST",
+                    help="comma list of license tags to KEEP (column "
+                         "tagged at ingest via operators.licensing."
+                         "with_license_tag); non-listed docs drop "
+                         "before any text work (license ledger reason)")
+    ap.add_argument("--license-col", default="license",
+                    help="column carrying the license tag")
+    ap.add_argument("--keep-untagged", action="store_true",
+                    help="with --allow-licenses: keep NULL-tag docs")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="apply the Gopher document-quality rules to "
                          "the batch (gopher_* ledger reasons)")
@@ -258,6 +267,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
+    if args.keep_untagged and not args.allow_licenses:
+        ap.error("--keep-untagged requires --allow-licenses")
     if args.block_domains and not args.url_col:
         ap.error("--block-domains requires --url-col (the domain is "
                  "derived from the url column)")
@@ -323,6 +334,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         if ln.strip() and not ln.startswith("#")]
             batch, blocked_ledger = filter_blocked_domains(
                 batch, doms, url_col=args.url_col, id_col=args.id_col)
+        license_ledger = None
+        if args.allow_licenses:
+            from khl_pdf_ocr_spark.operators.licensing import \
+                filter_by_license
+
+            try:
+                batch, license_ledger = filter_by_license(
+                    batch, args.allow_licenses.split(","),
+                    license_col=args.license_col, id_col=args.id_col,
+                    keep_untagged=args.keep_untagged)
+            except ValueError as e:
+                ap.error(str(e))
         lm = None
         if args.quality_lm:
             from khl_pdf_ocr_spark.operators.textstats import load_lm
@@ -345,6 +368,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         if blocked_ledger is not None:
             ledger = ledger.unionByName(blocked_ledger)
+        if license_ledger is not None:
+            ledger = ledger.unionByName(license_ledger)
         if args.c4_rules:
             from khl_pdf_ocr_spark.operators.prepare import c4_filters
 

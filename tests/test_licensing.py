@@ -151,3 +151,34 @@ def test_robots_noindex_detection_and_filter(spark):
     assert {r["doc_id"] for r in kept.collect()} == {4, 5, 6, 7}
     assert {(r["id"], r["reject_reason"]) for r in ledger.collect()} \
         == {(i, "robots_noindex") for i in (0, 1, 2, 3)}
+
+
+def test_increment_cli_allow_licenses(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and it was a "
+            "good day for all of them in the field near the old house")
+    rows = [(0, base + " alpha", "cc-by"), (1, base + " beta", "cc-by-nc"),
+            (2, base + " gamma", None), (3, base + " delta", "cc0")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, license string") \
+        .write.parquet(inp)
+    out, state = str(tmp_path / "inc"), str(tmp_path / "state")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", inp, "--state", state, "--output", out,
+         "--increment-id", "d1", "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95",
+         "--allow-licenses", "cc-by,cc0", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("license") == 2
+    assert stats["n_kept"] == 2
+    kept = spark.read.parquet(f"{out}/kept")
+    assert {r["license"] for r in kept.collect()} == {"cc-by", "cc0"}
