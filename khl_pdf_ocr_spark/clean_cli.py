@@ -208,6 +208,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--span-k", type=int, default=50,
                     help="window length in tokens for "
                          "--strip-repeated-spans (Lee et al. use 50)")
+    ap.add_argument("--fix-unicode", action="store_true",
+                    help="ftfy-style mojibake repair + NFC normalize + "
+                         "control-char strip on the text column, applied "
+                         "FIRST (before LM training and every filter — "
+                         "mojibake'd twins must hash like their clean "
+                         "selves); fixed-row count lands in run stats")
     ap.add_argument("--redact-pii", action="store_true",
                     help="replace email/IPv4/phone matches in the kept "
                          "text (counts land in run stats)")
@@ -359,6 +365,21 @@ def main(argv: list[str] | None = None) -> int:
                     keep_untagged=args.keep_untagged)
             except ValueError as e:
                 ap.error(str(e))
+        if args.fix_unicode:
+            from pyspark.sql import functions as F0
+
+            from khl_pdf_ocr_spark.operators.unicodefix import fix_unicode
+
+            # normalization precedes EVERYTHING text-shaped: the LM
+            # below must train on fixed text, and dedup fingerprints
+            # must see a mojibake'd twin as its clean self
+            docs = (fix_unicode(docs, text_col=args.text_col,
+                                out_col="_text_fixed")
+                    .withColumn("unicode_fixed",
+                                ~F0.col("_text_fixed")
+                                .eqNullSafe(F0.col(args.text_col)))
+                    .drop(args.text_col)
+                    .withColumnRenamed("_text_fixed", args.text_col))
         benchmark = (spark.read.parquet(args.decontaminate_against)
                      if args.decontaminate_against else None)
         lm = None
@@ -652,6 +673,9 @@ def main(argv: list[str] | None = None) -> int:
             row = kept_rb.agg(*[F.sum(c).alias(c)   # can't verify
                                 for c in pii_cols]).first()
             stats["pii_redacted"] = {c: int(row[c] or 0) for c in pii_cols}
+        if args.fix_unicode:
+            stats["unicode_fixed"] = int(kept_rb.agg(
+                F.sum(F.col("unicode_fixed").cast("long"))).first()[0] or 0)
         if args.split:
             stats["splits"] = {r["split"]: r["n"] for r in
                                kept_rb.groupBy("split")
