@@ -915,21 +915,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_top_terms_per_lang"] = doc_top_terms_per_lang
 
-    def doc_ngram_jaccard_pairs(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.dedup import ngram_jaccard_pairs
+    def doc_text_near_dup_pairs(spark, sf_dir):
+        # r5 session 5 consolidation: the two text near-dup pair
+        # operators share the (id_a, id_b, jaccard) shape — kind-tagged
+        # union, every branch still computed with its original
+        # parameters (ngram: source-blocked exact Jaccard ≥ 0.05;
+        # minhash: LSH candidates exact-verified ≥ 0.3)
+        from khl_pdf_ocr_spark.operators.dedup import (minhash_lsh_pairs,
+                                                       ngram_jaccard_pairs)
 
         docs = spark.read.parquet(_t(sf_dir, "documents"))
-        return ngram_jaccard_pairs(docs, threshold=0.05)
+        ng = (ngram_jaccard_pairs(docs, threshold=0.05)
+              .select(F.lit("ngram").alias("kind"), "id_a", "id_b",
+                      "jaccard"))
+        mh = (minhash_lsh_pairs(docs, verify_threshold=0.3)
+              .select(F.lit("minhash").alias("kind"), "id_a", "id_b",
+                      "jaccard"))
+        return ng.unionByName(mh)
 
-    q["doc_ngram_jaccard_pairs"] = doc_ngram_jaccard_pairs
+    q["doc_text_near_dup_pairs"] = doc_text_near_dup_pairs
 
-    def doc_minhash_lsh_pairs(spark, sf_dir):
-        from khl_pdf_ocr_spark.operators.dedup import minhash_lsh_pairs
+    def doc_bm25_topk(spark, sf_dir):
+        # BM25 ranked retrieval (operators/retrieval.py) — top 15 docs
+        # for a 3-term query, deterministic sorted contribution fold so
+        # the DuckDB oracle's list_reduce recomputation is exact; score
+        # rounded via the shared cross-engine half-up helper
+        # rank on the ROUNDED score (both engines compare identical
+        # doubles — a raw-score rank could let a libm-ln ulp flip the
+        # boundary membership), tie-break doc_id asc
+        from khl_pdf_ocr_spark.operators.retrieval import bm25_scores
 
         docs = spark.read.parquet(_t(sf_dir, "documents"))
-        return minhash_lsh_pairs(docs, verify_threshold=0.3)
+        scored = bm25_scores(docs, ["spark", "merge", "vector"],
+                             deterministic=True)
+        return (scored.select("doc_id", _r(F.col("score"), 9).alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id"))
+                .limit(15))
 
-    q["doc_minhash_lsh_pairs"] = doc_minhash_lsh_pairs
+    q["doc_bm25_topk"] = doc_bm25_topk
 
     def doc_near_dup_components(spark, sf_dir):
         # transitive near-dup clusters: connected components (min-label
@@ -1233,6 +1256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a method column; exact cosine top-k folded into
         # emb_ann_topk as the 'exact' method — every branch still
         # computed)
+        # round-5 (session 5) rotation: BM25 retrieval placed early;
+        # its slot came from the text near-dup pair twins →
+        # doc_text_near_dup_pairs (kind column, both branches computed
+        # with their original parameters)
+        "doc_bm25_topk",
         "doc_repeated_spans", "doc_pagerank", "emb_semdedup",
         "doc_mixture_sample",
         "doc_chunks", "doc_split_assignment", "doc_unigram_quality",
@@ -1254,8 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_repetition", "events_props_extract",
         "doc_text_analytics", "doc_fingerprint_dedup",
         "doc_median_chars_by_source", "doc_longest_per_lang",
-        "doc_top_terms_per_lang", "doc_ngram_jaccard_pairs",
-        "doc_minhash_lsh_pairs", "doc_near_dup_components",
+        "doc_top_terms_per_lang", "doc_text_near_dup_pairs",
+        "doc_near_dup_components",
         "doc_simhash_pairs", "emb_near_dup_pairs",
         "emb_ann_topk",
     ]
@@ -1977,10 +2005,56 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 3
     """
 
-    o["doc_ngram_jaccard_pairs"] = f"""
-        WITH {_sql_jaccard_pair_ctes('documents', block='source')}
-        SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
-        WHERE {_SQL_JACCARD} >= 0.05
+    o["doc_text_near_dup_pairs"] = f"""
+        SELECT 'ngram' AS kind, * FROM (
+          WITH {_sql_jaccard_pair_ctes('documents', block='source')}
+          SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
+          WHERE {_SQL_JACCARD} >= 0.05
+        )
+        UNION ALL
+        SELECT 'minhash' AS kind, * FROM (
+          WITH {_sql_jaccard_pair_ctes('documents')}
+          SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
+          WHERE {_SQL_JACCARD} >= 0.3
+        )
+    """
+
+    # BM25 full relational recomputation: identical tokenizer
+    # ([^a-z0-9]+ — same semantics in Java regex and RE2), identical
+    # sorted left fold of per-term contributions (0.0-prepend = Spark's
+    # F.aggregate zero), rank on the shared half-up-rounded score
+    _BM25_TERMS = "'spark', 'merge', 'vector'"
+    o["doc_bm25_topk"] = f"""
+        WITH bbase AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), b2 AS (
+          SELECT doc_id, cast(len(toks) AS DOUBLE) AS dl, toks
+          FROM bbase WHERE len(toks) > 0
+        ), bstats AS (
+          SELECT cast(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM b2
+        ), btf AS (
+          SELECT doc_id, dl, term, cast(count(*) AS DOUBLE) AS tf
+          FROM b2, unnest(toks) AS u(term)
+          WHERE term IN ({_BM25_TERMS})
+          GROUP BY 1, 2, 3
+        ), bdf AS (
+          SELECT term, cast(count(*) AS DOUBLE) AS df FROM btf GROUP BY 1
+        ), bcontrib AS (
+          SELECT doc_id, term,
+                 ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 AS c
+          FROM btf JOIN bdf USING (term) CROSS JOIN bstats
+        )
+        SELECT doc_id,
+               {sql_round_half_up(
+                   "list_reduce(list_prepend(0.0, list(c ORDER BY term)),"
+                   " (a, x) -> a + x)", 9)} AS score
+        FROM bcontrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 15
     """
 
     o["lineitem_revenue_metrics"] = """
@@ -2233,12 +2307,6 @@ def oracle_sql() -> dict[str, str]:
     # >=0.9 pair collides in >=1 of 16 four-row bands with certainty for
     # the fixed seed (miss probability (1-0.9^4)^16 ≈ 4e-8; equality is
     # deterministic and re-verified by the driver every round).
-    o["doc_minhash_lsh_pairs"] = f"""
-        WITH {_sql_jaccard_pair_ctes('documents')}
-        SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard{_SQL_JACC_TAIL}
-        WHERE {_SQL_JACCARD} >= 0.3
-    """
-
     # --- winnowing fingerprints: full recomputation (k=7, w=4) --------------
     o["doc_winnow_fingerprints"] = f"""
         WITH n AS (

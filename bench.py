@@ -49,7 +49,10 @@ HEADLINE = [
     # the freed embedding slot
     # benches the SemDeDup pipeline (cells -> pairs -> components ->
     # survivor election) instead
-    "doc_minhash_lsh_pairs", "emb_semdedup",
+    # r5 session-5: the minhash row now rides inside
+    # doc_text_near_dup_pairs (kind-tagged union with the source-blocked
+    # exact n-gram Jaccard pass — strictly more work than the old row)
+    "doc_text_near_dup_pairs", "emb_semdedup", "doc_bm25_topk",
     # persisted-ANN path.  NOTE the index build is NOT in either column:
     # it runs (once, then disk-cached in .ann_cache) while the query is
     # CONSTRUCTED, before timing starts — deliberately, because build-
