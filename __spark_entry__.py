@@ -558,8 +558,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .when(m == 4, F.concat(F.lit("not a url "), d, F.lit(" #frag")))
                .otherwise(F.concat(F.lit("https://example.com:8080/x/"), d,
                                    F.lit("?a=1&a=1"))))
+        # r5 session 5 enrichment (zero slot cost): the declared
+        # rel=canonical resolver (licensing.canonical_link) on a
+        # synthesized per-row html snippet — 6 declaration variants
+        # (absolute / scheme-relative href-first / root-relative with
+        # &amp; entity / directory-relative / query-only / none),
+        # resolved against a constructed page url; the DuckDB oracle
+        # re-extracts and re-resolves with its OWN regexes and CASE
+        from khl_pdf_ocr_spark.operators.licensing import canonical_link
+
+        page = F.concat(F.lit("https://"), s, F.lit(".example.com/a/b/p"),
+                        d, F.lit(".html?x=1"))
+        html = (F.when(m == 0, F.concat(
+                    F.lit('<link rel="canonical" href="https://'), s,
+                    F.lit(".example.com/canon/"), d, F.lit('">')))
+                .when(m == 1, F.concat(
+                    F.lit("<link href='//cdn."), s,
+                    F.lit(".example.com/c"), d, F.lit("' rel=canonical>")))
+                .when(m == 2, F.concat(
+                    F.lit("<link rel=canonical href=/root/"), d,
+                    F.lit("?a=1&amp;b=2>")))
+                .when(m == 3, F.concat(
+                    F.lit('<link rel="canonical" href="sib'), d,
+                    F.lit('.html">')))
+                .when(m == 4, F.concat(
+                    F.lit('<link rel="canonical" href="?page='), d,
+                    F.lit('">')))
+                .otherwise(F.lit("<p>no declaration</p>")))
         return docs.select("doc_id", raw.alias("url_raw"),
-                           canonical_url(raw).alias("url_canonical"))
+                           canonical_url(raw).alias("url_canonical"),
+                           canonical_link(html, page).alias("declared"))
 
     q["doc_canonical_urls"] = doc_canonical_urls
 
@@ -2205,14 +2233,74 @@ def oracle_sql() -> dict[str, str]:
                           AND NOT regexp_matches(lower(p), '{_trk_bare}'))),
                      '&') AS sorted_q
           FROM split2
+        ), decl AS (
+          SELECT doc_id,
+                 CASE (doc_id % 6)
+                   WHEN 0 THEN '<link rel="canonical" href="https://'
+                               || source || '.example.com/canon/'
+                               || doc_id || '">'
+                   WHEN 1 THEN '<link href=''//cdn.' || source
+                               || '.example.com/c' || doc_id
+                               || ''' rel=canonical>'
+                   WHEN 2 THEN '<link rel=canonical href=/root/'
+                               || doc_id || '?a=1&amp;b=2>'
+                   WHEN 3 THEN '<link rel="canonical" href="sib'
+                               || doc_id || '.html">'
+                   WHEN 4 THEN '<link rel="canonical" href="?page='
+                               || doc_id || '">'
+                   ELSE '<p>no declaration</p>'
+                 END AS html,
+                 'https://' || source || '.example.com/a/b/p'
+                 || doc_id || '.html?x=1' AS page
+          FROM documents
+        ), dhref AS (
+          SELECT doc_id, page,
+                 replace(CASE WHEN h0 <> '' THEN h0 ELSE h1 END,
+                         '&amp;', '&') AS href
+          FROM (
+            SELECT doc_id, page,
+                   regexp_extract(html,
+                     '(?is)<link\\b[^>]*\\brel\\s*=\\s*["'']?canonical\\b[^>]*\\bhref\\s*=\\s*["'']?([^"''\\s>]+)',
+                     1) AS h0,
+                   regexp_extract(html,
+                     '(?is)<link\\b[^>]*\\bhref\\s*=\\s*["'']?([^"''\\s>]+)["'']?[^>]*\\brel\\s*=\\s*["'']?canonical\\b',
+                     1) AS h1
+            FROM decl) x
+        ), dres AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN href = '' THEN NULL
+                   WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                     THEN href
+                   WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                     THEN NULL
+                   WHEN href LIKE '//%' THEN
+                     regexp_extract(page,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || href
+                   WHEN href LIKE '/%' THEN
+                     regexp_extract(page,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+                   WHEN href LIKE '?%' THEN
+                     regexp_extract(page,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*)', 1) || href
+                   ELSE
+                     regexp_extract(page,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+                     || regexp_replace(regexp_extract(page,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                          '[^/]*$', '')
+                     || href
+                 END AS declared
+          FROM dhref
         )
-        SELECT doc_id, url_raw,
-               CASE WHEN scheme = '' THEN nofrag
-                    ELSE scheme || '://' || host || path ||
-                         CASE WHEN length(sorted_q) > 0
-                              THEN '?' || sorted_q ELSE '' END
-               END AS url_canonical
-        FROM fixed
+        SELECT f.doc_id, f.url_raw,
+               CASE WHEN f.scheme = '' THEN f.nofrag
+                    ELSE f.scheme || '://' || f.host || f.path ||
+                         CASE WHEN length(f.sorted_q) > 0
+                              THEN '?' || f.sorted_q ELSE '' END
+               END AS url_canonical,
+               d.declared
+        FROM fixed f JOIN dres d USING (doc_id)
     """
 
     o["lineitem_grouping_sets"] = """

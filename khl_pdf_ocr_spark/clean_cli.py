@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--url-col", default=None,
                     help="dedup on the canonical url first (stage 0); "
                          "drops land as url_dup in the ledger")
+    ap.add_argument("--canonical-col", default=None, metavar="COL",
+                    help="with --url-col: a rel=canonical column "
+                         "tagged at ingest (cli --signals / "
+                         "licensing.canonical_link); where non-NULL "
+                         "it replaces the fetch url as the stage-0 "
+                         "dedup key, so variant urls declaring one "
+                         "target collapse onto it")
     ap.add_argument("--decontaminate-against", default=None,
                     help="parquet path of an eval set (text column): "
                          "drop docs sharing any 13-gram with it "
@@ -312,6 +319,9 @@ def main(argv: list[str] | None = None) -> int:
     elif (args.dsir_keep is not None or args.dsir_threshold is not None
           or args.dsir_no_gumbel or args.save_dsir):
         ap.error("--dsir-*/--save-dsir flags require --dsir-target")
+    if args.canonical_col and not args.url_col:
+        ap.error("--canonical-col requires --url-col (it refines the "
+                 "stage-0 url-dedup key)")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -425,6 +435,7 @@ def main(argv: list[str] | None = None) -> int:
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy, url_col=args.url_col,
+            declared_canonical_col=args.canonical_col,
             benchmark=benchmark,
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy, lm=lm,
             **({"lm_tails": lm_tails} if lm_tails else {}),

@@ -65,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--debug", action="store_true",
                     help="thread the reference's debug=1 flag: adds a "
                          "debug_json column and _debug in result_json")
+    ap.add_argument("--signals", default=None, metavar="PATH",
+                    help="write the ingest-signals side table (url, "
+                         "license, noindex, canonical_of) to PATH "
+                         "before extraction — the per-page policy "
+                         "declarations read while the raw html is in "
+                         "hand; clean_cli joins them later by url "
+                         "(--allow-licenses / --canonical-col) without "
+                         "ever rescanning html")
+    ap.add_argument("--honor-noindex", action="store_true",
+                    help="drop pages declaring <meta name=robots "
+                         "... noindex> before extraction (publisher "
+                         "opt-out compliance); with --signals the "
+                         "dropped count lands in stats as "
+                         "noindex_dropped")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -84,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--resume does not support --ocr/--debug; run the "
                      "resumable text-layer pass first, then a plain run "
                      "with --ocr/--debug over the failed subset")
+        if args.resume and (args.signals or args.honor_noindex):
+            ap.error("--resume does not support --signals/"
+                     "--honor-noindex; write the signals table in a "
+                     "plain run (or a dedicated pass) first")
         ocr_stage = None
         if args.ocr:
             from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
@@ -114,7 +132,9 @@ def main(argv: list[str] | None = None) -> int:
                                       num_partitions=args.partitions,
                                       input_format=args.format,
                                       reader_opts=reader_opts,
-                                      debug=args.debug, ocr_stage=ocr_stage)
+                                      debug=args.debug, ocr_stage=ocr_stage,
+                                      honor_noindex=args.honor_noindex,
+                                      signals_path=args.signals)
         print(json.dumps(stats))
         return 0
     finally:

@@ -31,6 +31,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  near_dup_threshold: float = 0.8,
                  near_dup_policy: str = "pairs",
                  url_col: str | None = None,
+                 declared_canonical_col: str | None = None,
                  benchmark: DataFrame | None = None,
                  benchmark_fuzzy_threshold: float | None = None,
                  lm: DataFrame | None = None,
@@ -46,6 +47,12 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  (functions.urls.canonical_url — case/ports/fragments/
                  tracking-params variants collapse) keeping the min id;
                  the cheapest web-crawl dedup, run before any text work.
+    ``declared_canonical_col`` — optional (requires ``url_col``): a
+                 rel=canonical column tagged at ingest
+                 (``licensing.canonical_link``); where non-NULL it
+                 REPLACES the fetch url as the dedup key, so mirrors /
+                 variant urls that declare one target collapse onto it
+                 even when their fetch urls normalize differently.
     ``audit``  — optional dict; gains the near-dup stage's lazy
                  ``"hot_buckets"`` frame (band buckets whose candidate
                  generation was chain-bounded — the no-silent-caps
@@ -103,16 +110,28 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
         # silently no-opping here would let a caller believe paraphrased
         # eval text is being dropped while nothing runs (r5 review)
         raise ValueError("benchmark_fuzzy_threshold requires benchmark")
+    if declared_canonical_col is not None and url_col is None:
+        # the declared canonical only feeds the url-dedup stage; with
+        # that stage off it would silently do nothing (r5 review rule)
+        raise ValueError("declared_canonical_col requires url_col")
     url_bad = None
     if url_col is not None:
         from khl_pdf_ocr_spark.functions.urls import canonical_url
 
+        # the dedup key honors the page's own rel=canonical declaration
+        # when one was tagged at ingest (licensing.canonical_link):
+        # variant urls that declare one target collapse onto it
+        eff_url = F.col(url_col)
+        if declared_canonical_col is not None:
+            decl = F.col(declared_canonical_col)
+            eff_url = F.when(decl.isNull() | (F.length(decl) == 0),
+                             eff_url).otherwise(decl)
         # NULL/empty urls get a per-row unique key: they must BYPASS
         # url dedup, never collapse into one surviving document
         curl = F.when(
-            F.col(url_col).isNull() | (F.length(F.col(url_col)) == 0),
+            eff_url.isNull() | (F.length(eff_url) == 0),
             F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string"))
-        ).otherwise(canonical_url(F.col(url_col)))
+        ).otherwise(canonical_url(eff_url))
         with_url = df.withColumn("_curl", curl)
         url_keeps = (with_url.groupBy("_curl")
                      .agg(F.min(F.col(id_col)).alias("_keep_id")))

@@ -1,19 +1,30 @@
-"""License-aware corpus construction — detect machine-readable license
-declarations in page HTML and filter/compose on them (the stage behind
-openly-licensed corpora: a training set that must be CC-BY-only has to
-tag licenses at ingest and carry the tag through every later filter).
+"""Ingest policy signals — the machine-readable declarations a page
+makes about itself, read while the raw html is still in hand: license
+links (openly-licensed corpus construction), ``robots noindex``
+opt-outs (publisher exclusion compliance), and ``rel=canonical``
+declarations (the page's own statement of which URL is the real one —
+the strongest duplicate signal the web offers, ahead of any text
+hashing).
 
-The reference service has no licensing surface; this belongs to the
-large-scale training-data layer around the extraction kernel.
+The reference service has no corpus surface; this belongs to the
+large-scale training-data layer around the extraction kernel.  All
+detection here is the web's machine-readable convention, not NLP:
 
-Detection is the web's machine-readable convention, not NLP: Creative
-Commons pages declare themselves with a link to
-``creativecommons.org/licenses/<code>/<version>/`` (usually
-``rel="license"`` — RFC 8288's registered relation), public-domain
-dedications with ``/publicdomain/zero|mark/``.  One lowercased regex
-pass over the html column, pure JVM expression — zero Python, zero
-shuffle; the tag is then an ordinary low-cardinality column for
-filters and the data card.
+* Creative Commons pages declare themselves with a link to
+  ``creativecommons.org/licenses/<code>/<version>/`` (usually
+  ``rel="license"`` — RFC 8288's registered relation), public-domain
+  dedications with ``/publicdomain/zero|mark/``;
+* ``<meta name="robots" content="... noindex ...">`` (RFC 9309's meta
+  twin) opts the page out of indexing;
+* ``<link rel="canonical" href=...>`` (RFC 6596) names the canonical
+  URL of the content — mirrors, tracking-parameter variants, and
+  pagination twins all point at one target.
+
+Every signal is one regex pass over the html column, pure JVM
+expression — zero Python, zero shuffle; the resulting low-cardinality
+(or join-key) columns then feed ordinary filters, dedup stages and the
+data card.  ``page_signals`` bundles all of them into the one
+column-pruned projection an ingest job writes next to its output.
 """
 
 from __future__ import annotations
@@ -22,7 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["license_tag", "with_license_tag", "filter_by_license",
-           "robots_noindex", "filter_noindex"]
+           "robots_noindex", "filter_noindex",
+           "canonical_link", "with_declared_canonical", "page_signals"]
 
 # creativecommons.org/licenses/by-sa/4.0/ → by-sa;
 # creativecommons.org/publicdomain/zero/1.0/ → zero; /mark/ → mark
@@ -117,3 +129,96 @@ def filter_noindex(df: DataFrame, *, html_col: str = "html",
               .select(F.col(id_col).alias("id"),
                       F.lit("robots_noindex").alias("reject_reason")))
     return kept, ledger
+
+
+# <link rel="canonical" href="..."> — attribute order varies, quoting
+# varies; (?is) = case-insensitive + dot-matches-newline (a <link> tag
+# can wrap).  href value captured up to quote/whitespace/'>' so both
+# quoted and bare forms parse.
+_CANON_RE = (r"""(?is)<link\b[^>]*\brel\s*=\s*["']?canonical\b[^>]*"""
+             r"""\bhref\s*=\s*["']?([^"'\s>]+)""")
+_CANON_RE_REV = (r"""(?is)<link\b[^>]*\bhref\s*=\s*["']?([^"'\s>]+)"""
+                 r"""["']?[^>]*\brel\s*=\s*["']?canonical\b""")
+
+
+def canonical_link(html: Column, url: Column) -> Column:
+    """The page's declared canonical URL (``<link rel="canonical">``,
+    RFC 6596), resolved against the fetch ``url`` — or NULL when the
+    page declares nothing usable.
+
+    Resolution covers the forms that occur in practice: absolute
+    ``http(s)://`` hrefs pass through; scheme-relative ``//host/...``
+    takes the page's scheme; root-relative ``/path`` and query-only
+    ``?q`` join the page's origin/path; any other relative href joins
+    the page's directory.  Non-fetchable schemes (``javascript:``,
+    ``data:``, ``mailto:`` …) and unresolvable cases (relative href on
+    an unparseable page url) yield NULL — a garbage declaration must
+    never become a dedup key.  ``&amp;`` (the one entity routinely
+    present inside href attributes) is decoded; dot-segments
+    (``../``) are NOT resolved — the downstream ``canonical_url``
+    normalizer treats them textually, and a self-referential
+    declaration (the overwhelmingly common case) never contains them.
+
+    Pure JVM expressions: one projection, zero Python, zero shuffle.
+    """
+    s = html.cast("string")
+    href = F.regexp_extract(s, _CANON_RE, 1)
+    href = F.when(href == "", F.regexp_extract(s, _CANON_RE_REV, 1)) \
+            .otherwise(href)
+    href = F.replace(href, F.lit("&amp;"), F.lit("&"))
+
+    page_scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    origin = F.concat(page_scheme, F.lit("://"), F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    # page path (no query/fragment) and its directory prefix (through
+    # the last '/'; a bare-origin url has path "" → directory "/")
+    page_path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    page_dir = F.when(page_path.rlike("/"),
+                      F.regexp_replace(page_path, r"[^/]*$", "")) \
+                .otherwise(F.lit("/"))
+    page_ok = page_scheme.isin("http", "https")
+
+    is_abs = href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    has_other_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    resolved = (
+        F.when(is_abs, href)
+        .when(has_other_scheme, F.lit(None).cast("string"))
+        .when(~page_ok, F.lit(None).cast("string"))
+        .when(href.startswith("//"), F.concat(page_scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"),
+              F.concat(origin,
+                       F.when(page_path == "", F.lit("/"))
+                        .otherwise(page_path), href))
+        .otherwise(F.concat(origin, page_dir, href)))
+    return F.when(html.isNull() | (href == ""),
+                  F.lit(None).cast("string")).otherwise(resolved)
+
+
+def with_declared_canonical(df: DataFrame, *, html_col: str = "html",
+                            url_col: str = "url",
+                            out_col: str = "canonical_of") -> DataFrame:
+    """Append the resolved declared-canonical column — run at INGEST
+    time, while the raw html is in hand (the extraction output keeps
+    only extracted text).  Downstream, ``clean_corpus(...,
+    declared_canonical_col=...)`` folds it into URL dedup so variant
+    urls of one declared page collapse."""
+    return df.withColumn(out_col,
+                         canonical_link(F.col(html_col), F.col(url_col)))
+
+
+def page_signals(df: DataFrame, *, html_col: str = "html",
+                 url_col: str = "url") -> DataFrame:
+    """The ingest-signals side table: ``(url, license, noindex,
+    canonical_of)`` in ONE column-pruned JVM projection over the raw
+    crawl (only ``url`` and ``html`` are read — every other column is
+    pruned at the scan).  An ingest job writes this next to its
+    extraction output; the cleaning job then joins what it needs on
+    ``url`` without ever touching html again."""
+    u, h = F.col(url_col), F.col(html_col)
+    return df.select(u.alias("url"),
+                     license_tag(h).alias("license"),
+                     robots_noindex(h).alias("noindex"),
+                     canonical_link(h, u).alias("canonical_of"))

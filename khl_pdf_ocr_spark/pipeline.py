@@ -86,7 +86,9 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    run_id: str | None = None, write_metrics: bool = True,
                    ocr_stage=None, debug: bool = False,
                    cache: list | None = None,
-                   reader_opts: dict | None = None):
+                   reader_opts: dict | None = None,
+                   honor_noindex: bool = False,
+                   signals_path: str | None = None):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -103,6 +105,13 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     for heavy-tailed per-byte cost (OCR pass, pathological corpora) —
     measured rationale in BENCH.md §4.1.
 
+    ``signals_path`` (optional): write the ingest-signals side table
+    (url, license, noindex, canonical_of — ``licensing.page_signals``)
+    before extraction; ``honor_noindex=True`` additionally drops pages
+    declaring ``<meta name="robots" ... noindex>`` pre-kernel (count in
+    ``stats["noindex_dropped"]`` when the signals table is there to
+    count from, else None — disclosed, never silently uncounted).
+
     ``ocr_stage`` (optional): phase-2 callable per ``with_ocr_fallback``;
     the lazily-persisted OCR subset is released after the write.  With
     ``debug=True`` build it as ``make_ocr_stage(debug=True)`` so both
@@ -115,6 +124,28 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     run_id = run_id or uuid.uuid4().hex[:12]
     docs = read_documents(spark, input_path, input_format,
                           **(reader_opts or {}))
+    noindex_dropped = None
+    if signals_path:
+        # the ingest-signals side table (url, license, noindex,
+        # canonical_of) — written BEFORE any policy filter so it stays
+        # a complete audit of the crawl, dropped pages included; one
+        # column-pruned (url, html) projection pass
+        from khl_pdf_ocr_spark.operators.licensing import page_signals
+
+        page_signals(docs).write.mode("overwrite").parquet(signals_path)
+    if honor_noindex:
+        # compliance filter pre-kernel: the JVM regex drops opted-out
+        # pages before a single byte reaches the Python extraction
+        # stage; NULL html passes through (nothing to inspect)
+        from khl_pdf_ocr_spark.operators.licensing import robots_noindex
+
+        flag = robots_noindex(F.col("html"))
+        docs = docs.filter(~F.coalesce(flag, F.lit(False)))
+        if signals_path:
+            # count from the just-written side table — never a second
+            # scan of the html column
+            noindex_dropped = (spark.read.parquet(signals_path)
+                               .filter(F.col("noindex")).count())
     if salt:
         n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
         docs = repartition_for_extraction(docs, n_part)
@@ -129,6 +160,12 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         out = with_ocr_fallback(out, docs, ocr_stage=ocr_stage, cache=cache)
 
     stats: dict = {"run_id": run_id}
+    if signals_path:
+        stats["signals_path"] = signals_path
+    if honor_noindex:
+        # None = filtered but uncounted (no signals table to count
+        # from; counting would rescan html) — disclosed, never silent
+        stats["noindex_dropped"] = noindex_dropped
     if output_path:
         # stamp the extraction task id BEFORE writing, so the persisted
         # metrics attribute docs/sec to the task that computed them

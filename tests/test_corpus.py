@@ -771,3 +771,38 @@ def test_clean_cli_strip_repeated_spans(spark, tmp_path):
     assert "alpha" not in kept[1]["text"]
     assert kept[2]["text"].startswith("a completely distinct")
     assert kept[2]["n_tokens_removed"] == 0
+
+
+def test_clean_corpus_declared_canonical_collapses_variants(spark):
+    """declared_canonical_col: fetch-url variants that DECLARE one
+    rel=canonical target collapse onto it, even when their fetch urls
+    normalize differently; NULL declarations fall back to the fetch
+    url; the refinement requires url_col."""
+    long_a = ("a long enough english document with the usual words of the "
+              "quick brown fox and the lazy dog in it for quality " * 2)
+    long_b = ("another completely different long document about glaciers "
+              "and the slow drift of the plates over many of the years " * 2)
+    rows = [
+        # 0 and 1: different fetch urls, same declared canonical
+        (0, "https://m.example.com/story", "https://example.com/story",
+         long_a),
+        (1, "https://example.com/story?ref=feed", "https://example.com/story",
+         long_a + " tail tail"),
+        # 2: declares nothing -> fetch url is the key
+        (2, "https://example.com/other", None, long_b),
+        # 3: declared canonical that ITSELF normalizes to 2's url
+        (3, "https://example.com/other?fbclid=zzz", "https://Example.com/other/",
+         long_b + " more words"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, canonical_of string, text string")
+    kept, ledger = clean_corpus(df, allowed_langs=("en", "ru", "other"),
+                                min_quality=0.0, near_dup_threshold=0.99,
+                                url_col="url",
+                                declared_canonical_col="canonical_of")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+    assert {(r["id"], r["reject_reason"]) for r in ledger.collect()} \
+        == {(1, "url_dup"), (3, "url_dup")}
+
+    with pytest.raises(ValueError, match="requires url_col"):
+        clean_corpus(df, declared_canonical_col="canonical_of")

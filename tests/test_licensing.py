@@ -182,3 +182,130 @@ def test_increment_cli_allow_licenses(spark, tmp_path):
     assert stats["n_kept"] == 2
     kept = spark.read.parquet(f"{out}/kept")
     assert {r["license"] for r in kept.collect()} == {"cc-by", "cc0"}
+
+
+def test_canonical_link_extraction_and_resolution(spark):
+    from khl_pdf_ocr_spark.operators.licensing import canonical_link
+
+    U = "https://example.com/a/b/page.html?x=1"
+    rows = [
+        # absolute href, rel-first / href-first, quoting variants
+        (0, b'<link rel="canonical" href="https://example.com/real">', U,
+         "https://example.com/real"),
+        (1, b"<link href='HTTP://other.com/p' rel=canonical>", U,
+         "HTTP://other.com/p"),
+        (2, b"<LINK REL=CANONICAL HREF=https://up.example/x>", U,
+         "https://up.example/x"),
+        # scheme-relative, root-relative, query-only, bare-relative
+        (3, b'<link rel="canonical" href="//cdn.example.com/c">', U,
+         "https://cdn.example.com/c"),
+        (4, b'<link rel="canonical" href="/root/p">', U,
+         "https://example.com/root/p"),
+        (5, b'<link rel="canonical" href="?page=1">', U,
+         "https://example.com/a/b/page.html?page=1"),
+        (6, b'<link rel="canonical" href="sibling.html">', U,
+         "https://example.com/a/b/sibling.html"),
+        # &amp; entity decoded; other tags' hrefs never match
+        (7, b'<link rel="stylesheet" href="a.css">'
+            b'<link rel="canonical" href="/p?a=1&amp;b=2">', U,
+         "https://example.com/p?a=1&b=2"),
+        # non-fetchable scheme, no declaration, NULL html
+        (8, b'<link rel="canonical" href="javascript:void(0)">', U, None),
+        (9, b"<p>nothing declared</p>", U, None),
+        (10, None, U, None),
+        # relative href on an unparseable page url -> NULL, never garbage
+        (11, b'<link rel="canonical" href="x.html">', "not a url", None),
+        # rel token must be exactly 'canonical'
+        (12, b'<link rel="canonicalish" href="https://e.com/x">', U, None),
+    ]
+    df = spark.createDataFrame([(i, h, u) for i, h, u, _ in rows],
+                               "doc_id long, html binary, url string")
+    got = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id",
+                              canonical_link(F.col("html"),
+                                             F.col("url")).alias("c"))
+           .collect()}
+    assert got == {i: want for i, _, _, want in rows}
+
+
+def test_page_signals_one_projection(spark):
+    from khl_pdf_ocr_spark.operators.licensing import page_signals
+
+    rows = [
+        ("https://a.com/p",
+         b'<link rel="canonical" href="https://a.com/real">'
+         b'<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">l</a>'),
+        ("https://b.com/q",
+         b'<meta name="robots" content="noindex">'),
+        ("https://c.com/r", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary") \
+        .withColumn("zz_unused_col", F.lit("pruned"))
+    sig = page_signals(df)
+    assert sig.columns == ["url", "license", "noindex", "canonical_of"]
+    got = {r["url"]: (r["license"], r["noindex"], r["canonical_of"])
+           for r in sig.collect()}
+    assert got["https://a.com/p"] == ("cc-by", False, "https://a.com/real")
+    assert got["https://b.com/q"] == (None, True, None)
+    assert got["https://c.com/r"] == (None, None, None)
+    # the projection reads only (url, html): every other input column
+    # is pruned at the scan
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert "zz_unused_col" not in plan
+
+
+def test_extract_cli_signals_and_honor_noindex(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    html_ok = (b"<html><body><p>" +
+               " ".join(f"word{i} of the body" for i in range(40)).encode() +
+               b"</p><div><a href='/x'>nav</a></div></body></html>")
+    html_no = b'<meta name="robots" content="noindex">' + html_ok
+    rows = [
+        ("https://keep.example/a", html_ok),
+        ("https://drop.example/b", html_no),
+        ("https://null.example/c", None),
+    ]
+    docs = spark.createDataFrame(rows, "url string, html binary") \
+        .withColumn("warc_ts", F.current_timestamp()) \
+        .withColumn("text", F.lit(None).cast("string")) \
+        .withColumn("lang", F.lit("en"))
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    sig = str(tmp_path / "signals")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.cli",
+         "--input", inp, "--output", out,
+         "--signals", sig, "--honor-noindex", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["noindex_dropped"] == 1
+    assert stats["signals_path"] == sig
+    # signals table is the COMPLETE audit (dropped page included)
+    sigdf = spark.read.parquet(sig)
+    got = {r["url"]: r["noindex"] for r in sigdf.collect()}
+    assert got == {"https://keep.example/a": False,
+                   "https://drop.example/b": True,
+                   "https://null.example/c": None}
+    # the extraction output excludes the opted-out page
+    urls = {r["url"]
+            for r in spark.read.parquet(f"{out}/data").collect()}
+    assert "https://drop.example/b" not in urls
+    assert "https://keep.example/a" in urls
+
+    # flag pairing: --resume rejects the signal flags loudly
+    r = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.cli",
+         "--input", inp, "--output", str(tmp_path / "o2"),
+         "--resume", "--honor-noindex"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 2 and "honor-noindex" in r.stderr
