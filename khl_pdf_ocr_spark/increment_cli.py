@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "history probe is unaffected: anything "
                          "matching history drops regardless)")
     ap.add_argument("--url-col", default=None)
+    ap.add_argument("--canonical-col", default=None, metavar="COL",
+                    help="with --url-col: a rel=canonical column tagged "
+                         "at ingest (cli --signals); where non-NULL it "
+                         "replaces the fetch url as the stage-0 dedup "
+                         "key (mirrors clean_cli --canonical-col)")
     ap.add_argument("--quality-lm", default=None, metavar="PATH",
                     help="persisted (token, logprob) LM parquet: append "
                          "the unigram-LM quality stage with FROZEN "
@@ -264,6 +269,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.dsir_threshold is not None or args.dsir_no_gumbel:
         ap.error("--dsir-threshold/--dsir-no-gumbel require "
                  "--dsir-model")
+    if args.canonical_col and not args.url_col:
+        ap.error("--canonical-col requires --url-col (it refines the "
+                 "stage-0 url-dedup key)")
     if args.max_docs_per_domain is not None and not args.url_col:
         ap.error("--max-docs-per-domain requires --url-col (the domain "
                  "is derived from the url column)")
@@ -361,7 +369,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             allowed_langs=tuple(args.langs), min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy,
-            url_col=args.url_col, lm=lm, lm_cutoffs=lm_cutoffs,
+            url_col=args.url_col,
+            declared_canonical_col=args.canonical_col,
+            lm=lm, lm_cutoffs=lm_cutoffs,
             benchmark=benchmark,
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy,
             audit=audit_clean)

@@ -476,3 +476,49 @@ def test_flat_foreign_store_fails_fast(spark, tmp_path):
         capture_output=True, text=True, timeout=420, cwd=REPO)
     assert p.returncode != 0
     assert "inconsistent state" in p.stderr
+
+
+def test_increment_cli_canonical_col_mirror(spark, tmp_path):
+    """--canonical-col mirrors clean_cli: fetch-url variants declaring
+    one rel=canonical target collapse in stage-0; flag pairing errors
+    loudly without --url-col."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and it was a "
+            "good day for all of them in the field near the old house")
+    rows = [
+        (0, base + " alpha", "https://m.ex.com/s", "https://ex.com/s"),
+        (1, base + " beta beta", "https://ex.com/s?ref=x", "https://ex.com/s"),
+        (2, base + " gamma gamma gamma", "https://ex.com/other", None),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string, canonical_of string"
+    ).write.parquet(inp)
+    out, state = str(tmp_path / "inc"), str(tmp_path / "state")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", inp, "--state", state, "--output", out,
+         "--increment-id", "d1", "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95",
+         "--url-col", "url", "--canonical-col", "canonical_of",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("url_dup") == 1
+    kept = spark.read.parquet(f"{out}/kept")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", inp, "--state", str(tmp_path / "s2"),
+         "--output", str(tmp_path / "o2"), "--increment-id", "d1",
+         "--canonical-col", "canonical_of"],
+        capture_output=True, text=True, timeout=120, cwd=cwd)
+    assert r.returncode == 2 and "url-col" in r.stderr
