@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
                          "'javascript'; drop pages with '{', 'lorem "
                          "ipsum', or <3 surviving sentences "
                          "(c4_* ledger reasons; line counts in stats)")
+    ap.add_argument("--badwords", default=None, metavar="FILE",
+                    help="C4's bad-words page drop (Raffel et al. "
+                         "2020 §2.2): FILE has one lowercase word per "
+                         "line ('#' comments); pages containing any "
+                         "listed WHOLE token drop with ledger reason "
+                         "c4_badwords (word-level match — substrings "
+                         "never trigger)")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="apply the Gopher document-quality rules (Rae "
                          "et al. 2021 A1.1 thresholds: word count/"
@@ -453,6 +460,20 @@ def main(argv: list[str] | None = None) -> int:
             kept, c4_ledger = c4_filters(kept, text_col=args.text_col,
                                          id_col=args.id_col)
             ledger = ledger.unionByName(c4_ledger)
+        if args.badwords:
+            from khl_pdf_ocr_spark.operators.prepare import \
+                c4_badwords_filter
+
+            with open(args.badwords) as fh:
+                bw = [ln.strip() for ln in fh
+                      if ln.strip() and not ln.startswith("#")]
+            try:
+                kept, bw_ledger = c4_badwords_filter(
+                    kept, words=bw, text_col=args.text_col,
+                    id_col=args.id_col)
+            except ValueError as e:
+                ap.error(str(e))
+            ledger = ledger.unionByName(bw_ledger)
         if args.gopher_rules:
             from khl_pdf_ocr_spark.operators.prepare import \
                 gopher_quality_filter

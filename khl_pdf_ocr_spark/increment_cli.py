@@ -183,6 +183,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "batch BEFORE the history probes (fingerprints "
                          "in the store describe scrubbed text, so "
                          "today's batch must be scrubbed the same way)")
+    ap.add_argument("--badwords", default=None, metavar="FILE",
+                    help="C4 bad-words page drop on the batch (one "
+                         "lowercase word per line, '#' comments; "
+                         "whole-token match, c4_badwords ledger "
+                         "reason — mirrors clean_cli --badwords)")
     ap.add_argument("--decontaminate-fuzzy", type=float, default=None,
                     metavar="JACCARD",
                     help="with --decontaminate-against: ALSO drop batch "
@@ -390,6 +395,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             kept1, c4_ledger = c4_filters(kept1, text_col=args.text_col,
                                           id_col=args.id_col)
             ledger = ledger.unionByName(c4_ledger)
+        if args.badwords:
+            from khl_pdf_ocr_spark.operators.prepare import \
+                c4_badwords_filter
+
+            with open(args.badwords) as fh:
+                bw = [ln.strip() for ln in fh
+                      if ln.strip() and not ln.startswith("#")]
+            try:
+                kept1, bw_ledger = c4_badwords_filter(
+                    kept1, words=bw, text_col=args.text_col,
+                    id_col=args.id_col)
+            except ValueError as e:
+                ap.error(str(e))
+            ledger = ledger.unionByName(bw_ledger)
         if args.gopher_rules:
             from khl_pdf_ocr_spark.operators.prepare import \
                 gopher_quality_filter

@@ -300,6 +300,50 @@ def c4_filters(df: DataFrame, *, text_col: str = "text",
     return kept, ledger
 
 
+# A deliberately SMALL disclosed seed list for the C4 §2.2 bad-words
+# page drop — production runs pass their own list (the paper uses the
+# ~1,300-entry "List of Dirty, Naughty, Obscene..." which does not
+# belong vendored in source); these few unambiguous tokens make the
+# default behavior real and testable without shipping a slur file.
+C4_BADWORDS_SEED = ("porn", "xxx", "viagra", "erotic", "escort")
+
+
+def c4_badwords_filter(df: DataFrame, *, words=None,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """C4's bad-words page drop (Raffel et al. 2020, §2.2: remove any
+    page containing a word from the blocklist).  Matching is
+    WHOLE-TOKEN on the lowercased ``\\W+`` tokenization — "essex" or
+    "classic" never match a 3-letter substring, exactly because the
+    published filter is word-level, not substring-level.
+
+    ``words``: iterable of lowercase tokens (e.g. read from the
+    caller's list file); defaults to the small disclosed
+    ``C4_BADWORDS_SEED``.  Returns ``(kept, ledger)`` with reason
+    ``c4_badwords``; NULL text passes (nothing to match).
+
+    Scale shape: one ``arrays_overlap`` against an array LITERAL —
+    pure whole-stage codegen, zero shuffles, zero Python.  The list
+    rides the plan itself (thousands of entries are fine; it is the
+    same mechanism as a giant ``isin``), never a join.
+    """
+    vocab = sorted({w.strip().lower() for w in (words or C4_BADWORDS_SEED)
+                    if w and w.strip()})
+    if not vocab:
+        raise ValueError("bad-words list is empty after normalization")
+    # \p{L}\p{N} (not \W): Java's \w is ASCII-only, which would shred
+    # Cyrillic text into empty tokens and make non-ASCII list entries
+    # unmatchable; the Unicode classes work identically in RE2
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"[^\p{L}\p{N}_]+")
+    hit = F.arrays_overlap(toks, F.lit(vocab))
+    kept = df.filter(~hit)
+    ledger = (df.filter(hit)
+              .select(F.col(id_col).alias("id"),
+                      F.lit("c4_badwords").alias("reject_reason")))
+    return kept, ledger
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 

@@ -771,3 +771,70 @@ def test_pack_sequences_carries_array_payload_columns(spark):
              for r in pack_sequences(chunks.repartition(7), capacity=64,
                                      n_buckets=8).collect()}
     assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_c4_badwords_whole_token_semantics(spark):
+    import pytest as _pytest
+
+    from khl_pdf_ocr_spark.operators.prepare import (C4_BADWORDS_SEED,
+                                                     c4_badwords_filter)
+
+    rows = [
+        (0, "a perfectly clean page about hockey and weather"),
+        (1, "this page links to porn sites all day"),        # seed hit
+        (2, "the essex XXX-classic marathon report"),        # 'xxx' token hit
+        (3, "Essex classics and maXXXimum effort are fine"), # substrings only
+        (4, None),                                           # NULL passes
+        (5, "ВИАГРА со скидкой сегодня"),                    # cyrillic vs custom list
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept, ledger = c4_badwords_filter(df)
+    assert {r["doc_id"] for r in kept.collect()} == {0, 3, 4, 5}
+    assert {(r["id"], r["reject_reason"]) for r in ledger.collect()} \
+        == {(1, "c4_badwords"), (2, "c4_badwords")}
+    assert kept.count() + ledger.count() == 6          # conservation
+
+    # custom (non-ASCII) list: unicode tokenization must match it
+    kept2, ledger2 = c4_badwords_filter(df, words=["виагра"])
+    assert {r["id"] for r in ledger2.collect()} == {5}
+    assert kept2.count() == 5
+
+    with _pytest.raises(ValueError, match="empty"):
+        c4_badwords_filter(df, words=["  ", ""])
+    assert "porn" in C4_BADWORDS_SEED  # the disclosed default is real
+
+
+def test_clean_cli_badwords_gate(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and it was a "
+            "good day for all of them in the field near the old house")
+    rows = [(0, base + " alpha", "s"),
+            (1, base + " gambling jackpot bonus", "s"),
+            (2, base + " gamma", "s")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.parquet(inp)
+    lst = tmp_path / "badwords.txt"
+    lst.write_text("# casino spam\njackpot\n")
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.95",
+         "--badwords", str(lst), "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("c4_badwords") == 1
+    assert stats["n_kept"] == 2
+    led = spark.read.parquet(f"{out}/ledger")
+    assert {(r["id"], r["reject_reason"]) for r in led.collect()} \
+        >= {(1, "c4_badwords")}
