@@ -540,6 +540,16 @@ def main() -> None:
         frame.write.format("noop").mode("overwrite").save()
         prepare[name] = round(time.time() - t0, 3)
 
+    # ingest-signals pass over the raw-crawl bench corpus (url+html):
+    # the staged/gated projection of BENCH §4.21 — warm noop-sink time
+    from khl_pdf_ocr_spark.operators.licensing import page_signals
+
+    sig_frame = page_signals(spark.read.parquet(docs_path))
+    sig_frame.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    sig_frame.write.format("noop").mode("overwrite").save()
+    prepare["page_signals"] = round(time.time() - t0, 3)
+
     ext_out = os.path.join(REPO, ".bench_cache", "out_main")
     ext_cold = run_extraction_job(spark, docs_path, ext_out + "_cold")
     cold["extract_pipeline"] = ext_cold["elapsed_s"]

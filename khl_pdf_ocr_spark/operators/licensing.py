@@ -41,6 +41,28 @@ __all__ = ["license_tag", "with_license_tag", "filter_by_license",
 _CC_RE = r'creativecommons\.org/(?:licenses|publicdomain)/([a-z][a-z-]*)'
 
 
+def _license_expr(s: Column, html: Column) -> Column:
+    """License tag over a pre-lowered string ``s`` (see ``license_tag``
+    for semantics).  Performance shape, measured at 48k docs / 685 MB
+    html (BENCH §4.21): every regex hides behind a cheap ``contains``
+    gate (UTF8String scan — no regex, no String conversion), and the
+    CC code is extracted ONCE through a ``transform``-bind (a when
+    chain comparing ``regexp_extract`` three times re-runs the regex
+    up to three times per row: codegen subexpression elimination
+    skips CONDITIONAL subtrees by design, so the sharing must be
+    structural — the lambda variable binds the one evaluated copy)."""
+    cc_case = F.get(F.transform(
+        F.array(F.regexp_extract(s, _CC_RE, 1)),
+        lambda x: (F.when(x == "zero", "cc0")
+                   .when(x == "mark", "public-domain-mark")
+                   .when(x != "", F.concat(F.lit("cc-"), x)))), 0)
+    tag = F.coalesce(
+        F.when(F.contains(s, F.lit("creativecommons.org/")), cc_case),
+        F.when(F.contains(s, F.lit("license"))
+               & s.rlike(r"""rel\s*=\s*["']?license"""), "other-license"))
+    return F.when(html.isNull(), F.lit(None).cast("string")).otherwise(tag)
+
+
 def license_tag(html: Column) -> Column:
     """The license tag expression: ``cc-by``, ``cc-by-sa``, …, ``cc0``
     (CC zero dedication), ``public-domain-mark``, ``other-license``
@@ -48,13 +70,7 @@ def license_tag(html: Column) -> Column:
     when the page declares nothing.  NULL input stays NULL; binary
     html casts through string (charset subtleties don't matter — the
     needle is pure ASCII)."""
-    s = F.lower(html.cast("string"))
-    cc = F.regexp_extract(s, _CC_RE, 1)
-    return (F.when(html.isNull(), F.lit(None).cast("string"))
-            .when(cc == "zero", "cc0")
-            .when(cc == "mark", "public-domain-mark")
-            .when(cc != "", F.concat(F.lit("cc-"), cc))
-            .when(s.rlike(r"""rel\s*=\s*["']?license"""), "other-license"))
+    return _license_expr(F.lower(html.cast("string")), html)
 
 
 def with_license_tag(df: DataFrame, *, html_col: str = "html",
@@ -106,15 +122,24 @@ _NOINDEX_RE_REV = (r"<meta\s+[^>]*noindex[^>]*"
                    r"name\s*=\s*[\"']?robots[\"']?")
 
 
+def _noindex_expr(s: Column, html: Column) -> Column:
+    """Noindex flag over a pre-lowered string ``s`` — the two
+    attribute-order regexes only run on pages whose bytes contain the
+    literal ``noindex`` at all (cheap ``contains`` gate; a page
+    lacking the substring cannot match either regex)."""
+    return (F.when(html.isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.when(F.contains(s, F.lit("noindex")),
+                              s.rlike(_NOINDEX_RE) | s.rlike(_NOINDEX_RE_REV))
+                       .otherwise(F.lit(False))))
+
+
 def robots_noindex(html: Column) -> Column:
     """True when the page opts out of indexing via
     ``<meta name="robots" content="noindex">`` (either attribute
     order) — the machine-readable publisher signal a compliant web
     corpus honors at ingest, exactly like the license tag.  NULL html
     stays NULL."""
-    s = F.lower(html.cast("string"))
-    return (F.when(html.isNull(), F.lit(None).cast("boolean"))
-            .otherwise(s.rlike(_NOINDEX_RE) | s.rlike(_NOINDEX_RE_REV)))
+    return _noindex_expr(F.lower(html.cast("string")), html)
 
 
 def filter_noindex(df: DataFrame, *, html_col: str = "html",
@@ -212,13 +237,28 @@ def with_declared_canonical(df: DataFrame, *, html_col: str = "html",
 def page_signals(df: DataFrame, *, html_col: str = "html",
                  url_col: str = "url") -> DataFrame:
     """The ingest-signals side table: ``(url, license, noindex,
-    canonical_of)`` in ONE column-pruned JVM projection over the raw
-    crawl (only ``url`` and ``html`` are read — every other column is
+    canonical_of)`` in ONE column-pruned JVM pass over the raw crawl
+    (only ``url`` and ``html`` are read — every other column is
     pruned at the scan).  An ingest job writes this next to its
     extraction output; the cleaning job then joins what it needs on
-    ``url`` without ever touching html again."""
+    ``url`` without ever touching html again.
+
+    The lowered html is STAGED once in its own projection and shared
+    by every signal (Catalyst keeps the stage rather than inlining a
+    multiply-referenced expensive alias), and each regex hides behind
+    a ``contains`` gate — 3.2× over naive per-signal expressions at
+    48k docs / 685 MB html (BENCH §4.21).  Output is pinned identical
+    to the three standalone expressions by
+    ``test_page_signals_equals_standalone_signals``."""
     u, h = F.col(url_col), F.col(html_col)
-    return df.select(u.alias("url"),
-                     license_tag(h).alias("license"),
-                     robots_noindex(h).alias("noindex"),
-                     canonical_link(h, u).alias("canonical_of"))
+    staged = df.select(u.alias("url"), h.alias("_h"),
+                       F.lower(h.cast("string")).alias("_s"))
+    s, h2, u2 = F.col("_s"), F.col("_h"), F.col("url")
+    canonical = F.when(F.contains(s, F.lit("canonical")),
+                       canonical_link(h2, u2)) \
+                 .otherwise(F.lit(None).cast("string"))
+    return staged.select(
+        "url",
+        _license_expr(s, h2).alias("license"),
+        _noindex_expr(s, h2).alias("noindex"),
+        canonical.alias("canonical_of"))

@@ -309,3 +309,45 @@ def test_extract_cli_signals_and_honor_noindex(spark, tmp_path):
         capture_output=True, text=True, timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 2 and "honor-noindex" in r.stderr
+
+
+def test_page_signals_equals_standalone_signals(spark):
+    """The staged/gated fast path in page_signals must be output-
+    identical to the three standalone signal expressions — the
+    equivalence gate for the BENCH §4.21 rewrite."""
+    from khl_pdf_ocr_spark.operators.licensing import (canonical_link,
+                                                       license_tag,
+                                                       page_signals,
+                                                       robots_noindex)
+
+    rows = [
+        ("u0", b'<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">x</a>'),
+        ("u1", b'<a href="http://creativecommons.org/licenses/by-nc-nd/3.0/">x</a>'),
+        ("u2", b'<a rel=license href="https://example.com/terms">terms</a>'),
+        ("u3", b'<a href="https://creativecommons.org/publicdomain/zero/1.0/">x</a>'),
+        ("u4", b'<a href="https://CREATIVECOMMONS.ORG/publicdomain/mark/1.0/">x</a>'),
+        # contains the CC host but no extractable code -> falls through
+        # to the rel=license branch
+        ("u5", b'see creativecommons.org/ and <a rel="license" href="/t">t</a>'),
+        ("u6", b"plain text mentioning license words but no rel link"),
+        ("u7", None),
+        ("u8", b'<meta name="robots" content="noindex">'),
+        ("u9", b'<meta content="noindex" name="robots">'),
+        ("u10", b"noindex mentioned in prose, not a meta tag"),
+        ("u11", b'<link rel="canonical" href="https://ex.com/real">'),
+        ("u12", b'<LINK REL=CANONICAL HREF=/abs>'),
+        ("u13", b"the word canonical without a link tag"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    fast = {r["url"]: (r["license"], r["noindex"], r["canonical_of"])
+            for r in page_signals(df).collect()}
+    ref = {r["url"]: (r["license"], r["noindex"], r["canonical_of"])
+           for r in df.select(
+               "url",
+               license_tag(F.col("html")).alias("license"),
+               robots_noindex(F.col("html")).alias("noindex"),
+               canonical_link(F.col("html"), F.col("url"))
+               .alias("canonical_of")).collect()}
+    assert fast == ref
+    assert ref["u5"] == ("other-license", False, None)
+    assert ref["u10"][1] is False and ref["u13"][2] is None
