@@ -21,41 +21,38 @@ measure                               threshold  computation shape
 ``dup_para_fraction``                 0.30       per-row sorted scan
 ``dup_line_char_fraction``            0.20       per-row sorted scan
 ``dup_para_char_fraction``            0.20       per-row sorted scan
-``top_2gram_char_fraction``           0.20       explode → groupBy
-``top_3gram_char_fraction``           0.18       explode → groupBy
-``top_4gram_char_fraction``           0.16       explode → groupBy
-``dup_5gram_char_fraction``           0.15       explode → window
-``dup_6gram_char_fraction``           0.14       explode → window
-``dup_7gram_char_fraction``           0.13       explode → window
-``dup_8gram_char_fraction``           0.12       explode → window
-``dup_9gram_char_fraction``           0.11       explode → window
-``dup_10gram_char_fraction``          0.10       explode → window
+``top_2gram_char_fraction``           0.20       per-row sorted scan
+``top_3gram_char_fraction``           0.18       per-row sorted scan
+``top_4gram_char_fraction``           0.16       per-row sorted scan
+``dup_5gram_char_fraction``           0.15       per-row sorted scan
+``dup_6gram_char_fraction``           0.14       per-row sorted scan
+``dup_7gram_char_fraction``           0.13       per-row sorted scan
+``dup_8gram_char_fraction``           0.12       per-row sorted scan
+``dup_9gram_char_fraction``           0.11       per-row sorted scan
+``dup_10gram_char_fraction``          0.10       per-row sorted scan
 ====================================  =========  ====================
 
-Scale shape — the two cost classes, chosen deliberately:
+Scale shape — every measure is within-document state, so the whole
+table is ONE projection pipeline: zero shuffles, zero joins, row
+count in == row count out (plan-asserted).  The trick everywhere is
+``sort_array`` + an adjacent-equal scan with scalar accumulators —
+duplicate detection over a sorted array is neighbor equality, never a
+per-row membership test (which would be O(grams × dups)) and never an
+array-building accumulator (appending inside ``aggregate`` copies the
+array per step — the quadratic trap ``paragraphs.py`` documents).
+The first version instead EXPLODED (id, n, start, gram_hash) rows for
+the nine n-gram measures and counted via corpus-wide window/groupBy —
+locally ~1.4× faster warm (a local shuffle is a memcpy), but it
+shuffles ~6 narrow rows per token ≈ 24× the raw text bytes over a
+real cluster's network: petabytes at the 100 TB target.  The per-row
+form trades that for per-task CPU that scales with W log W per
+document.  Both were measured and outputs are identical — BENCH §4.23.
 
-* The four line/paragraph measures need only per-value occurrence
-  counts WITHIN one document: ``sort_array`` + an adjacent-equal
-  ``aggregate`` scan with scalar accumulators — O(k log k) per row,
-  ZERO shuffles, and no array-building accumulator (appending to an
-  array inside ``aggregate`` copies it per step — the quadratic trap
-  ``paragraphs.py`` documents).
-* The nine n-gram measures need positions of grams whose value
-  repeats, and a per-row membership test of "is this gram duplicated"
-  against a per-row dup set is O(grams × dups) interpreted — the
-  melt-on-long-docs class.  So they explode: ONE tagged pass emits
-  (id, n, start, gram_hash) for n = 2..10 (~9 narrow rows per token),
-  top-{2,3,4} group by (id, n, hash), dup-{5..10} count via a window
-  on the same key, then covered token positions explode/distinct and
-  join token lengths.  Every shuffle is keyed by (id, ...) — skew is
-  bounded by the longest single document, and rows are 4 scalars wide
-  (the token array itself never crosses the explode — the
-  ``chunk_documents`` generator-carry lesson).
-
-Grams are hashed (``xxhash64`` of the space-joined window) before the
-shuffle — a 64-bit collision merging two distinct grams within one
-document is ~2^-64 per pair and would only PERTURB a fraction, never
-crash (the MinHash/SimHash banding precedent).
+Grams are hashed — one shared incremental ``xxhash64`` fold per start
+position covering all six dup orders — and compared by hash: a 64-bit
+collision merging two distinct grams within one document is ~2^-64
+per pair and would only PERTURB a fraction, never crash (the
+MinHash/SimHash banding precedent).
 
 Tokenization is raw whitespace (no lowercasing/punct-strip — Gopher
 measures the document as written; the decontamination/dedup operators
@@ -68,7 +65,7 @@ integer-ratio arithmetic — no floating accumulation order to pin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["gopher_repetition_stats", "gopher_repetition_filter",
@@ -212,79 +209,109 @@ def gopher_repetition_stats(df: DataFrame, *, text_col: str = "text",
         .select("*", _chars(F.col("_tk")).alias("_tc"),
                 w_col.alias("_w"), *[_top_chars(n) for n in _TOP_NS]))
 
-    # dup-{5..10}: ONE tagged explode of (n, start, hash) scalars —
-    # the token array stays behind.  Gram hash = left fold of
-    # F.xxhash64(acc, token_hash) over a PRE-HASHED token array
-    # (measured ~1.4× the concat-the-window-then-hash variant: the
-    # window's characters are hashed once per token, not once per
+    # dup-{5..10}: PER ROW, like top-{2,3,4} — duplicate-gram
+    # detection is within-document state, so sort the (hash, start)
+    # gram array and duplicates become NEIGHBOR equalities (never the
+    # O(grams × dups) membership test the explode version was built to
+    # avoid).  This removes the explode AND every shuffle in the query
+    # (the window count, the groupBy/pivot, and the join back are all
+    # gone — measured 3.4× end-to-end, BENCH §4.23).  Gram hash = left
+    # fold of F.xxhash64(acc, token_hash) over a PRE-HASHED token
+    # array (measured ~1.4× the concat-the-window-then-hash variant:
+    # the window's characters are hashed once per token, not once per
     # containing gram).
-    hashed = base.withColumn(
-        "_th", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)))
+    hashed = base.select(
+        "*", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(F.col("_tk"),
+                    lambda t: F.length(t).cast("long")).alias("_tl"))
 
-    def gram_structs(n: int):
-        # NB: one(i) must stay 1-arg — F.transform treats a 2-param
-        # callable as (element, index) and silently rebinds defaults;
-        # gram_structs itself is the closure factory capturing n
-        def one(i):
-            h = F.aggregate(F.slice(F.col("_th"), i + 1, n),
-                            F.lit(0).cast("long"),
-                            lambda a, b: F.xxhash64(a, b))
-            return F.struct(F.lit(n).alias("n"), i.alias("s"),
-                            h.alias("gh"))
-        empty = F.array().cast("array<struct<n:int,s:int,gh:bigint>>")
-        return F.when(F.col("_w") >= n,
-                      F.transform(F.sequence(F.lit(0), F.col("_w") - n),
-                                  one)) \
+    # all six gram orders from ONE incremental fold per start position:
+    # h5(i) folds 5 token hashes, then h_{n+1}(i) = xxhash64(h_n(i),
+    # th[i+n]) — 10 hash calls per start instead of the 45 that six
+    # independent slice-folds pay (hash VALUES are identical: the fold
+    # chain is the same, only shared).  F.get past the end is NULL and
+    # the resulting h_n is garbage-but-unused (per-n slices below stop
+    # at the last valid start).
+    n_lo, n_hi = _DUP_NS[0], _DUP_NS[-1]
+
+    def all_orders(i):
+        h = F.aggregate(F.slice(F.col("_th"), i + 1, n_lo),
+                        F.lit(0).cast("long"),
+                        lambda a, b: F.xxhash64(a, b))
+        fields, cur = [h.alias(f"h{n_lo}")], h
+        for n in range(n_lo + 1, n_hi + 1):
+            cur = F.xxhash64(cur, F.get(F.col("_th"), i + n - 1))
+            fields.append(cur.alias(f"h{n}"))
+        return F.struct(*fields)
+
+    folded = hashed.select(
+        "*",
+        F.when(F.col("_w") >= n_lo,
+               F.transform(F.sequence(F.lit(0), F.col("_w") - n_lo),
+                           all_orders))
+         .otherwise(F.array().cast(
+             "array<struct<" + ",".join(f"h{n}:bigint"
+                                        for n in _DUP_NS) + ">>"))
+        .alias("_gh"))
+
+    def gram_sorted(n: int):
+        # sorted by (gh, s) — struct field order drives sort_array; the
+        # slice keeps starts 0..w-n and the transform index IS the
+        # start (2-arg lambda = (element, index), intended here)
+        empty = F.array().cast("array<struct<gh:bigint,s:int>>")
+        return F.when(F.col("_w") >= n, F.sort_array(F.transform(
+            F.slice(F.col("_gh"), 1, F.col("_w") - n + 1),
+            lambda e, i: F.struct(e[f"h{n}"].alias("gh"),
+                                  i.cast("int").alias("s"))))) \
                 .otherwise(empty)
 
-    occ = (hashed.select("_id", F.explode(F.flatten(F.array(
-               *[gram_structs(n) for n in _DUP_NS]))).alias("g"))
-           .select("_id", "g.*"))
+    staged = folded.select(
+        "*", *[gram_sorted(n).alias(f"_g{n}") for n in _DUP_NS])
 
-    # occurrences of grams repeating within the doc (window keeps the
-    # rows flat — no per-hot-gram array during the count), collapsed
-    # to ONE row per (doc, n) carrying the sorted duplicate start
-    # positions; covered chars = a linear interval-union scan over
-    # those starts against the doc's token-length array (replaces the
-    # covered-position explode → distinct → token join of the first
-    # version — two corpus-scale shuffles gone).  Starts are strictly
-    # increasing and every interval has length n, so each interval's
-    # uncovered remainder [max(s, prev_end), s+n) is never empty.
-    cnt_w = Window.partitionBy("_id", "n", "gh")
-    dup_starts = (occ.withColumn("c", F.count(F.lit(1)).over(cnt_w))
-                  .filter(F.col("c") >= 2)
-                  .groupBy("_id", "n")
-                  .agg(F.sort_array(F.collect_list("s")).alias("ss")))
+    def dup_chars(n: int):
+        # indices whose gram hash equals a sorted neighbor's = every
+        # occurrence of a within-doc duplicated gram.  F.get is 0-based
+        # and NULL out of range (ANSI-safe at both array edges; NULL
+        # comparisons collapse to not-true in filter).  Covered chars =
+        # the linear interval-union scan over the re-sorted start
+        # positions against the token-length array: each interval is
+        # [s, s+n) and starts ascend, so the uncovered remainder
+        # [max(s, prev_end), s+n) is never empty.
+        g = F.col(f"_g{n}")
 
-    zero_iv = F.struct(F.lit(0).cast("int").alias("end"),
-                       F.lit(0).cast("long").alias("tot"))
+        def is_dup(j):
+            return ((F.get(g, j - 1)["gh"] == F.get(g, j)["gh"])
+                    | (F.get(g, j + 1)["gh"] == F.get(g, j)["gh"]))
 
-    def iv_step(acc, s):
-        lo = F.greatest(s, acc["end"])
-        hi = s + F.col("n")
-        piece = F.aggregate(
-            F.sequence(lo, hi - 1), F.lit(0).cast("long"),
-            lambda t, p: t + F.element_at(F.col("_tl"), p + 1))
-        return F.struct(hi.cast("int").alias("end"),
-                        (acc["tot"] + piece).alias("tot"))
+        idx = F.when(F.size(g) > 0,
+                     F.sequence(F.lit(0), F.size(g) - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        starts = F.sort_array(F.transform(F.filter(idx, is_dup),
+                                          lambda j: F.get(g, j)["s"]))
 
-    dup = (dup_starts
-           .join(base.select(
-               "_id", F.transform(F.col("_tk"),
-                                  lambda t: F.length(t).cast("long"))
-               .alias("_tl")), "_id")
-           .select("_id", "n",
-                   F.aggregate("ss", zero_iv, iv_step)["tot"]
-                   .alias("chars"))
-           .groupBy("_id").pivot("n", list(_DUP_NS)).agg(F.first("chars")))
-    dup = dup.select("_id", *[F.col(str(n)).alias(f"_dup{n}")
-                              for n in _DUP_NS])
+        zero_iv = F.struct(F.lit(0).cast("int").alias("end"),
+                           F.lit(0).cast("long").alias("tot"))
 
-    out = base.drop("_tk").join(dup, "_id", "left")
+        def iv_step(acc, s):
+            lo = F.greatest(s, acc["end"])
+            hi = s + F.lit(n)
+            piece = F.aggregate(
+                F.sequence(lo, hi - 1), F.lit(0).cast("long"),
+                lambda t, p: t + F.element_at(F.col("_tl"), p + 1))
+            return F.struct(hi.cast("int").alias("end"),
+                            (acc["tot"] + piece).alias("tot"))
+
+        return F.aggregate(starts, zero_iv, iv_step)["tot"].alias(f"_dup{n}")
+
+    out = staged.select(
+        "_id", "_tc", "dup_line_fraction", "dup_line_char_fraction",
+        "dup_para_fraction", "dup_para_char_fraction",
+        *[F.col(f"_top{n}") for n in _TOP_NS],
+        *[dup_chars(n) for n in _DUP_NS])
     gram_cols = [
-        *[_frac(F.coalesce(F.col(f"_top{n}"), F.lit(0)), F.col("_tc"))
+        *[_frac(F.col(f"_top{n}"), F.col("_tc"))
           .alias(f"top_{n}gram_char_fraction") for n in _TOP_NS],
-        *[_frac(F.coalesce(F.col(f"_dup{n}"), F.lit(0)), F.col("_tc"))
+        *[_frac(F.col(f"_dup{n}"), F.col("_tc"))
           .alias(f"dup_{n}gram_char_fraction") for n in _DUP_NS],
     ]
     return out.select(

@@ -164,23 +164,18 @@ def test_long_repetitive_doc_completes_linear(spark):
     assert row["top_2gram_char_fraction"] > 0.9
 
 
-def test_gram_rows_do_not_carry_token_arrays(spark):
-    # the chunk_documents generator-carry lesson: the exploded gram
-    # relation must not materialize the token array per gram row —
-    # after the Generate, no array<string> column may remain
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    # the whole Table A1 computation is per-document state, and since
+    # the per-row sorted-neighbor rewrite (BENCH §4.23) the plan must
+    # stay a pure projection pipeline: no Generate (the old gram
+    # explode), no Exchange (the old window count / groupBy-pivot /
+    # join back), no Window, no Join — row count in == row count out,
+    # zero bytes shuffled at any corpus size
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = gopher_repetition_stats(df)._jdf.queryExecution() \
-        .optimizedPlan().toString()
-    gram_gens = [ln for ln in plan.splitlines()
-                 if "Generate explode(flatten" in ln]
-    assert gram_gens, "gram explode not found in plan"
-    for ln in gram_gens:
-        # Generate <generator>, <requiredChildOutput>, outer, [output]:
-        # the emitted row is the struct column alone — _tk may appear
-        # INSIDE the generator expression (that's the slicing), never
-        # in the output attribute list after it
-        tail = ln.rsplit("], ", 1)[-1]
-        assert "_tk#" not in tail and "_th#" not in tail, ln[-200:]
+        .executedPlan().toString()
+    for op in ("Generate", "Exchange", "Window", "Join"):
+        assert op not in plan, f"unexpected {op} in plan:\n{plan[:800]}"
 
 
 def _run_cli(module, extra, timeout=300):
