@@ -23,6 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["canonical_url", "url_host", "registered_domain",
+           "url_parts", "resolve_href",
            "TRACKING_PARAM_RE", "SECOND_LEVEL_SUFFIXES"]
 
 # tracking params dropped during canonicalization (lowercased names)
@@ -119,3 +120,58 @@ def canonical_url(col: Column) -> Column:
         F.when(F.length(sorted_q) > 0,
                F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")))
     return F.when(scheme == "", no_frag).otherwise(canon)
+
+
+def url_parts(url: Column) -> Column:
+    """``struct(scheme, origin, path, dir, ok)`` of a fetch URL — the
+    pre-computed pieces href resolution needs, staged ONCE per page so
+    per-href resolution (``resolve_href``) is attribute reads, not
+    re-parsing the page url per link.
+
+    ``path`` excludes query/fragment; ``dir`` is the path through its
+    last ``/`` (a bare-origin url has directory ``/``); ``ok`` is True
+    for http(s) pages — the only ones relative hrefs can resolve
+    against."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    origin = F.concat(scheme, F.lit("://"), F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    pdir = F.when(path.rlike("/"),
+                  F.regexp_replace(path, r"[^/]*$", "")) \
+            .otherwise(F.lit("/"))
+    return F.struct(scheme.alias("scheme"), origin.alias("origin"),
+                    path.alias("path"), pdir.alias("dir"),
+                    scheme.isin("http", "https").alias("ok"))
+
+
+def resolve_href(href: Column, parts: Column) -> Column:
+    """RFC-3986-lite resolution of an in-page href against
+    ``url_parts(page_url)`` — shared by ``licensing.canonical_link``
+    (one declared link per page) and ``links.extract_outlinks`` (every
+    anchor on the page, bound inside a ``transform`` lambda).
+
+    Absolute ``http(s)://`` hrefs pass through; scheme-relative
+    ``//host/...`` takes the page's scheme; root-relative ``/path``
+    and query-only ``?q`` join the page's origin/path; any other
+    relative href joins the page's directory.  Non-fetchable schemes
+    (``javascript:``, ``data:``, ``mailto:`` …), empty hrefs, and
+    unresolvable cases (relative href on a non-http(s) page url)
+    yield NULL.  Dot-segments (``../``) are NOT resolved — the
+    downstream ``canonical_url`` normalizer treats them textually."""
+    null = F.lit(None).cast("string")
+    is_abs = href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    has_other_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    return (F.when(href == "", null)
+            .when(is_abs, href)
+            .when(has_other_scheme, null)
+            .when(~parts["ok"], null)
+            .when(href.startswith("//"),
+                  F.concat(parts["scheme"], F.lit(":"), href))
+            .when(href.startswith("/"), F.concat(parts["origin"], href))
+            .when(href.startswith("?"),
+                  F.concat(parts["origin"],
+                           F.when(parts["path"] == "", F.lit("/"))
+                            .otherwise(parts["path"]), href))
+            .otherwise(F.concat(parts["origin"], parts["dir"], href)))

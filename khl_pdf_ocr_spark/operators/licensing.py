@@ -186,38 +186,14 @@ def canonical_link(html: Column, url: Column) -> Column:
 
     Pure JVM expressions: one projection, zero Python, zero shuffle.
     """
+    from khl_pdf_ocr_spark.functions.urls import resolve_href, url_parts
+
     s = html.cast("string")
     href = F.regexp_extract(s, _CANON_RE, 1)
     href = F.when(href == "", F.regexp_extract(s, _CANON_RE_REV, 1)) \
             .otherwise(href)
     href = F.replace(href, F.lit("&amp;"), F.lit("&"))
-
-    page_scheme = F.lower(
-        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    origin = F.concat(page_scheme, F.lit("://"), F.regexp_extract(
-        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    # page path (no query/fragment) and its directory prefix (through
-    # the last '/'; a bare-origin url has path "" → directory "/")
-    page_path = F.regexp_extract(
-        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    page_dir = F.when(page_path.rlike("/"),
-                      F.regexp_replace(page_path, r"[^/]*$", "")) \
-                .otherwise(F.lit("/"))
-    page_ok = page_scheme.isin("http", "https")
-
-    is_abs = href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
-    has_other_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
-    resolved = (
-        F.when(is_abs, href)
-        .when(has_other_scheme, F.lit(None).cast("string"))
-        .when(~page_ok, F.lit(None).cast("string"))
-        .when(href.startswith("//"), F.concat(page_scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(origin, href))
-        .when(href.startswith("?"),
-              F.concat(origin,
-                       F.when(page_path == "", F.lit("/"))
-                        .otherwise(page_path), href))
-        .otherwise(F.concat(origin, page_dir, href)))
+    resolved = resolve_href(href, url_parts(url))
     return F.when(html.isNull() | (href == ""),
                   F.lit(None).cast("string")).otherwise(resolved)
 

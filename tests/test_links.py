@@ -1,0 +1,139 @@
+"""Out-link extraction + host link graph (operators/links.py).
+
+Oracle discipline: expected edge sets are hand-resolved per RFC 3986
+(the pytest-level model used when no driver-query slot is available —
+the 50-slot window is locked; see tests/test_urls.py for the fuzz
+cross-check of the shared resolution helpers).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from khl_pdf_ocr_spark.operators.links import (extract_outlinks,
+                                               host_link_graph)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _edges(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return {(r["src"], r["dst"])
+            for r in extract_outlinks(df, **kw).collect()}
+
+
+def test_resolution_forms(spark):
+    html = b"""<html><body>
+      <a href="https://other.example.org/abs">absolute</a>
+      <A HREF='//cdn.example.net/x.html'>scheme-relative</A>
+      <a href=/root-rel>bare root-relative</a>
+      <a href="sub/page.html">directory-relative</a>
+      <a href="?page=2">query-only</a>
+      <a href="mailto:x@example.com">mail</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="#frag">fragment-only</a>
+      <a href="/dup">first</a>
+      <a href="/dup">second (deduped)</a>
+      <a href="/a&amp;b">entity</a>
+    </body></html>"""
+    got = _edges(spark, [("https://example.com/dir/page.html", html)])
+    assert got == {
+        ("https://example.com/dir/page.html", "https://other.example.org/abs"),
+        ("https://example.com/dir/page.html", "https://cdn.example.net/x.html"),
+        ("https://example.com/dir/page.html", "https://example.com/root-rel"),
+        ("https://example.com/dir/page.html",
+         "https://example.com/dir/sub/page.html"),
+        ("https://example.com/dir/page.html",
+         "https://example.com/dir/page.html?page=2"),
+        ("https://example.com/dir/page.html", "https://example.com/dup"),
+        ("https://example.com/dir/page.html", "https://example.com/a&b"),
+    }
+    # fragment-only href resolves to the page itself -> dropped as self
+
+
+def test_self_null_and_non_anchor(spark):
+    html = (b'<a href="https://me.example.com/p">self</a>'
+            b'<link rel="stylesheet" href="/style.css">'
+            b'<img src="/i.png"><script src="/s.js"></script>'
+            b'<a href="https://me.example.com/p#sec">self-after-defrag</a>')
+    rows = [("https://me.example.com/p", html),
+            ("https://null.example.com/", None)]
+    assert _edges(spark, rows) == set()
+    kept = _edges(spark, rows, drop_self=False)
+    assert kept == {("https://me.example.com/p",
+                     "https://me.example.com/p")}
+
+
+def test_link_cap_bounds_page_work(spark):
+    html = "".join(f'<a href="/p{i}">x</a>' for i in range(50)).encode()
+    got = _edges(spark, [("https://cap.example.com/", html)],
+                 max_links_per_page=10)
+    assert got == {("https://cap.example.com/",
+                    f"https://cap.example.com/p{i}") for i in range(10)}
+    with pytest.raises(ValueError, match="max_links_per_page"):
+        extract_outlinks(
+            spark.createDataFrame([], "url string, html binary"),
+            max_links_per_page=0)
+
+
+def test_relative_href_on_non_http_page_dropped(spark):
+    got = _edges(spark, [("ftp://files.example.com/dir/",
+                          b'<a href="rel.html">r</a>'
+                          b'<a href="https://abs.example.org/">a</a>')])
+    assert got == {("ftp://files.example.com/dir/",
+                    "https://abs.example.org/")}
+
+
+def test_host_link_graph(spark):
+    edges = spark.createDataFrame(
+        [("https://a.example.com/1", "https://b.example.org/x"),
+         ("https://www.a.example.com/2", "https://b.example.org/y"),
+         ("https://a.example.com/3", "https://sub.a.example.com/4"),
+         ("https://a.example.com/5", "not a url")],
+        "src string, dst string")
+    got = {(r["src"], r["dst"]) for r in host_link_graph(edges).collect()}
+    assert got == {("example.com", "example.org")}
+
+
+def test_outlinks_feed_pagerank(spark):
+    from khl_pdf_ocr_spark.operators.graph import pagerank
+
+    def page(host, links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links).encode()
+        return (f"https://{host}/", body)
+
+    rows = [page("a.com", ["https://b.com/", "https://c.com/"]),
+            page("b.com", ["https://c.com/"]),
+            page("c.com", ["https://a.com/"])]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    hedges = host_link_graph(extract_outlinks(df))
+    # pagerank wants long node ids: index the hosts deterministically
+    hosts = sorted(r["h"] for r in
+                   hedges.select(F.col("src").alias("h"))
+                   .union(hedges.select("dst")).distinct().collect())
+    nid = {h: i for i, h in enumerate(hosts)}
+    lut = F.create_map(*[x for h, i in nid.items()
+                         for x in (F.lit(h), F.lit(i))])
+    e = hedges.select(lut[F.col("src")].cast("long").alias("src"),
+                      lut[F.col("dst")].cast("long").alias("dst"))
+    n = spark.createDataFrame([(i,) for i in nid.values()], "node long")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(n, e, n_iter=10, id_col="node").collect()}
+    assert len(ranks) == 3 and abs(sum(ranks.values()) - 1.0) < 1e-6
+    # c.com has two in-links (a and b) -> highest rank
+    assert ranks[nid["c.com"]] == max(ranks.values())
+
+
+def test_outlinks_plan_shape(spark):
+    # one pruned projection + Generate, no Exchange; the generator's
+    # output list must not carry the html or the href array (the
+    # chunk_documents generator-carry lesson)
+    df = spark.createDataFrame(
+        [("https://p.example.com/", b'<a href="/x">x</a>')],
+        "url string, html binary")
+    plan = extract_outlinks(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen
+    tail = gen[0].rsplit("], ", 1)[-1]
+    assert "_hrefs" not in tail and "html" not in tail
