@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
                          "hand; clean_cli joins them later by url "
                          "(--allow-licenses / --canonical-col) without "
                          "ever rescanning html")
+    ap.add_argument("--outlinks", default=None, metavar="PATH",
+                    help="write the (src, dst) hyperlink edge side "
+                         "table to PATH before extraction — the "
+                         "WAT-sidecar analogue; feeds "
+                         "links.host_link_graph + graph.pagerank "
+                         "without ever rescanning the crawl")
     ap.add_argument("--honor-noindex", action="store_true",
                     help="drop pages declaring <meta name=robots "
                          "... noindex> before extraction (publisher "
@@ -98,10 +104,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--resume does not support --ocr/--debug; run the "
                      "resumable text-layer pass first, then a plain run "
                      "with --ocr/--debug over the failed subset")
-        if args.resume and (args.signals or args.honor_noindex):
+        if args.resume and (args.signals or args.honor_noindex
+                            or args.outlinks):
             ap.error("--resume does not support --signals/"
-                     "--honor-noindex; write the signals table in a "
-                     "plain run (or a dedicated pass) first")
+                     "--honor-noindex/--outlinks; write the side "
+                     "tables in a plain run (or a dedicated pass) "
+                     "first")
         ocr_stage = None
         if args.ocr:
             from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
@@ -134,7 +142,8 @@ def main(argv: list[str] | None = None) -> int:
                                       reader_opts=reader_opts,
                                       debug=args.debug, ocr_stage=ocr_stage,
                                       honor_noindex=args.honor_noindex,
-                                      signals_path=args.signals)
+                                      signals_path=args.signals,
+                                      outlinks_path=args.outlinks)
         print(json.dumps(stats))
         return 0
     finally:

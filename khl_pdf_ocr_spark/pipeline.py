@@ -88,7 +88,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    cache: list | None = None,
                    reader_opts: dict | None = None,
                    honor_noindex: bool = False,
-                   signals_path: str | None = None):
+                   signals_path: str | None = None,
+                   outlinks_path: str | None = None):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -112,6 +113,11 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     ``stats["noindex_dropped"]`` when the signals table is there to
     count from, else None — disclosed, never silently uncounted).
 
+    ``outlinks_path`` (optional): write the (src, dst) hyperlink edge
+    table (``links.extract_outlinks`` — the WAT-sidecar analogue)
+    before extraction; edge count lands in ``stats["outlinks_edges"]``
+    from parquet footer metadata, never a rescan.
+
     ``ocr_stage`` (optional): phase-2 callable per ``with_ocr_fallback``;
     the lazily-persisted OCR subset is released after the write.  With
     ``debug=True`` build it as ``make_ocr_stage(debug=True)`` so both
@@ -133,6 +139,16 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         from khl_pdf_ocr_spark.operators.licensing import page_signals
 
         page_signals(docs).write.mode("overwrite").parquet(signals_path)
+    if outlinks_path:
+        # the WAT-sidecar analogue: (src, dst) hyperlink edges written
+        # while the raw html is in hand — the host link graph /
+        # PageRank quality prior builds from this table without ever
+        # rescanning the crawl.  Written BEFORE policy filters (like
+        # signals): the link structure of dropped pages still carries
+        # rank information about the pages that remain.
+        from khl_pdf_ocr_spark.operators.links import extract_outlinks
+
+        extract_outlinks(docs).write.mode("overwrite").parquet(outlinks_path)
     if honor_noindex:
         # compliance filter pre-kernel: the JVM regex drops opted-out
         # pages before a single byte reaches the Python extraction
@@ -162,6 +178,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     stats: dict = {"run_id": run_id}
     if signals_path:
         stats["signals_path"] = signals_path
+    if outlinks_path:
+        stats["outlinks_path"] = outlinks_path
+        # parquet count is footer-metadata only — no data rescan
+        stats["outlinks_edges"] = spark.read.parquet(outlinks_path).count()
     if honor_noindex:
         # None = filtered but uncounted (no signals table to count
         # from; counting would rescan html) — disclosed, never silent

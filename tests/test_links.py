@@ -137,3 +137,51 @@ def test_outlinks_plan_shape(spark):
     assert gen
     tail = gen[0].rsplit("], ", 1)[-1]
     assert "_hrefs" not in tail and "html" not in tail
+
+
+def test_extract_cli_outlinks_sidecar(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rows = [
+        ("https://a.example.com/page",
+         b'<p>body text here</p><a href="/next">n</a>'
+         b'<a href="https://b.example.org/far">f</a>'),
+        ("https://c.example.net/", None),
+    ]
+    docs = spark.createDataFrame(rows, "url string, html binary") \
+        .withColumn("warc_ts", F.current_timestamp()) \
+        .withColumn("text", F.lit(None).cast("string")) \
+        .withColumn("lang", F.lit("en"))
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    links = str(tmp_path / "links")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.cli",
+         "--input", inp, "--output", out,
+         "--outlinks", links, "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["outlinks_path"] == links
+    assert stats["outlinks_edges"] == 2
+    got = {(r["src"], r["dst"])
+           for r in spark.read.parquet(links).collect()}
+    assert got == {
+        ("https://a.example.com/page", "https://a.example.com/next"),
+        ("https://a.example.com/page", "https://b.example.org/far"),
+    }
+
+    r = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.cli",
+         "--input", inp, "--output", str(tmp_path / "o2"),
+         "--resume", "--outlinks", links],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 2 and "outlinks" in r.stderr
