@@ -204,6 +204,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep at most N docs per registrable domain "
                          "(deterministic hash lottery; requires "
                          "--url-col; drops land as domain_cap)")
+    ap.add_argument("--host-ranks", default=None, metavar="PATH",
+                    help="parquet (host, rank) table from "
+                         "graph.host_pagerank over the --outlinks "
+                         "ingest sidecar — the link-graph quality "
+                         "prior; requires --url-col and "
+                         "--min-host-rank")
+    ap.add_argument("--min-host-rank", type=float, default=None,
+                    metavar="X",
+                    help="with --host-ranks: drop docs whose domain "
+                         "ranks below X (low_host_rank ledger reason); "
+                         "unranked domains are KEPT unless "
+                         "--drop-unranked")
+    ap.add_argument("--drop-unranked", action="store_true",
+                    help="with --host-ranks: also drop docs whose "
+                         "domain has no rank row")
     ap.add_argument("--dedup-paragraphs", action="store_true",
                     help="CCNet paragraph-level dedup on the kept text: "
                          "every non-first occurrence of a normalized "
@@ -335,6 +350,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.block_domains and not args.url_col:
         ap.error("--block-domains requires --url-col (the domain is "
                  "derived from the url column)")
+    if bool(args.host_ranks) != (args.min_host_rank is not None):
+        ap.error("--host-ranks and --min-host-rank go together")
+    if args.host_ranks and not args.url_col:
+        ap.error("--host-ranks requires --url-col (the domain is "
+                 "derived from the url column)")
+    if args.drop_unranked and not args.host_ranks:
+        ap.error("--drop-unranked requires --host-ranks")
     if args.decontaminate_fuzzy is not None:
         if not args.decontaminate_against:
             ap.error("--decontaminate-fuzzy requires "
@@ -368,6 +390,18 @@ def main(argv: list[str] | None = None) -> int:
             # spam farm must not shape the quality model)
             docs, blocked_ledger = filter_blocked_domains(
                 docs, doms, url_col=args.url_col, id_col=args.id_col)
+        hostrank_ledger = None
+        if args.host_ranks:
+            from khl_pdf_ocr_spark.operators.domains import \
+                filter_by_host_rank
+
+            # same cheapest-first rule: a link-graph-condemned domain
+            # must not shape the LM / classifier below either
+            docs, hostrank_ledger = filter_by_host_rank(
+                docs, spark.read.parquet(args.host_ranks),
+                min_rank=args.min_host_rank, url_col=args.url_col,
+                id_col=args.id_col,
+                keep_unranked=not args.drop_unranked)
         license_ledger = None
         if args.allow_licenses:
             from khl_pdf_ocr_spark.operators.licensing import \
@@ -449,6 +483,8 @@ def main(argv: list[str] | None = None) -> int:
             lm_cutoffs=lm_cutoffs, audit=audit)
         if blocked_ledger is not None:
             ledger = ledger.unionByName(blocked_ledger)
+        if hostrank_ledger is not None:
+            ledger = ledger.unionByName(hostrank_ledger)
         if license_ledger is not None:
             ledger = ledger.unionByName(license_ledger)
 

@@ -162,6 +162,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "blocklist: batch docs from listed domains "
                          "drop before any text work (requires "
                          "--url-col)")
+    ap.add_argument("--host-ranks", default=None, metavar="PATH",
+                    help="parquet (host, rank) table from "
+                         "graph.host_pagerank — the link-graph quality "
+                         "prior, FROZEN from a reference batch (like "
+                         "--lm-tier-cutoffs); requires --url-col and "
+                         "--min-host-rank")
+    ap.add_argument("--min-host-rank", type=float, default=None,
+                    metavar="X",
+                    help="with --host-ranks: drop batch docs whose "
+                         "domain ranks below X (low_host_rank ledger "
+                         "reason); unranked domains kept unless "
+                         "--drop-unranked")
+    ap.add_argument("--drop-unranked", action="store_true",
+                    help="with --host-ranks: also drop docs whose "
+                         "domain has no rank row")
     ap.add_argument("--allow-licenses", default=None, metavar="LIST",
                     help="comma list of license tags to KEEP (column "
                          "tagged at ingest via operators.licensing."
@@ -285,6 +300,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.block_domains and not args.url_col:
         ap.error("--block-domains requires --url-col (the domain is "
                  "derived from the url column)")
+    if bool(args.host_ranks) != (args.min_host_rank is not None):
+        ap.error("--host-ranks and --min-host-rank go together")
+    if args.host_ranks and not args.url_col:
+        ap.error("--host-ranks requires --url-col (the domain is "
+                 "derived from the url column)")
+    if args.drop_unranked and not args.host_ranks:
+        ap.error("--drop-unranked requires --host-ranks")
     if args.decontaminate_fuzzy is not None:
         if not args.decontaminate_against:
             ap.error("--decontaminate-fuzzy requires "
@@ -347,6 +369,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         if ln.strip() and not ln.startswith("#")]
             batch, blocked_ledger = filter_blocked_domains(
                 batch, doms, url_col=args.url_col, id_col=args.id_col)
+        hostrank_ledger = None
+        if args.host_ranks:
+            from khl_pdf_ocr_spark.operators.domains import \
+                filter_by_host_rank
+
+            batch, hostrank_ledger = filter_by_host_rank(
+                batch, spark.read.parquet(args.host_ranks),
+                min_rank=args.min_host_rank, url_col=args.url_col,
+                id_col=args.id_col,
+                keep_unranked=not args.drop_unranked)
         license_ledger = None
         if args.allow_licenses:
             from khl_pdf_ocr_spark.operators.licensing import \
@@ -383,6 +415,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         if blocked_ledger is not None:
             ledger = ledger.unionByName(blocked_ledger)
+        if hostrank_ledger is not None:
+            ledger = ledger.unionByName(hostrank_ledger)
         if license_ledger is not None:
             ledger = ledger.unionByName(license_ledger)
         if args.c4_rules:

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from khl_pdf_ocr_spark.functions.urls import registered_domain
 
 __all__ = ["domain_counts", "cap_per_domain", "cap_per_domain_incremental",
-           "filter_blocked_domains"]
+           "filter_blocked_domains", "filter_by_host_rank"]
 
 
 def filter_blocked_domains(df: DataFrame, blocklist, *,
@@ -205,3 +205,41 @@ def cap_per_domain_incremental(df: DataFrame, seen_counts: DataFrame | None,
                   .agg(F.count(F.lit(1)).alias("n_docs")))
     kept = kept_tagged.drop("_domain", "_budget", "_rk")
     return kept, ledger, new_counts
+
+
+def filter_by_host_rank(df: DataFrame, ranks: DataFrame, *,
+                        min_rank: float, url_col: str = "url",
+                        id_col: str = "doc_id",
+                        keep_unranked: bool = True
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Drop documents whose registrable domain's link-graph rank
+    (``graph.host_pagerank`` output: ``(host, rank)``) falls below
+    ``min_rank`` — the PageRank/harmonic-centrality quality prior of
+    Common-Crawl curation, closing the loop from the ``--outlinks``
+    ingest sidecar through ``links.host_link_graph`` to corpus
+    construction.
+
+    ``keep_unranked=True`` (default) passes documents whose domain has
+    no rank row (a host absent from the link graph is UNKNOWN, not
+    bad); ``False`` drops them too (ledger reason stays
+    ``low_host_rank`` — one policy, one reason).
+
+    Returns ``(kept, ledger)`` per the ``clean_corpus`` contract.
+
+    Scale shape: the ranks table is host-level (bounded by distinct
+    domains, not documents) but corpus-derived and unbounded, so it is
+    JOINED on the derived domain — never force-broadcast; AQE picks
+    broadcast when it fits.  One derived-column join, zero extra
+    passes over text.
+    """
+    r = ranks.select(F.col("host").alias("_rhost"),
+                     F.col("rank").alias("_rank"))
+    tagged = (df.withColumn("_domain", registered_domain(F.col(url_col)))
+              .join(r, F.col("_domain") == F.col("_rhost"), "left"))
+    low = F.when(F.col("_rank").isNotNull(), F.col("_rank") < min_rank) \
+           .otherwise(F.lit(not keep_unranked))
+    kept = tagged.filter(~low).drop("_domain", "_rhost", "_rank")
+    ledger = (tagged.filter(low)
+              .select(F.col(id_col).alias("id"),
+                      F.lit("low_host_rank").alias("reject_reason")))
+    return kept, ledger

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["synthetic_link_graph", "pagerank"]
+__all__ = ["synthetic_link_graph", "pagerank", "host_pagerank"]
 
 
 def synthetic_link_graph(docs: DataFrame, *, id_col: str = "doc_id",
@@ -135,3 +135,29 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 5,
                 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def host_pagerank(host_edges: DataFrame, *, n_iter: int = 5,
+                  damping: float = 0.85,
+                  deterministic: bool = False) -> DataFrame:
+    """PageRank over a host-level edge table (``links.host_link_graph``
+    output: distinct ``(src, dst)`` registrable-domain strings) —
+    returns ``(host, rank)``, the quality prior a crawl pipeline joins
+    against its corpus (``domains.filter_by_host_rank``).
+
+    Node ids are ``xxhash64(host)`` — a stateless projection, so the
+    string→id mapping needs NO global sort or zipWithIndex pass and is
+    identical across cluster sizes and increments (the ``hash_split``
+    discipline).  A 64-bit collision would merge two hosts' ranks:
+    ~10^-5 probability of even ONE collision at 10^7 hosts, and the
+    effect is a perturbed prior, never a crash — the MinHash banding
+    precedent.  One extra join at the end recovers the host string.
+    """
+    hosts = (host_edges.select(F.col("src").alias("host"))
+             .union(host_edges.select("dst")).distinct())
+    nodes = hosts.select(F.xxhash64("host").alias("id"), "host")
+    edges = host_edges.select(F.xxhash64("src").alias("src"),
+                              F.xxhash64("dst").alias("dst"))
+    ranks = pagerank(nodes.select("id"), edges, n_iter=n_iter,
+                     damping=damping, deterministic=deterministic)
+    return nodes.join(ranks, "id").select("host", "rank")

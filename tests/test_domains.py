@@ -245,3 +245,113 @@ def test_clean_cli_max_docs_per_domain(spark, tmp_path):
         capture_output=True, text=True, timeout=120, cwd=cwd)
     assert p2.returncode == 2
     assert "requires --url-col" in p2.stderr
+
+
+def test_filter_by_host_rank(spark):
+    from khl_pdf_ocr_spark.operators.domains import filter_by_host_rank
+
+    docs = spark.createDataFrame(
+        [(1, "https://good.example.com/a"),
+         (2, "https://sub.good.example.com/b"),   # same eTLD+1
+         (3, "https://spam.farm.net/c"),
+         (4, "https://unranked.org/d")],
+        ["doc_id", "url"])
+    ranks = spark.createDataFrame(
+        [("example.com", 0.5), ("farm.net", 0.01)], ["host", "rank"])
+
+    kept, ledger = filter_by_host_rank(docs, ranks, min_rank=0.1)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4}
+    assert [tuple(r) for r in ledger.collect()] == [(3, "low_host_rank")]
+    assert kept.columns == docs.columns  # helper columns dropped
+
+    kept2, ledger2 = filter_by_host_rank(docs, ranks, min_rank=0.1,
+                                         keep_unranked=False)
+    assert {r["doc_id"] for r in kept2.collect()} == {1, 2}
+    assert {r["id"] for r in ledger2.collect()} == {3, 4}
+
+
+def test_clean_cli_host_rank_prior_full_loop(spark, tmp_path):
+    """The production loop end-to-end: extraction --outlinks sidecar ->
+    host_link_graph -> host_pagerank -> frozen ranks table ->
+    clean_cli --host-ranks prior filter."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from khl_pdf_ocr_spark.operators.graph import host_pagerank
+    from khl_pdf_ocr_spark.operators.links import (extract_outlinks,
+                                                   host_link_graph)
+
+    # hub.com is linked by everyone; isolated.net links out but gets
+    # no in-links -> lowest rank
+    def page(host, links):
+        body = ("<p>" + "good body text word " * 30 + "</p>" +
+                "".join(f'<a href="{u}">l</a>' for u in links))
+        return (f"https://{host}/", body.encode())
+
+    crawl = spark.createDataFrame(
+        [page("hub.com", ["https://a.com/", "https://b.com/"]),
+         page("a.com", ["https://hub.com/"]),
+         page("b.com", ["https://hub.com/"]),
+         page("isolated.net", ["https://hub.com/"])],
+        "url string, html binary")
+    ranks = host_pagerank(host_link_graph(extract_outlinks(crawl)),
+                          n_iter=10)
+    ranks_path = str(tmp_path / "host_ranks")
+    ranks.write.parquet(ranks_path)
+    rk = {r["host"]: r["rank"] for r in ranks.collect()}
+    assert rk["hub.com"] == max(rk.values())
+    assert rk["isolated.net"] == min(rk.values())
+    cut = (rk["isolated.net"] + min(v for v in rk.values()
+                                    if v > rk["isolated.net"])) / 2
+
+    body = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun "
+            "story %d")
+    rows = [(1, body % 1, "s", "https://hub.com/p"),
+            (2, body % 2, "s", "https://deep.isolated.net/p"),
+            (3, body % 3, "s", "https://neverseen.org/p")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source", "url"]) \
+         .write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--near-dup-threshold", "0.99", "--url-col", "url",
+         "--host-ranks", ranks_path, f"--min-host-rank={cut}",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=cwd)
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    # isolated.net (subdomain!) dropped by the prior; unranked
+    # neverseen.org kept by default
+    assert stats["rejected"].get("low_host_rank") == 1
+    assert stats["n_kept"] == 2
+
+    # flag pairing: rank threshold without the table is a usage error
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", str(tmp_path / "x"),
+         "--min-host-rank=0.5", "--cpus", "2"],
+        capture_output=True, text=True, timeout=120, cwd=cwd)
+    assert p2.returncode == 2 and "go together" in p2.stderr
+
+
+def test_increment_cli_host_rank_flag_pairing(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.increment_cli",
+         "--input", str(tmp_path / "in"), "--state", str(tmp_path / "st"),
+         "--output", str(tmp_path / "out"),
+         "--host-ranks", str(tmp_path / "rk")],
+        capture_output=True, text=True, timeout=120, cwd=cwd)
+    assert p.returncode == 2 and "go together" in p.stderr
