@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
                          "WAT-sidecar analogue; feeds "
                          "links.host_link_graph + graph.pagerank "
                          "without ever rescanning the crawl")
+    ap.add_argument("--robots-rules", default=None, metavar="PATH",
+                    help="parquet rule table from operators.robots."
+                         "parse_robots_rules (built from the crawl's "
+                         "own /robots.txt records): drop RFC 9309 "
+                         "Disallow'd urls pre-kernel; count lands in "
+                         "stats as robots_dropped")
+    ap.add_argument("--robots-agent", default="*",
+                    help="with --robots-rules: the user-agent token "
+                         "whose rule group applies (default '*')")
     ap.add_argument("--honor-noindex", action="store_true",
                     help="drop pages declaring <meta name=robots "
                          "... noindex> before extraction (publisher "
@@ -105,11 +114,13 @@ def main(argv: list[str] | None = None) -> int:
                      "resumable text-layer pass first, then a plain run "
                      "with --ocr/--debug over the failed subset")
         if args.resume and (args.signals or args.honor_noindex
-                            or args.outlinks):
+                            or args.outlinks or args.robots_rules):
             ap.error("--resume does not support --signals/"
-                     "--honor-noindex/--outlinks; write the side "
-                     "tables in a plain run (or a dedicated pass) "
-                     "first")
+                     "--honor-noindex/--outlinks/--robots-rules; "
+                     "run the side tables / policy gates in a plain "
+                     "run (or a dedicated pass) first")
+        if args.robots_agent != "*" and not args.robots_rules:
+            ap.error("--robots-agent requires --robots-rules")
         ocr_stage = None
         if args.ocr:
             from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
@@ -143,7 +154,9 @@ def main(argv: list[str] | None = None) -> int:
                                       debug=args.debug, ocr_stage=ocr_stage,
                                       honor_noindex=args.honor_noindex,
                                       signals_path=args.signals,
-                                      outlinks_path=args.outlinks)
+                                      outlinks_path=args.outlinks,
+                                      robots_rules_path=args.robots_rules,
+                                      robots_agent=args.robots_agent)
         print(json.dumps(stats))
         return 0
     finally:

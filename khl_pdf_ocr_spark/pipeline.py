@@ -89,7 +89,9 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    reader_opts: dict | None = None,
                    honor_noindex: bool = False,
                    signals_path: str | None = None,
-                   outlinks_path: str | None = None):
+                   outlinks_path: str | None = None,
+                   robots_rules_path: str | None = None,
+                   robots_agent: str = "*"):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -162,6 +164,19 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
             # scan of the html column
             noindex_dropped = (spark.read.parquet(signals_path)
                                .filter(F.col("noindex")).count())
+    robots_dropped = None
+    if robots_rules_path:
+        # RFC 9309 compliance pre-kernel: host-level rule join on the
+        # url (html never read) — the crawl-policy twin of the
+        # per-page honor_noindex gate.  Counting the ledger is one
+        # cheap url-only job, far below the extraction it gates.
+        from khl_pdf_ocr_spark.operators.robots import \
+            filter_robots_disallowed
+
+        rules = spark.read.parquet(robots_rules_path)
+        docs, robots_ledger = filter_robots_disallowed(
+            docs, rules, url_col="url", id_col="url", agent=robots_agent)
+        robots_dropped = robots_ledger.count()
     if salt:
         n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
         docs = repartition_for_extraction(docs, n_part)
@@ -186,6 +201,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         # None = filtered but uncounted (no signals table to count
         # from; counting would rescan html) — disclosed, never silent
         stats["noindex_dropped"] = noindex_dropped
+    if robots_rules_path:
+        stats["robots_dropped"] = robots_dropped
     if output_path:
         # stamp the extraction task id BEFORE writing, so the persisted
         # metrics attribute docs/sec to the task that computed them
