@@ -107,10 +107,22 @@ def parse_robots_rules(df: DataFrame, *, url_col: str = "url",
                   F.struct(acc["agents"].alias("agents"),
                            F.lit(True).alias("in_rules"),
                            F.concat(acc["rules"], new_rule).alias("rules")))
-            .when(is_al | is_di,          # empty value: closes the
-                  F.struct(acc["agents"].alias("agents"),   # group but
-                           F.lit(True).alias("in_rules"),   # adds no rule
-                           acc["rules"].alias("rules")))
+            .when(is_al | is_di,
+                  # empty value ("Disallow:" = allow all): recorded as
+                  # a zero-length ALLOW rule — semantically the RFC's
+                  # lowest-priority allow-everything, and it keeps the
+                  # GROUP visible so agent selection never wrongly
+                  # falls back to '*' for an agent whose group held
+                  # only empty rules (review finding)
+                  F.struct(acc["agents"].alias("agents"),
+                           F.lit(True).alias("in_rules"),
+                           F.concat(acc["rules"], F.transform(
+                               acc["agents"],
+                               lambda a: F.struct(
+                                   a.alias("agent"),
+                                   F.lit(True).alias("allow"),
+                                   F.lit("").alias("pat"))))
+                           .alias("rules")))
             .otherwise(acc))
 
     folded = src.select(url_host(u).alias("host"),
@@ -123,9 +135,15 @@ def parse_robots_rules(df: DataFrame, *, url_col: str = "url",
     anchored = F.col("_pat").endswith("$")
     core = F.when(anchored, F.expr("substring(_pat, 1, length(_pat) - 1)")) \
             .otherwise(F.col("_pat"))
-    escaped = F.regexp_replace(core, r"([.\[\]{}()+?^$|\\*])", r"\\$1")
+    # '*' swaps to a NUL sentinel BEFORE escaping (robots paths cannot
+    # contain NUL), so a literal backslash-then-star in a rule path is
+    # never mistaken for an escaped wildcard (review finding: escaping
+    # first turns '/a\*b' into '/a\\\*b' whose tail the blind '\*'
+    # replace would corrupt into a real wildcard)
+    starred = F.replace(core, F.lit("*"), F.lit("\x00"))
+    escaped = F.regexp_replace(starred, r"([.\[\]{}()+?^$|\\])", r"\\$1")
     rx = F.concat(F.lit("^"),
-                  F.replace(escaped, F.lit("\\*"), F.lit(".*")),
+                  F.replace(escaped, F.lit("\x00"), F.lit(".*")),
                   F.when(anchored, F.lit("$")).otherwise(F.lit("")))
     return rules.select("host", "agent", "allow", rx.alias("pattern"),
                         F.length("_pat").alias("plen"))
@@ -152,29 +170,38 @@ def filter_robots_disallowed(docs: DataFrame, rules: DataFrame, *,
         .alias("_exact"),
         F.collect_list(F.when(F.col("agent") == "*", F.col("_r")))
         .alias("_star"))
-        .select("host",
-                F.when(F.size("_exact") > 0, F.col("_exact"))
+        .select(F.col("host").alias("_rhost"),   # never shadow a docs
+                F.when(F.size("_exact") > 0, F.col("_exact"))  # column
                  .otherwise(F.col("_star")).alias("_rules")))
 
     u = F.col(url_col)
     pathq = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)",
                              1)
-    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    # RFC path defaults to '/'; a query-only url ("https://h?sid=1")
+    # yields '?sid=1' here and must match rules AS '/?sid=1', or a
+    # 'Disallow: /' host would silently admit it (review finding)
+    pathq = (F.when(pathq == "", F.lit("/"))
+             .when(~pathq.startswith("/"), F.concat(F.lit("/"), pathq))
+             .otherwise(pathq))
     tagged = (docs.withColumn("_h", url_host(u))
-              .join(byhost, F.col("_h") == F.col("host"), "left"))
+              .join(byhost, F.col("_h") == F.col("_rhost"), "left"))
 
     verdict_zero = F.struct(F.lit(-1).cast("int").alias("best"),
                             F.lit(True).alias("allow"))
 
     def pick(acc, r):
-        hits = F.regexp_like(pathq, r["pattern"])
-        return (F.when(hits & (r["plen"] > acc["best"]),
-                       F.struct(r["plen"].cast("int").alias("best"),
-                                r["allow"].alias("allow")))
-                .when(hits & (r["plen"] == acc["best"]) & r["allow"],
-                      F.struct(acc["best"].alias("best"),
-                               F.lit(True).alias("allow")))
-                .otherwise(acc))
+        # hits evaluated ONCE per (doc, rule): conditional subtrees
+        # defeat codegen CSE, so two hits-guarded when-branches would
+        # run the regex twice (the licensing.py BENCH §4.21 lesson)
+        return F.when(
+            F.regexp_like(pathq, r["pattern"]),
+            F.when(r["plen"] > acc["best"],
+                   F.struct(r["plen"].cast("int").alias("best"),
+                            r["allow"].alias("allow")))
+            .when((r["plen"] == acc["best"]) & r["allow"],
+                  F.struct(acc["best"].alias("best"),
+                           F.lit(True).alias("allow")))
+            .otherwise(acc)).otherwise(acc)
 
     allowed = F.aggregate(
         F.coalesce(F.col("_rules"), F.array().cast(

@@ -142,9 +142,16 @@ def export_wet(df, out_dir: str, *, url_col: str = "url",
     def sink(batches):
         # streamed per Arrow batch — task memory holds one batch's
         # records, never the whole partition (gzip members concatenate,
-        # so incremental appends produce a valid multi-member file)
+        # so incremental appends produce a valid multi-member file).
+        # Task-commit protocol: stream into a '_tmp-' name (the '_'
+        # prefix also hides it from Spark/Hadoop globs) and rename to
+        # the final name only after the partition completes — a
+        # crashed/retried attempt leaves no half-file a later
+        # read_wet(out_dir glob) would double-count; the returned
+        # manifest stays the authoritative file list (review finding)
         epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        name, fh, n_records, n_bytes = None, None, 0, 0
+        name, tmp, fh, n_records, n_bytes = None, None, None, 0, 0
+        ok = False
         try:
             for batch in batches:
                 recs = list(zip(batch.column(0).to_pylist(),
@@ -154,16 +161,22 @@ def export_wet(df, out_dir: str, *, url_col: str = "url",
                     continue
                 if fh is None:
                     name = f"part-{uuid.uuid4().hex[:12]}.warc.wet.gz"
-                    fh = open(os.path.join(out_dir, name), "wb")
+                    tmp = os.path.join(out_dir, "_tmp-" + name)
+                    fh = open(tmp, "wb")
                 payload = write_wet(
                     [(u, ts or epoch, t or "") for u, ts, t in recs],
                     gzipped=True)
                 fh.write(payload)
                 n_records += len(recs)
                 n_bytes += len(payload)
+            ok = True
         finally:
             if fh is not None:
                 fh.close()
+                if ok:
+                    os.replace(tmp, os.path.join(out_dir, name))
+                else:
+                    os.unlink(tmp)
         if name is not None:
             yield pa.RecordBatch.from_pydict({
                 "file": pa.array([name], pa.string()),

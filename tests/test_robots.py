@@ -43,7 +43,9 @@ def test_parse_groups_agents_and_patterns(spark):
         ("site.example.com", "*", False, r"^/.*\.pdf$", 7),
         ("site.example.com", "specialbot", False, r"^/", 1),
         ("site.example.com", "otherbot", False, r"^/", 1),
-        # emptybot's empty Disallow adds NO rule
+        # emptybot's empty Disallow = the RFC's allow-everything:
+        # recorded as a zero-length ALLOW so the GROUP stays visible
+        ("site.example.com", "emptybot", True, "^", 0),
     }
 
 
@@ -72,15 +74,21 @@ def test_agent_group_selection(spark):
     # specialbot has its own group (Disallow: /) -> everything drops
     kept, _ = filter_robots_disallowed(docs, rules, agent="SpecialBot")
     assert kept.count() == 0
-    # emptybot's group exists but holds no rules -> NOT the * group,
-    # everything allowed
+    # emptybot declared its own group with an empty Disallow (= allow
+    # everything): its group applies — NEVER the '*' fallback
     kept2, _ = filter_robots_disallowed(docs, rules, agent="emptybot")
-    # emptybot declared a group whose only rule line was an empty
-    # Disallow (= no rule recorded) -> falls back to '*', /public/ ok
     assert kept2.count() == 1
     # unknown agent falls back to the * group
     kept3, _ = filter_robots_disallowed(docs, rules, agent="randombot")
     assert kept3.count() == 1
+    # review regression: an agent whose group is ONLY an empty
+    # Disallow must be allowed even when '*' disallows everything
+    body = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    r2 = _rules(spark, body=body)
+    k_my, _ = filter_robots_disallowed(docs, r2, agent="mybot")
+    assert k_my.count() == 1          # own allow-all group wins
+    k_star, _ = filter_robots_disallowed(docs, r2)
+    assert k_star.count() == 0        # '*' group still disallows all
 
 
 def test_rules_before_any_group_are_ignored(spark):
@@ -212,3 +220,29 @@ def test_extract_cli_robots_gate(spark, tmp_path):
          "--resume", "--robots-rules", rules_path],
         capture_output=True, text=True, timeout=120, cwd=cwd)
     assert p3.returncode == 2 and "robots-rules" in p3.stderr
+
+
+def test_query_only_url_matches_root_rules(spark):
+    # review regression: 'https://h?sid=1' has RFC path '/' (+query) —
+    # a Disallow: / host must drop it, not silently admit it
+    body = "User-agent: *\nDisallow: /\n"
+    rules = _rules(spark, body=body, host="q.example.com")
+    docs = spark.createDataFrame(
+        [(1, "https://q.example.com?sid=1"),
+         (2, "https://q.example.com"),
+         (3, "https://q.example.com/real/path")],
+        ["doc_id", "url"])
+    kept, ledger = filter_robots_disallowed(docs, rules)
+    assert kept.count() == 0 and ledger.count() == 3
+
+
+def test_docs_with_host_column_do_not_collide(spark):
+    # review regression: the rule join must never shadow a docs column
+    # named 'host' (a plausible crawl schema)
+    rules = _rules(spark)
+    docs = spark.createDataFrame(
+        [(1, "https://site.example.com/private/x", "site.example.com")],
+        ["doc_id", "url", "host"])
+    kept, ledger = filter_robots_disallowed(docs, rules)
+    assert kept.count() == 0 and ledger.count() == 1
+    assert kept.columns == ["doc_id", "url", "host"]
