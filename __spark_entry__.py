@@ -908,32 +908,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint_dedup"] = doc_fingerprint_dedup
 
-    def doc_median_chars_by_source(spark, sf_dir):
-        # exact upper-median (element n//2 of the sorted list) — the
-        # reference's median rule (app.py:129-130), as a grouped agg
+    def doc_group_stats(spark, sf_dir):
+        # r5 session-5 consolidation: the two tiny per-group stats
+        # queries share the (group key → scalar stat) shape, so they
+        # ride one kind-tagged union — each branch still computes
+        # exactly what its standalone predecessor did.
         docs = spark.read.parquet(_t(sf_dir, "documents"))
+        # branch 1: exact upper-median (element n//2 of the sorted
+        # list) — the reference's median rule (app.py:129-130)
         idx = (F.floor(F.count(F.lit(1)) / 2) + 1).cast("int")
-        return (docs.groupBy("source")
-                .agg(F.element_at(F.sort_array(F.collect_list("n_chars")), idx)
-                     .alias("median_chars"),
-                     F.count(F.lit(1)).alias("n_docs")))
-
-    q["doc_median_chars_by_source"] = doc_median_chars_by_source
-
-    def doc_longest_per_lang(spark, sf_dir):
-        # top-1-by-length shadow of the team-name pick (app.py:174).
-        # Project to (lang, doc_id, length) BEFORE the window so the
-        # rank shuffle moves 3 narrow columns, never the text payload.
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        med = (docs.groupBy("source")
+               .agg(F.element_at(F.sort_array(F.collect_list("n_chars")),
+                                 idx).alias("value"),
+                    F.count(F.lit(1)).alias("n_docs"))
+               .select(F.lit("median_chars").alias("kind"),
+                       F.col("source").alias("key"),
+                       F.lit(None).cast("long").alias("doc_id"),
+                       F.col("value").cast("long").alias("value"),
+                       F.col("n_docs")))
+        # branch 2: top-1-by-length shadow of the team-name pick
+        # (app.py:174).  Project to (lang, doc_id, length) BEFORE the
+        # window so the rank shuffle moves 3 narrow columns, never the
+        # text payload.
         narrow = docs.select("lang", "doc_id",
                              F.length("text").cast("long").alias("text_len"))
         w = Window.partitionBy("lang").orderBy(
             F.col("text_len").desc(), F.col("doc_id").asc())
-        return (narrow.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("lang", "doc_id", "text_len"))
+        longest = (narrow.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1)
+                   .select(F.lit("longest_per_lang").alias("kind"),
+                           F.col("lang").alias("key"), F.col("doc_id"),
+                           F.col("text_len").alias("value"),
+                           F.lit(None).cast("long").alias("n_docs")))
+        return med.unionByName(longest)
 
-    q["doc_longest_per_lang"] = doc_longest_per_lang
+    q["doc_group_stats"] = doc_group_stats
+
+    def doc_outlinks(spark, sf_dir):
+        # real hyperlink extraction (operators/links.py) in the driver
+        # window.  documents carries no url/html, so both engines build
+        # the same deterministic page per doc (the doc_canonical_urls
+        # precedent): url from (source, doc_id); html = the anchor-form
+        # truth table keyed by doc_id — absolute, scheme-relative
+        # (attribute case + quoting variants), bare root-relative, a
+        # QUOTED DUPLICATE of it (dedup), directory-relative,
+        # query-only, non-fetchable mailto, fragment-only.  Spark
+        # extracts + resolves via extract_outlinks; the oracle
+        # re-extracts with DuckDB's own regexp_extract_all and
+        # re-resolves with an independent CASE chain.
+        from khl_pdf_ocr_spark.operators.links import extract_outlinks
+
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        d = F.col("doc_id")
+        url = F.format_string("https://%s.example.com/d%d/p%d.html",
+                              F.col("source"), F.pmod(d, 5), d)
+        html = F.format_string(
+            '<a href="https://ext%d.example.org/a">x</a>'
+            "<A HREF='//cdn%d.example.net/l'>y</A>"
+            '<a href=/r%d>z</a>'
+            '<a href="/r%d">dup</a>'
+            '<a href="sub/x%d.html">w</a>'
+            '<a href="?page=%d">q</a>'
+            '<a href="mailto:a@b.example">m</a>'
+            '<a href="#frag">f</a>',
+            F.pmod(d, 7), F.pmod(d, 4), F.pmod(d, 3), F.pmod(d, 3),
+            F.pmod(d, 2), F.pmod(d, 9))
+        built = docs.select(url.alias("url"),
+                            html.cast("binary").alias("html"))
+        return extract_outlinks(built)
+
+    q["doc_outlinks"] = doc_outlinks
 
     def doc_top_terms_per_lang(spark, sf_dir):
         from khl_pdf_ocr_spark.operators.textstats import top_terms_per_group
@@ -1309,7 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles", "doc_dsir_scores",
         "doc_gopher_repetition", "events_props_extract",
         "doc_text_analytics", "doc_fingerprint_dedup",
-        "doc_median_chars_by_source", "doc_longest_per_lang",
+        "doc_group_stats", "doc_outlinks",
         "doc_top_terms_per_lang", "doc_text_near_dup_pairs",
         "doc_near_dup_components",
         "doc_simhash_pairs", "emb_near_dup_pairs",
@@ -1998,21 +2042,85 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
-    o["doc_median_chars_by_source"] = """
-        SELECT source,
-               (list_sort(list(n_chars)))[(count(*) // 2)::int + 1] AS median_chars,
+    o["doc_group_stats"] = """
+        SELECT 'median_chars' AS kind, source AS key,
+               NULL::bigint AS doc_id,
+               ((list_sort(list(n_chars)))[(count(*) // 2)::int + 1])::bigint
+                   AS value,
                count(*) AS n_docs
         FROM documents
         GROUP BY source
-    """
-
-    o["doc_longest_per_lang"] = """
-        SELECT lang, doc_id, length(text) AS text_len
+        UNION ALL
+        SELECT 'longest_per_lang' AS kind, lang AS key, doc_id,
+               length(text)::bigint AS value, NULL::bigint AS n_docs
         FROM (SELECT lang, doc_id, text,
                      row_number() OVER (PARTITION BY lang
                                         ORDER BY length(text) DESC, doc_id ASC) AS rn
               FROM documents)
         WHERE rn = 1
+    """
+
+    # doc_outlinks: the oracle re-BUILDS the identical page, then
+    # re-EXTRACTS hrefs with DuckDB's own RE2 regexp_extract_all and
+    # re-RESOLVES them with an independent CASE chain (fragment
+    # stripped pre-resolution, &amp; decoded, dedup, self-links out —
+    # the links.py semantics re-derived from RFC 3986, not shared).
+    # Constructed page urls are always https with a non-empty path, so
+    # the non-http(s)-page and empty-path branches cannot trigger here
+    # (they are pytest-covered in tests/test_links.py).
+    o["doc_outlinks"] = """
+        WITH built AS (
+          SELECT format('https://{}.example.com/d{}/p{}.html',
+                        source, doc_id % 5, doc_id) AS src,
+                 format('<a href="https://ext{}.example.org/a">x</a>' ||
+                        '<A HREF=''//cdn{}.example.net/l''>y</A>' ||
+                        '<a href=/r{}>z</a>' ||
+                        '<a href="/r{}">dup</a>' ||
+                        '<a href="sub/x{}.html">w</a>' ||
+                        '<a href="?page={}">q</a>' ||
+                        '<a href="mailto:a@b.example">m</a>' ||
+                        '<a href="#frag">f</a>',
+                        doc_id % 7, doc_id % 4, doc_id % 3, doc_id % 3,
+                        doc_id % 2, doc_id % 9) AS html
+          FROM documents
+        ), hrefs AS (
+          SELECT src,
+                 unnest(regexp_extract_all(
+                     html,
+                     '<[aA][^>]*[hH][rR][eE][fF]\\s*=\\s*["'']?([^"''\\s>]+)',
+                     1)) AS href
+          FROM built
+        ), cleaned AS (
+          SELECT src,
+                 regexp_replace(replace(href, '&amp;', '&'),
+                                '#.*$', '') AS h,
+                 regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)',
+                                1) AS origin,
+                 regexp_extract(src,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                                1) AS path
+          FROM hrefs
+        ), resolved AS (
+          SELECT src,
+                 CASE
+                   WHEN h = '' THEN NULL
+                   WHEN regexp_matches(h, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                     THEN h
+                   WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                     THEN NULL
+                   WHEN h LIKE '//%'
+                     THEN 'https:' || h
+                   WHEN h LIKE '/%'
+                     THEN origin || h
+                   WHEN h LIKE '?%'
+                     THEN origin || path || h
+                   ELSE origin || regexp_replace(path, '[^/]*$', '') || h
+                 END AS dst
+          FROM cleaned
+        )
+        SELECT DISTINCT src, dst
+        FROM resolved
+        WHERE dst IS NOT NULL AND dst <> '' AND dst <> src
     """
 
     o["doc_top_terms_per_lang"] = """

@@ -560,15 +560,20 @@ def main() -> None:
         frame.write.format("noop").mode("overwrite").save()
         prepare[name] = round(time.time() - t0, 3)
 
-    # ingest-signals pass over the raw-crawl bench corpus (url+html):
-    # the staged/gated projection of BENCH §4.21 — warm noop-sink time
+    # ingest-side passes over the raw-crawl bench corpus (url+html):
+    # the staged/gated signals projection of BENCH §4.21 and the
+    # outlinks sidecar (anchor extraction + per-href resolution) —
+    # warm noop-sink times
     from khl_pdf_ocr_spark.operators.licensing import page_signals
+    from khl_pdf_ocr_spark.operators.links import extract_outlinks
 
-    sig_frame = page_signals(spark.read.parquet(docs_path))
-    sig_frame.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    sig_frame.write.format("noop").mode("overwrite").save()
-    prepare["page_signals"] = round(time.time() - t0, 3)
+    raw = spark.read.parquet(docs_path)
+    for name, frame in (("page_signals", page_signals(raw)),
+                        ("extract_outlinks", extract_outlinks(raw))):
+        frame.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        frame.write.format("noop").mode("overwrite").save()
+        prepare[name] = round(time.time() - t0, 3)
 
     ext_out = os.path.join(REPO, ".bench_cache", "out_main")
     ext_cold = run_extraction_job(spark, docs_path, ext_out + "_cold")
