@@ -951,12 +951,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precedent): url from (source, doc_id); html = the anchor-form
         # truth table keyed by doc_id — absolute, scheme-relative
         # (attribute case + quoting variants), bare root-relative, a
-        # QUOTED DUPLICATE of it (dedup), directory-relative,
-        # query-only, non-fetchable mailto, fragment-only.  Spark
-        # extracts + resolves via extract_outlinks; the oracle
-        # re-extracts with DuckDB's own regexp_extract_all and
-        # re-resolves with an independent CASE chain.
-        from khl_pdf_ocr_spark.operators.links import extract_outlinks
+        # QUOTED DUPLICATE of it under a DIFFERENT anchor text (both
+        # survive with_text's (dst, anchor) dedup, and their count tie
+        # exercises the profile's lexicographic tie-break),
+        # directory-relative, query-only, non-fetchable mailto,
+        # fragment-only.  r5 session 6 upgrade: Spark extracts WITH
+        # anchor text (with_text=True) and aggregates per-target
+        # profiles (anchor_text_profile) — kind-tagged union of both;
+        # the oracle re-extracts both regex groups with DuckDB's own
+        # regexp_extract_all + list_zip, re-resolves with an
+        # independent CASE chain, re-cleans the text, and re-aggregates
+        # the profile in SQL.
+        from khl_pdf_ocr_spark.operators.links import (anchor_text_profile,
+                                                       extract_outlinks)
 
         docs = spark.read.parquet(_t(sf_dir, "documents"))
         d = F.col("doc_id")
@@ -975,7 +982,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod(d, 2), F.pmod(d, 9))
         built = docs.select(url.alias("url"),
                             html.cast("binary").alias("html"))
-        return extract_outlinks(built)
+        edges = extract_outlinks(built, with_text=True)
+        nl = F.lit(None).cast("long")
+        e = edges.select(F.lit("edge").alias("kind"), "dst", "src",
+                         "anchor", nl.alias("n_refs"), nl.alias("n_srcs"),
+                         nl.alias("n_texts"), nl.alias("top_anchor_refs"))
+        p = anchor_text_profile(edges).select(
+            F.lit("profile").alias("kind"), "dst",
+            F.lit(None).cast("string").alias("src"),
+            F.col("top_anchor").alias("anchor"),
+            "n_refs", "n_srcs", "n_texts", "top_anchor_refs")
+        return e.unionByName(p)
 
     q["doc_outlinks"] = doc_outlinks
 
@@ -2061,13 +2078,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # doc_outlinks: the oracle re-BUILDS the identical page, then
-    # re-EXTRACTS hrefs with DuckDB's own RE2 regexp_extract_all and
-    # re-RESOLVES them with an independent CASE chain (fragment
-    # stripped pre-resolution, &amp; decoded, dedup, self-links out —
-    # the links.py semantics re-derived from RFC 3986, not shared).
-    # Constructed page urls are always https with a non-empty path, so
-    # the non-http(s)-page and empty-path branches cannot trigger here
-    # (they are pytest-covered in tests/test_links.py).
+    # re-EXTRACTS (href, inner text) pairs with DuckDB's own RE2
+    # regexp_extract_all (both groups + list_zip), re-RESOLVES hrefs
+    # with an independent CASE chain (fragment stripped pre-resolution,
+    # &amp; decoded, dedup, self-links out — the links.py semantics
+    # re-derived from RFC 3986, not shared), re-CLEANS the anchor text
+    # (tag strip → entity decode → whitespace collapse → trim → bound),
+    # and re-AGGREGATES the per-target profile in SQL (top anchor by
+    # count desc, text asc).  Constructed page urls are always https
+    # with a non-empty path, so the non-http(s)-page and empty-path
+    # branches cannot trigger here (pytest-covered in
+    # tests/test_links.py).  Page srcs are unique (doc_id in the path),
+    # so Spark's per-page (dst, anchor) dedup equals global DISTINCT.
     o["doc_outlinks"] = """
         WITH built AS (
           SELECT format('https://{}.example.com/d{}/p{}.html',
@@ -2083,25 +2105,34 @@ def oracle_sql() -> dict[str, str]:
                         doc_id % 7, doc_id % 4, doc_id % 3, doc_id % 3,
                         doc_id % 2, doc_id % 9) AS html
           FROM documents
-        ), hrefs AS (
+        ), pairs AS (
           SELECT src,
-                 unnest(regexp_extract_all(
-                     html,
-                     '<[aA][^>]*[hH][rR][eE][fF]\\s*=\\s*["'']?([^"''\\s>]+)',
-                     1)) AS href
+                 unnest(list_zip(
+                   regexp_extract_all(html,
+                     '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']?([^"''\\s>]+)[^>]*>(.*?)</a\\s*>',
+                     1),
+                   regexp_extract_all(html,
+                     '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']?([^"''\\s>]+)[^>]*>(.*?)</a\\s*>',
+                     2))) AS pr
           FROM built
         ), cleaned AS (
           SELECT src,
-                 regexp_replace(replace(href, '&amp;', '&'),
+                 regexp_replace(replace(pr[1], '&amp;', '&'),
                                 '#.*$', '') AS h,
+                 substr(trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(pr[2], '<[^>]*>', ' ', 'g'),
+                     '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                     '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                   '\\s+', ' ', 'g')), 1, 200) AS anchor,
                  regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)',
                                 1) AS origin,
                  regexp_extract(src,
                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
                                 1) AS path
-          FROM hrefs
+          FROM pairs
         ), resolved AS (
-          SELECT src,
+          SELECT src, anchor,
                  CASE
                    WHEN h = '' THEN NULL
                    WHEN regexp_matches(h, '^[Hh][Tt][Tt][Pp][Ss]?://')
@@ -2117,10 +2148,37 @@ def oracle_sql() -> dict[str, str]:
                    ELSE origin || regexp_replace(path, '[^/]*$', '') || h
                  END AS dst
           FROM cleaned
+        ), edges AS (
+          SELECT DISTINCT src, dst, anchor
+          FROM resolved
+          WHERE dst IS NOT NULL AND dst <> '' AND dst <> src
+        ), base AS (
+          SELECT dst, count(*) AS n_refs, count(DISTINCT src) AS n_srcs
+          FROM edges GROUP BY dst
+        ), ranked AS (
+          SELECT dst, anchor, cnt,
+                 row_number() OVER (PARTITION BY dst
+                                    ORDER BY cnt DESC, anchor ASC) AS rn
+          FROM (SELECT dst, anchor, count(*) AS cnt
+                FROM edges WHERE anchor <> '' GROUP BY dst, anchor)
+        ), prof AS (
+          SELECT dst, count(*) AS n_texts,
+                 max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+                 max(CASE WHEN rn = 1 THEN cnt END) AS top_refs
+          FROM ranked GROUP BY dst
         )
-        SELECT DISTINCT src, dst
-        FROM resolved
-        WHERE dst IS NOT NULL AND dst <> '' AND dst <> src
+        SELECT 'edge' AS kind, dst, src, anchor,
+               CAST(NULL AS BIGINT) AS n_refs,
+               CAST(NULL AS BIGINT) AS n_srcs,
+               CAST(NULL AS BIGINT) AS n_texts,
+               CAST(NULL AS BIGINT) AS top_anchor_refs
+        FROM edges
+        UNION ALL
+        SELECT 'profile' AS kind, b.dst, CAST(NULL AS VARCHAR) AS src,
+               p.top_anchor AS anchor, b.n_refs, b.n_srcs,
+               coalesce(p.n_texts, 0) AS n_texts,
+               coalesce(p.top_refs, 0) AS top_anchor_refs
+        FROM base b LEFT JOIN prof p USING (dst)
     """
 
     o["doc_top_terms_per_lang"] = """

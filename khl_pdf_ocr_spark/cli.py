@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
                          "WAT-sidecar analogue; feeds "
                          "links.host_link_graph + graph.pagerank "
                          "without ever rescanning the crawl")
+    ap.add_argument("--outlinks-text", action="store_true",
+                    help="with --outlinks: also record each link's "
+                         "anchor text (the WAT link-text field; feeds "
+                         "links.anchor_text_profile).  Counts only "
+                         "well-formed <a>...</a> elements")
     ap.add_argument("--robots-rules", default=None, metavar="PATH",
                     help="parquet rule table from operators.robots."
                          "parse_robots_rules (built from the crawl's "
@@ -121,6 +126,8 @@ def main(argv: list[str] | None = None) -> int:
                      "run (or a dedicated pass) first")
         if args.robots_agent != "*" and not args.robots_rules:
             ap.error("--robots-agent requires --robots-rules")
+        if args.outlinks_text and not args.outlinks:
+            ap.error("--outlinks-text requires --outlinks")
         ocr_stage = None
         if args.ocr:
             from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
@@ -155,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
                                       honor_noindex=args.honor_noindex,
                                       signals_path=args.signals,
                                       outlinks_path=args.outlinks,
+                                      outlinks_text=args.outlinks_text,
                                       robots_rules_path=args.robots_rules,
                                       robots_agent=args.robots_agent)
         print(json.dumps(stats))

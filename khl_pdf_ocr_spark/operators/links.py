@@ -8,8 +8,11 @@ Crawl are exactly this) to build the host graph that quality priors
 like PageRank / harmonic centrality run on.  ``graph.pagerank``
 previously ran only on ``graph.synthetic_link_graph``; this module
 supplies the real edges: ``extract_outlinks`` (page url × anchor
-hrefs → resolved absolute URL edges) and ``host_link_graph`` (URL
-edges → distinct registrable-domain edges).
+hrefs → resolved absolute URL edges; ``with_text=True`` adds the
+link's inner text — the WAT link-text field), ``anchor_text_profile``
+(per-target aggregation of how the web describes each url — the
+anchor-text signal of Brin & Page 1998 §2.2), and ``host_link_graph``
+(URL edges → distinct registrable-domain edges).
 
 Scale shape (the 100 TB story):
 
@@ -34,13 +37,13 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.functions.urls import (registered_domain,
                                               resolve_href, url_parts)
 
-__all__ = ["extract_outlinks", "host_link_graph"]
+__all__ = ["extract_outlinks", "anchor_text_profile", "host_link_graph"]
 
 # anchor href values, both quoted and bare ((?is): attributes may be
 # uppercase and a long <a ...> tag can wrap lines); value captured up
@@ -48,12 +51,35 @@ __all__ = ["extract_outlinks", "host_link_graph"]
 # precedent (licensing.py)
 _A_HREF_RE = r"""(?is)<a\b[^>]*\bhref\s*=\s*["']?([^"'\s>]+)"""
 
+# href + inner text: same href grammar, then consume to the tag end and
+# lazily capture up to the closing </a>.  This variant REQUIRES the
+# closing tag (the text has no boundary without it), so an unclosed
+# <a href=...> contributes no edge in with_text mode — the WAT-style
+# trade: link text only exists for well-formed anchor ELEMENTS.
+_A_HREF_TEXT_RE = (r"""(?is)<a\b[^>]*\bhref\s*=\s*["']?([^"'\s>]+)"""
+                   r"""[^>]*>(.*?)</a\s*>""")
+
+
+def _clean_anchor(t, max_chars: int):
+    """Markup → display-ish text: strip nested tags, decode the five
+    core entities (+ nbsp), collapse whitespace, trim, bound length.
+    Pure codegen — one projection per element of the text array."""
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.substring(F.trim(F.regexp_replace(t, r"\s+", " ")),
+                       1, max_chars)
+
 
 def extract_outlinks(df: DataFrame, *, url_col: str = "url",
                      html_col: str = "html",
                      max_links_per_page: int = 1000,
-                     drop_self: bool = True) -> DataFrame:
-    """One row per (page, distinct resolved out-link): ``(src, dst)``.
+                     drop_self: bool = True,
+                     with_text: bool = False,
+                     max_anchor_chars: int = 200) -> DataFrame:
+    """One row per (page, distinct resolved out-link): ``(src, dst)``
+    — or ``(src, dst, anchor)`` when ``with_text=True``.
 
     ``src`` is the fetch url; ``dst`` is the anchor href resolved
     against it (``functions.urls.resolve_href`` — absolute pass-through,
@@ -65,16 +91,33 @@ def extract_outlinks(df: DataFrame, *, url_col: str = "url",
     Only ``<a href=...>`` anchors count — ``<link>``/``<script>``/
     ``<img>`` references are resources, not hyperlinks (the WAT
     convention).
+
+    ``with_text=True`` additionally captures each anchor's inner text
+    (tags stripped, core entities decoded, whitespace collapsed, first
+    ``max_anchor_chars`` chars) — the link-text signal WAT records
+    carry, which ``anchor_text_profile`` aggregates per target.  In
+    this mode only well-formed ``<a ...>text</a>`` ELEMENTS count (an
+    unclosed tag gives the text no boundary), so the edge set may be a
+    subset of the default mode's; per-page dedup is on the (dst,
+    anchor) PAIR — the same target cited under two texts keeps both
+    rows.  Image-only anchors keep an empty-string anchor.
     """
     if max_links_per_page < 1:
         raise ValueError(f"max_links_per_page must be >= 1, got "
                          f"{max_links_per_page}")
     u = F.col(url_col)
     s = F.col(html_col).cast("string")
-    hrefs = F.slice(F.regexp_extract_all(s, F.lit(_A_HREF_RE), 1),
+    pat = _A_HREF_TEXT_RE if with_text else _A_HREF_RE
+    hrefs = F.slice(F.regexp_extract_all(s, F.lit(pat), 1),
                     1, max_links_per_page)
-    staged = df.select(u.alias("src"), hrefs.alias("_hrefs"),
-                       url_parts(u).alias("_up"))
+    cols = [u.alias("src"), hrefs.alias("_hrefs"),
+            url_parts(u).alias("_up")]
+    if with_text:
+        # same pattern, group 2 — match-aligned with group 1 by
+        # construction (one regex, two captures), bounded identically
+        cols.append(F.slice(F.regexp_extract_all(s, F.lit(pat), 2),
+                            1, max_links_per_page).alias("_texts"))
+    staged = df.select(*cols)
     # fragment stripped BEFORE resolution: a fragment-only href
     # ("#section") is intra-page navigation, not a hyperlink — it
     # empties out and drops, instead of mis-resolving against the
@@ -85,12 +128,76 @@ def extract_outlinks(df: DataFrame, *, url_col: str = "url",
             F.regexp_replace(F.replace(h, F.lit("&amp;"), F.lit("&")),
                              r"#.*$", ""),
             F.col("_up")))
-    dsts = F.array_distinct(F.filter(
-        resolved, lambda d: d.isNotNull() & (d != "")))
-    out = (staged.select("src", F.explode(dsts).alias("dst")))
+    if with_text:
+        # pair BEFORE the explode (the chunk_documents generator-carry
+        # rule): each generated element is one short (dst, anchor)
+        # struct — html, href array, and text array never cross the
+        # Generate
+        cleaned = F.transform(F.col("_texts"),
+                              lambda t: _clean_anchor(t, max_anchor_chars))
+        pairs = F.array_distinct(F.filter(
+            F.arrays_zip(resolved.alias("dst"), cleaned.alias("anchor")),
+            lambda p: p["dst"].isNotNull() & (p["dst"] != "")))
+        out = (staged.select("src", F.explode(pairs).alias("_p"))
+               .select("src", F.col("_p.dst").alias("dst"),
+                       F.col("_p.anchor").alias("anchor")))
+    else:
+        dsts = F.array_distinct(F.filter(
+            resolved, lambda d: d.isNotNull() & (d != "")))
+        out = (staged.select("src", F.explode(dsts).alias("dst")))
     if drop_self:
         out = out.filter(F.col("dst") != F.col("src"))
     return out
+
+
+def anchor_text_profile(edges: DataFrame, *, dst_col: str = "dst",
+                        src_col: str = "src",
+                        anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text aggregation over ``extract_outlinks(...,
+    with_text=True)`` edges: how the web DESCRIBES each url.
+
+    Returns one row per ``dst``: ``n_refs`` (citing (src, anchor)
+    rows), ``n_srcs`` (distinct citing pages), ``n_texts`` (distinct
+    non-empty anchor texts), ``top_anchor`` (the most frequent
+    non-empty text; ties broken by the lexicographically smallest —
+    deterministic across partitionings), ``top_anchor_refs`` (its
+    count).  Targets cited only by image/empty anchors keep
+    ``n_texts=0`` and a NULL ``top_anchor``.
+
+    The aggregated text is a classic web-corpus signal (search engines
+    have ranked on it since Brin & Page 1998 §2.2; in training-data
+    work it yields query/title-like descriptions for pages).
+
+    Scale shape: one hash shuffle on ``dst`` for the base counts and
+    one on ``(dst)`` for the text ranking (window + grouped agg reuse
+    the same partitioning; AQE elides the second exchange); every
+    shuffled row is (url, short-text, count) — the html never moves.
+    """
+    e = edges.select(F.col(dst_col).alias("dst"),
+                     F.col(src_col).alias("src"),
+                     F.coalesce(F.col(anchor_col), F.lit("")).alias("anchor"))
+    base = e.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src").alias("n_srcs"))
+    texts = (e.filter(F.col("anchor") != "")
+             .groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(),
+                                          F.col("anchor").asc())
+    prof = (texts.withColumn("_rn", F.row_number().over(w))
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("n_texts"),
+                 F.max(F.when(F.col("_rn") == 1,
+                              F.struct(F.col("anchor"), F.col("cnt"))))
+                 .alias("_top"))
+            .select("dst", "n_texts",
+                    F.col("_top.anchor").alias("top_anchor"),
+                    F.col("_top.cnt").alias("top_anchor_refs")))
+    return (base.join(prof, "dst", "left")
+            .select("dst", "n_refs", "n_srcs",
+                    F.coalesce(F.col("n_texts"), F.lit(0)).alias("n_texts"),
+                    "top_anchor",
+                    F.coalesce(F.col("top_anchor_refs"), F.lit(0))
+                    .alias("top_anchor_refs")))
 
 
 def host_link_graph(edges: DataFrame, *, src_col: str = "src",

@@ -90,6 +90,7 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    honor_noindex: bool = False,
                    signals_path: str | None = None,
                    outlinks_path: str | None = None,
+                   outlinks_text: bool = False,
                    robots_rules_path: str | None = None,
                    robots_agent: str = "*"):
     """Single-pass job. Returns (extracted_df, stats dict).
@@ -118,7 +119,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     ``outlinks_path`` (optional): write the (src, dst) hyperlink edge
     table (``links.extract_outlinks`` — the WAT-sidecar analogue)
     before extraction; edge count lands in ``stats["outlinks_edges"]``
-    from parquet footer metadata, never a rescan.
+    from parquet footer metadata, never a rescan.  ``outlinks_text``
+    adds the per-link anchor text column (the WAT link-text field;
+    feeds ``links.anchor_text_profile``) — well-formed ``<a>...</a>``
+    elements only in that mode.
 
     ``ocr_stage`` (optional): phase-2 callable per ``with_ocr_fallback``;
     the lazily-persisted OCR subset is released after the write.  With
@@ -150,7 +154,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         # rank information about the pages that remain.
         from khl_pdf_ocr_spark.operators.links import extract_outlinks
 
-        extract_outlinks(docs).write.mode("overwrite").parquet(outlinks_path)
+        extract_outlinks(docs, with_text=outlinks_text) \
+            .write.mode("overwrite").parquet(outlinks_path)
     if honor_noindex:
         # compliance filter pre-kernel: the JVM regex drops opted-out
         # pages before a single byte reaches the Python extraction

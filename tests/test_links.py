@@ -185,3 +185,92 @@ def test_extract_cli_outlinks_sidecar(spark, tmp_path):
         capture_output=True, text=True, timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 2 and "outlinks" in r.stderr
+
+
+def _tedges(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return {(r["src"], r["dst"], r["anchor"])
+            for r in extract_outlinks(df, with_text=True, **kw).collect()}
+
+
+def test_outlinks_with_text_truth_table(spark):
+    html = (b'<a href="https://o.example.org/a"> Spark  <b>Guide</b> </a>'
+            b"<A HREF='/r'>r&amp;d &lt;x&gt;</A>"
+            b'<a href="/img"><img src="/i.png"></a>'
+            b'<a href="/two">first text</a>'
+            b'<a href="/two">second text</a>'
+            b'<a href="/two">first text</a>'
+            b'<a href="/unclosed">no closing tag'
+            b'<a href="mailto:x@example.com">mail</a>')
+    got = _tedges(spark, [("https://p.example.com/d/", html)])
+    p = "https://p.example.com"
+    assert got == {
+        # nested tag stripped, whitespace collapsed, trimmed
+        (f"{p}/d/", "https://o.example.org/a", "Spark Guide"),
+        # entities decoded; uppercase attrs fine
+        (f"{p}/d/", f"{p}/r", "r&d <x>"),
+        # image-only anchor -> empty text kept
+        (f"{p}/d/", f"{p}/img", ""),
+        # same dst under two texts -> both rows; exact repeat deduped.
+        # the trailing unclosed <a> swallows up to the NEXT </a>, so
+        # "/unclosed" resolves with the mail anchor's text (lazy match
+        # boundary) and the mailto href never matches — the documented
+        # well-formed-elements trade of with_text mode
+        (f"{p}/d/", f"{p}/two", "first text"),
+        (f"{p}/d/", f"{p}/two", "second text"),
+        (f"{p}/d/", f"{p}/unclosed", "no closing tag mail"),
+    }
+
+
+def test_outlinks_with_text_truncates(spark):
+    html = ('<a href="/t">' + "word " * 100 + "</a>").encode()
+    got = _tedges(spark, [("https://p.example.com/", html)],
+                  max_anchor_chars=10)
+    ((_, _, anchor),) = got
+    assert anchor == ("word " * 100).strip()[:10]
+
+
+def test_outlinks_with_text_plan_shape(spark):
+    # the generator's output must carry only the (dst, anchor) struct —
+    # never html, the href array, or the text array (generator-carry)
+    df = spark.createDataFrame(
+        [("https://p.example.com/", b'<a href="/x">x</a>')],
+        "url string, html binary")
+    plan = extract_outlinks(df, with_text=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen
+    tail = gen[0].rsplit("], ", 1)[-1]
+    for carried in ("_hrefs", "_texts", "html"):
+        assert carried not in tail
+
+
+def test_anchor_text_profile(spark):
+    from khl_pdf_ocr_spark.operators.links import anchor_text_profile
+
+    edges = spark.createDataFrame(
+        [("s1", "https://t.example.com/", "Apache Spark"),
+         ("s2", "https://t.example.com/", "Apache Spark"),
+         ("s3", "https://t.example.com/", "spark docs"),
+         ("s3", "https://t.example.com/", "Apache Spark"),  # s3 twice
+         ("s4", "https://t.example.com/", ""),              # image anchor
+         # tie on count=1 -> lexicographically smallest text wins
+         ("s1", "https://u.example.com/", "beta"),
+         ("s2", "https://u.example.com/", "alpha"),
+         # only empty texts -> NULL top_anchor, n_texts 0
+         ("s1", "https://v.example.com/", ""),
+         ("s2", "https://v.example.com/", None)],
+        "src string, dst string, anchor string")
+    got = {r["dst"]: r.asDict()
+           for r in anchor_text_profile(edges).collect()}
+    t = got["https://t.example.com/"]
+    assert (t["n_refs"], t["n_srcs"], t["n_texts"]) == (5, 4, 2)
+    assert (t["top_anchor"], t["top_anchor_refs"]) == ("Apache Spark", 3)
+    u = got["https://u.example.com/"]
+    assert (u["top_anchor"], u["top_anchor_refs"]) == ("alpha", 1)
+    assert (u["n_refs"], u["n_srcs"], u["n_texts"]) == (2, 2, 2)
+    v = got["https://v.example.com/"]
+    assert v["top_anchor"] is None
+    assert (v["n_refs"], v["n_srcs"], v["n_texts"],
+            v["top_anchor_refs"]) == (2, 2, 0, 0)
