@@ -271,8 +271,22 @@ def main(argv: list[str] | None = None) -> int:
                          "by source/lang/split, token totals + length "
                          "quantiles, filter funnel, top domains) "
                          "aggregated from the written outputs")
+    ap.add_argument("--target-file-mb", type=int, default=None,
+                    metavar="MB",
+                    help="compact the written outputs to ~MB parquet "
+                         "files (sources.writers.compact_parquet — "
+                         "decides from true on-disk sizes, no-op when "
+                         "the layout is already healthy); parquet "
+                         "format only — iceberg tables size files "
+                         "natively via write.target-file-size-bytes")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.target_file_mb is not None and args.format == "iceberg":
+        ap.error("--target-file-mb is the parquet-path knob; set the "
+                 "write.target-file-size-bytes table property for "
+                 "iceberg outputs")
+    if args.target_file_mb is not None and args.target_file_mb < 1:
+        ap.error("--target-file-mb must be >= 1")
 
     from khl_pdf_ocr_spark.operators.prepare import parse_float_bounds
 
@@ -763,6 +777,20 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.datacard, "w") as fh:
                 json.dump(card, fh, indent=2, sort_keys=True)
             stats["datacard"] = args.datacard
+        if args.target_file_mb is not None:
+            # LAST, after every stat/card was materialized from the
+            # read-backs: compaction swaps the files those lazy frames
+            # point at, so nothing may evaluate kept_rb/ledger_rb
+            # after this point
+            from khl_pdf_ocr_spark.sources.writers import compact_parquet
+
+            stats["file_layout"] = {
+                "kept": compact_parquet(
+                    spark, kept_t, target_mb=args.target_file_mb,
+                    partition_by=("split",) if split_weights else ()),
+                "ledger": compact_parquet(
+                    spark, ledger_t, target_mb=args.target_file_mb),
+            }
         for cached in audit.get("persisted", ()):
             cached.unpersist()
         print(json.dumps(stats))

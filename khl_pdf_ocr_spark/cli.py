@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
                          "anchor text (the WAT link-text field; feeds "
                          "links.anchor_text_profile).  Counts only "
                          "well-formed <a>...</a> elements")
+    ap.add_argument("--target-file-mb", type=int, default=None,
+                    metavar="MB",
+                    help="compact the extraction output to ~MB parquet "
+                         "files after the metrics pass (sources."
+                         "writers.compact_parquet; no-op when the "
+                         "layout is already healthy)")
     ap.add_argument("--robots-rules", default=None, metavar="PATH",
                     help="parquet rule table from operators.robots."
                          "parse_robots_rules (built from the crawl's "
@@ -128,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--robots-agent requires --robots-rules")
         if args.outlinks_text and not args.outlinks:
             ap.error("--outlinks-text requires --outlinks")
+        if args.target_file_mb is not None and args.target_file_mb < 1:
+            ap.error("--target-file-mb must be >= 1")
         ocr_stage = None
         if args.ocr:
             from khl_pdf_ocr_spark.operators.ocr_stage import (HAS_OCR_ENGINE,
@@ -163,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
                                       signals_path=args.signals,
                                       outlinks_path=args.outlinks,
                                       outlinks_text=args.outlinks_text,
+                                      target_file_mb=args.target_file_mb,
                                       robots_rules_path=args.robots_rules,
                                       robots_agent=args.robots_agent)
         print(json.dumps(stats))

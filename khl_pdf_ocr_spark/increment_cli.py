@@ -237,8 +237,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--datacard", default=None, metavar="PATH",
                     help="write this increment's training-data card "
                          "(JSON) aggregated from the written outputs")
+    ap.add_argument("--target-file-mb", type=int, default=None,
+                    metavar="MB",
+                    help="compact this increment's outputs AND the "
+                         "persisted state stores to ~MB parquet files "
+                         "(daily increments accumulate one small file "
+                         "per store per day; compaction merges within "
+                         "increment_id partition dirs, preserving the "
+                         "idempotent-rerun partition layout).  No-op "
+                         "when layouts are already healthy")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.target_file_mb is not None and args.target_file_mb < 1:
+        ap.error("--target-file-mb must be >= 1")
 
     lm_cutoffs = None
     if args.quality_lm:
@@ -706,6 +717,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             stats["state_paragraphs"] = _store_count(para_store)
         if new_dom_counts is not None:
             stats["state_domains"] = _store_count(dom_store, "domain")
+        if args.target_file_mb is not None:
+            # LAST, after every stat was materialized from the
+            # read-backs (compaction swaps the files their lazy plans
+            # point at).  Stores compact WITHIN increment_id partition
+            # dirs — the dynamic-overwrite rerun contract (partitions
+            # = increments) survives because the dirs do.
+            from khl_pdf_ocr_spark.sources.writers import compact_parquet
+
+            layout = {
+                "kept": compact_parquet(spark, f"{base}/kept",
+                                        target_mb=args.target_file_mb),
+                "ledger": compact_parquet(spark, f"{base}/ledger",
+                                          target_mb=args.target_file_mb),
+            }
+            for frame, store in targets:
+                layout[os.path.basename(store)] = compact_parquet(
+                    spark, store, target_mb=args.target_file_mb,
+                    partition_by=("increment_id",))
+            stats["file_layout"] = layout
         print(json.dumps(stats))
         return 0
     finally:

@@ -91,6 +91,7 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    signals_path: str | None = None,
                    outlinks_path: str | None = None,
                    outlinks_text: bool = False,
+                   target_file_mb: int | None = None,
                    robots_rules_path: str | None = None,
                    robots_agent: str = "*"):
     """Single-pass job. Returns (extracted_df, stats dict).
@@ -123,6 +124,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     adds the per-link anchor text column (the WAT link-text field;
     feeds ``links.anchor_text_profile``) — well-formed ``<a>...</a>``
     elements only in that mode.
+
+    ``target_file_mb`` (optional): compact the written data dir to
+    ~MB parquet files after the metrics pass (``sources.writers.
+    compact_parquet`` — true-size decision, no-op when healthy).
 
     ``ocr_stage`` (optional): phase-2 callable per ``with_ocr_fallback``;
     the lazily-persisted OCR subset is released after the write.  With
@@ -246,6 +251,15 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         stats.update(n_docs=agg[0] or 0, n_ok=agg[1] or 0, n_bytes=agg[2] or 0,
                      elapsed_s=round(elapsed, 3),
                      docs_per_sec=round((agg[0] or 0) / elapsed, 2) if elapsed else None)
+        if target_file_mb is not None:
+            # LAST (metrics already aggregated): compaction swaps the
+            # files under data_path, so the returned frame is re-read
+            # from the new layout
+            from khl_pdf_ocr_spark.sources.writers import compact_parquet
+
+            stats["file_layout"] = compact_parquet(
+                spark, data_path, target_mb=target_file_mb)
+            out = spark.read.parquet(data_path)
     return out, stats
 
 
