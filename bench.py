@@ -565,11 +565,16 @@ def main() -> None:
     # outlinks sidecar (anchor extraction + per-href resolution) —
     # warm noop-sink times
     from khl_pdf_ocr_spark.operators.licensing import page_signals
-    from khl_pdf_ocr_spark.operators.links import extract_outlinks
+    from khl_pdf_ocr_spark.operators.links import (anchor_text_profile,
+                                                   extract_outlinks)
 
     raw = spark.read.parquet(docs_path)
     for name, frame in (("page_signals", page_signals(raw)),
-                        ("extract_outlinks", extract_outlinks(raw))):
+                        ("extract_outlinks", extract_outlinks(raw)),
+                        # with_text variant + per-target aggregation
+                        # (r5 session 6) — the WAT link-text pass
+                        ("anchor_text_profile", anchor_text_profile(
+                            extract_outlinks(raw, with_text=True)))):
         frame.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
         frame.write.format("noop").mode("overwrite").save()

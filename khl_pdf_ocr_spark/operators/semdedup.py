@@ -46,7 +46,7 @@ from khl_pdf_ocr_spark.functions.rounding import round_half_up
 from khl_pdf_ocr_spark.operators.similarity import (_to_double, cosine,
                                                     embedding_near_dup_pairs)
 
-__all__ = ["semdedup"]
+__all__ = ["semdedup", "prune_prototypes", "cap_per_cluster"]
 
 
 def semdedup(df: DataFrame, centroids, *, threshold: float = 0.95,
@@ -115,3 +115,113 @@ def semdedup(df: DataFrame, centroids, *, threshold: float = 0.95,
     kept = df.join(drop.withColumnRenamed("id", id_col), id_col,
                    "left_anti")
     return kept, dropped
+
+
+def prune_prototypes(df: DataFrame, centroids, *,
+                     drop_fraction: float = 0.2,
+                     vec_col: str = "embedding", id_col: str = "doc_id"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Per-cluster prototype pruning — the diversification half of D4
+    (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification", after Sorscher et al. 2022's
+    SSL-prototypes): within each k-means cluster, drop the
+    ``drop_fraction`` of documents MOST similar to the cluster centroid
+    — the most prototypical, least informative examples — keeping the
+    cluster's periphery.  Run after ``semdedup`` (the paper's pipeline:
+    dedup first, then diversify the survivors).
+
+    Returns ``(kept, ledger)``; the ledger is
+    ``(id, reject_reason='prototype_prune')`` — the ``clean_corpus``
+    ledger contract.  Deterministic: similarity is rounded to 6 places
+    (the cross-engine rule), ties break on ascending id, and per-cell
+    drop counts are ``floor(n_cell * drop_fraction)`` — so the output
+    is a pure function of (rows, centroids, fraction), stable across
+    partitionings and engines.
+
+    Scale shape: cell assignment is the stateless ``ivf_cell_expr``
+    projection; centroid similarity comes from one broadcast
+    (cell, centroid) dim join; rank + cell size share ONE window
+    shuffle on ``_cell`` (count reuses the rank's partitioning).  The
+    corpus shuffles once, as (id, similarity, cell) narrow rows —
+    the embedding never moves.
+    """
+    if not 0.0 <= drop_fraction < 1.0:
+        raise ValueError(f"drop_fraction must be in [0, 1), got "
+                         f"{drop_fraction}")
+    from pyspark.sql import Window
+
+    from khl_pdf_ocr_spark.operators.ann_index import ivf_cell_expr
+
+    if drop_fraction == 0.0:
+        empty = df.select(F.col(id_col).alias("id"),
+                          F.lit("prototype_prune")
+                          .alias("reject_reason")).limit(0)
+        return df, empty
+    spark = df.sparkSession
+    cdim = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_cell int, _centroid array<double>")
+    # narrow projection BEFORE the window shuffle: (id, cell, csim)
+    scored = (df.select(F.col(id_col).alias("id"),
+                        ivf_cell_expr(F.col(vec_col), centroids)
+                        .alias("_cell"),
+                        _to_double(F.col(vec_col)).alias("_v"))
+              .join(F.broadcast(cdim), "_cell")
+              .select("id", "_cell",
+                      round_half_up(cosine(F.col("_v"),
+                                           F.col("_centroid")), 6)
+                      .alias("_csim")))
+    w = Window.partitionBy("_cell").orderBy(F.col("_csim").desc(),
+                                            F.col("id").asc())
+    wn = Window.partitionBy("_cell")
+    ranked = scored.withColumn("_rk", F.row_number().over(w)) \
+                   .withColumn("_n", F.count(F.lit(1)).over(wn))
+    drop = (ranked
+            .filter(F.col("_rk") <=
+                    F.floor(F.col("_n") * F.lit(drop_fraction)))
+            .select("id"))
+    ledger = drop.select("id",
+                         F.lit("prototype_prune").alias("reject_reason"))
+    kept = df.join(drop.withColumnRenamed("id", id_col), id_col,
+                   "left_anti")
+    return kept, ledger
+
+
+def cap_per_cluster(df: DataFrame, centroids, *, max_per_cluster: int,
+                    vec_col: str = "embedding", id_col: str = "doc_id"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Keep at most ``max_per_cluster`` documents per k-means cluster —
+    semantic-space diversity balancing (the embedding twin of
+    ``domains.cap_per_domain``: that bounds any one PUBLISHER's share
+    of the corpus, this bounds any one TOPIC's share; cluster-balanced
+    selection per DataComp, Gadre et al. 2023).
+
+    Survivor rule: the ``max_per_cluster`` smallest
+    ``(xxhash64(id), id)`` keys per cell — the deterministic uniform
+    lottery shared with ``cap_per_domain`` / ``deterministic_sample``,
+    so membership is reproducible across runs, engines, and cluster
+    widths.  Returns ``(kept, ledger='cluster_cap')``.
+
+    Scale shape: one window shuffle of (id, cell) narrow rows (no
+    under/over-cap split as in ``cap_per_domain`` — domains have a
+    sort-skipping long tail of singletons, k-means cells are ~n/k rows
+    each, so every cell sorts anyway).
+    """
+    if max_per_cluster < 1:
+        raise ValueError(f"max_per_cluster must be >= 1, got "
+                         f"{max_per_cluster}")
+    from pyspark.sql import Window
+
+    from khl_pdf_ocr_spark.operators.ann_index import ivf_cell_expr
+
+    tagged = df.select(F.col(id_col).alias("id"),
+                       ivf_cell_expr(F.col(vec_col), centroids)
+                       .alias("_cell"))
+    w = Window.partitionBy("_cell").orderBy(
+        F.xxhash64(F.col("id")).asc(), F.col("id").asc())
+    drop = (tagged.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > max_per_cluster).select("id"))
+    ledger = drop.select("id", F.lit("cluster_cap").alias("reject_reason"))
+    kept = df.join(drop.withColumnRenamed("id", id_col), id_col,
+                   "left_anti")
+    return kept, ledger

@@ -167,3 +167,108 @@ def test_mllib_quantizer_end_to_end(spark):
     cents = mllib_centroids(df, 2, seed=11)
     kept, dropped = semdedup(df, cents, threshold=0.98, dim=4)
     assert kept.count() == 4 and dropped.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# D4 prototype pruning + cluster caps (round 5 session 6)
+# ---------------------------------------------------------------------------
+
+
+def _proto_oracle(ids, vecs, centroids, drop_fraction):
+    """Pure-Python D4 prototype pruning: returns the DROPPED id set."""
+    import numpy as np
+
+    cents = [np.asarray(c, dtype=float) for c in centroids]
+    cell = {i: min(range(len(cents)),
+                   key=lambda j: float(np.sum((np.asarray(v, float)
+                                               - cents[j]) ** 2)))
+            for i, v in zip(ids, vecs)}
+    vec = {i: np.asarray(v, float) for i, v in zip(ids, vecs)}
+    dropped = set()
+    for c in set(cell.values()):
+        members = [i for i in ids if cell[i] == c]
+        # most prototypical first (csim desc, id asc), floor(n*f) drop
+        ranked = sorted(members,
+                        key=lambda i: (-_r6(_cos(vec[i], cents[cell[i]])),
+                                       i))
+        k = int(len(members) * drop_fraction)
+        dropped.update(ranked[:k])
+    return dropped
+
+
+def test_prune_prototypes_matches_numpy_oracle(spark):
+    import numpy as np
+
+    from khl_pdf_ocr_spark.operators.semdedup import prune_prototypes
+
+    rng = np.random.RandomState(11)
+    cents = [[3.0, 0.0, 0.0], [0.0, 3.0, 0.0], [0.0, 0.0, 3.0]]
+    rows = []
+    for i in range(90):
+        c = cents[i % 3]
+        rows.append((i, [float(x + rng.normal(0, 0.4)) for x in c]))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    kept, ledger = prune_prototypes(df, cents, drop_fraction=0.3)
+    got_dropped = {r["id"] for r in ledger.collect()}
+    want = _proto_oracle([r[0] for r in rows], [r[1] for r in rows],
+                         cents, 0.3)
+    assert got_dropped == want
+    assert {r["reject_reason"] for r in ledger.collect()} == \
+        {"prototype_prune"}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == set(range(90)) - want
+    # floor(30 * 0.3) = 9 per cell
+    assert len(got_dropped) == 27
+
+
+def test_prune_prototypes_edges(spark):
+    from khl_pdf_ocr_spark.operators.semdedup import prune_prototypes
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "doc_id long, embedding array<double>")
+    kept, ledger = prune_prototypes(df, [[1.0, 0.0]], drop_fraction=0.0)
+    assert kept.count() == 1 and ledger.count() == 0
+    assert ledger.columns == ["id", "reject_reason"]
+    with pytest.raises(ValueError, match="drop_fraction"):
+        prune_prototypes(df, [[1.0, 0.0]], drop_fraction=1.0)
+    # tiny cells: floor(1 * 0.5) = 0 -> singletons never vanish
+    kept2, _ = prune_prototypes(df, [[1.0, 0.0]], drop_fraction=0.5)
+    assert kept2.count() == 1
+
+
+def test_cap_per_cluster_bounds_and_determinism(spark):
+    from khl_pdf_ocr_spark.operators.semdedup import cap_per_cluster
+
+    cents = [[5.0, 0.0], [0.0, 5.0]]
+    rows = ([(i, [5.0, float(i % 7) * 0.1]) for i in range(40)]
+            + [(100 + i, [float(i % 5) * 0.1, 5.0]) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    kept, ledger = cap_per_cluster(df, cents, max_per_cluster=15)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # cell 0 capped 40 -> 15; cell 1 under cap keeps all 10
+    assert len(kept_ids) == 25
+    assert ledger.count() == 25
+    assert {r["reject_reason"] for r in ledger.collect()} == \
+        {"cluster_cap"}
+    assert all(i >= 100 or i in kept_ids
+               for i in range(100, 110))  # cell 1 intact
+    # deterministic under repartitioning (the hash-lottery contract)
+    kept2, _ = cap_per_cluster(df.repartition(13), cents,
+                               max_per_cluster=15)
+    assert {r["doc_id"] for r in kept2.collect()} == kept_ids
+    with pytest.raises(ValueError, match="max_per_cluster"):
+        cap_per_cluster(df, cents, max_per_cluster=0)
+
+
+def test_prune_plan_shape(spark):
+    # one broadcast dim join, no cartesian, no embedding past the
+    # narrow projection
+    from khl_pdf_ocr_spark.operators.semdedup import prune_prototypes
+
+    df = spark.createDataFrame([(i, [1.0, float(i)]) for i in range(20)],
+                               "doc_id long, embedding array<double>")
+    _, ledger = prune_prototypes(df, [[1.0, 0.0], [1.0, 20.0]],
+                                 drop_fraction=0.2)
+    plan = ledger._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
