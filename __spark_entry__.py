@@ -1217,20 +1217,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_chunks"] = doc_chunks
 
-    def doc_split_assignment(spark, sf_dir):
-        # deterministic train/val/test assignment (prepare.hash_split):
-        # bucket = xxhash64(doc_id, seed) mod 10000 → cumulative weight
-        # ranges.  The oracle is a golden table computed by the
-        # PURE-PYTHON XXH64 in functions/xxh.py — Spark's JVM hash vs
-        # an independent reimplementation, bit-for-bit per document.
-        from khl_pdf_ocr_spark.operators.prepare import hash_split
+    def doc_url_revisits(spark, sf_dir):
+        # crawl-snapshot operators (operators/snapshots.py) over a
+        # deterministically constructed revisit corpus (the
+        # doc_canonical_urls precedent: documents carries no
+        # url/warc_ts, so both engines derive the identical crawl
+        # shape — every 3 consecutive doc_ids are captures of ONE
+        # url; the first two captures of a url carry byte-identical
+        # 'stable' content, the third is a genuine change).  One query
+        # carries the full per-url profile: revisit_stats counts + the
+        # latest_snapshot winner + dedup_revisits' collapse count —
+        # Spark aggregates via max_by/min_by/count_distinct, DuckDB
+        # recomputes with its own max_by/window-free SQL.
+        from khl_pdf_ocr_spark.operators.snapshots import (dedup_revisits,
+                                                           latest_snapshot,
+                                                           revisit_stats)
 
         docs = spark.read.parquet(_t(sf_dir, "documents"))
-        return hash_split(docs.select("doc_id"),
-                          weights={"train": 0.9, "val": 0.05,
-                                   "test": 0.05}, seed=17)
+        url_id = F.floor(F.col("doc_id") / 3)
+        crawl = docs.select(
+            F.concat(F.lit("https://s"), url_id.cast("string"),
+                     F.lit(".example.com/p")).alias("url"),
+            (F.lit(1_600_000_000) + F.col("doc_id") * 60).alias("warc_ts"),
+            F.encode(
+                F.when(F.pmod(F.col("doc_id"), F.lit(3)) < 2,
+                       F.concat(F.lit("stable-"), url_id.cast("string")))
+                .otherwise(F.concat(F.lit("changed-"),
+                                    F.col("doc_id").cast("string"))),
+                "UTF-8").alias("html"),
+            "doc_id")
+        stats = revisit_stats(crawl)
+        latest = (latest_snapshot(crawl)
+                  .select("url", F.col("doc_id").alias("latest_doc_id")))
+        survivors = (dedup_revisits(crawl).groupBy("url")
+                     .agg(F.max("n_dup_captures").alias("max_collapsed")))
+        return (stats.join(latest, "url").join(survivors, "url")
+                .select("url", "n_captures", "n_versions", "first_ts",
+                        "last_ts", "changed", "latest_doc_id",
+                        "max_collapsed")
+                .orderBy("url"))
 
-    q["doc_split_assignment"] = doc_split_assignment
+    q["doc_url_revisits"] = doc_url_revisits
 
     def doc_mixture_sample(spark, sf_dir):
         # token-budget mixture sampling (mixture.mixture_sample — the
@@ -1270,6 +1297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reproducible cross-batch path — assigned on the ROUNDED
         # score, so both engines compare identical doubles and the
         # tier is exact, not quantile-approximate.
+        # r5 session-6 consolidation: the former doc_split_assignment
+        # slot rides along as the `split` column (prepare.hash_split —
+        # a pure xxhash64 projection, ZERO extra shuffle), keeping its
+        # original oracle untouched: the golden (doc_id, split) table
+        # computed by the PURE-PYTHON XXH64 joins into the SQL, so the
+        # JVM-hash-vs-independent-reimplementation check is still
+        # bit-for-bit per document.  Same weights/seed (0.9/0.05/0.05,
+        # seed 17) as the standalone query had.
+        from khl_pdf_ocr_spark.operators.prepare import hash_split
         from khl_pdf_ocr_spark.operators.textstats import (
             lm_tier_assign, train_unigram_lm, unigram_logprob_scores)
 
@@ -1278,7 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = unigram_logprob_scores(docs, lm, deterministic_fold=True)
         scored = s.select("doc_id", "n_scored_tokens",
                           _r(F.col("avg_logprob"), 5).alias("avg_logprob"))
-        return lm_tier_assign(scored, cutoffs=(LM_TIER_LO, LM_TIER_HI))
+        tiered = lm_tier_assign(scored, cutoffs=(LM_TIER_LO, LM_TIER_HI))
+        return hash_split(tiered, weights={"train": 0.9, "val": 0.05,
+                                           "test": 0.05}, seed=17)
 
     q["doc_unigram_quality"] = doc_unigram_quality
 
@@ -1349,10 +1387,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its slot came from the text near-dup pair twins →
         # doc_text_near_dup_pairs (kind column, both branches computed
         # with their original parameters)
+        # round-5 (session 6) rotation: URL-revisit snapshot profile
+        # placed early; its slot came from folding doc_split_assignment
+        # into doc_unigram_quality as the `split` column (hash_split is
+        # a pure projection — zero extra shuffle; the pure-Python-XXH64
+        # golden-table oracle joins in unchanged, so the original
+        # bit-for-bit hash check is fully preserved)
+        "doc_url_revisits",
         "doc_bm25_topk",
         "doc_repeated_spans", "doc_pagerank", "emb_semdedup",
         "doc_mixture_sample",
-        "doc_chunks", "doc_split_assignment", "doc_unigram_quality",
+        "doc_chunks", "doc_unigram_quality",
         "corpus_clean_ledger",
         "doc_winnow_fingerprints", "masters_validate",
         "html_boilerplate_strip",
@@ -1929,10 +1974,39 @@ def oracle_sql() -> dict[str, str]:
         FROM counted, unnest(generate_series(0, nc - 1)) AS u(k)
     """
 
-    # golden-table oracle: expected split per doc computed by the
-    # pure-Python XXH64 at string-build time (see _split_golden)
-    o["doc_split_assignment"] = f"""
-        SELECT doc_id, split FROM read_parquet('{_split_golden()}')
+    # URL-revisit snapshot profile: the oracle constructs the identical
+    # crawl (3 consecutive doc_ids = captures of one url; first two
+    # byte-identical, third changed) and recomputes the full per-url
+    # profile with its OWN aggregates — max_by for the latest winner,
+    # count(DISTINCT content) for versions, a (url, content) group for
+    # the dedup collapse count.
+    o["doc_url_revisits"] = """
+        WITH crawl AS (
+          SELECT 'https://s' || (doc_id // 3) || '.example.com/p' AS url,
+                 1600000000 + doc_id * 60 AS warc_ts,
+                 CASE WHEN doc_id % 3 < 2 THEN 'stable-' || (doc_id // 3)
+                      ELSE 'changed-' || doc_id END AS content,
+                 doc_id
+          FROM documents
+        ), collapsed AS (
+          SELECT url, max(n_dup) AS max_collapsed
+          FROM (SELECT url, content, count(*) AS n_dup FROM crawl
+                GROUP BY url, content)
+          GROUP BY url
+        ), stats AS (
+          SELECT url,
+                 count(*) AS n_captures,
+                 count(DISTINCT content) AS n_versions,
+                 min(warc_ts) AS first_ts,
+                 max(warc_ts) AS last_ts,
+                 count(DISTINCT content) > 1 AS changed,
+                 max_by(doc_id, warc_ts) AS latest_doc_id
+          FROM crawl GROUP BY url
+        )
+        SELECT s.url, s.n_captures, s.n_versions, s.first_ts, s.last_ts,
+               s.changed, s.latest_doc_id, k.max_collapsed
+        FROM stats s JOIN collapsed k USING (url)
+        ORDER BY s.url
     """
 
     # mixture sampling: the DEFINING exact-window semantics (per-source
@@ -2009,8 +2083,9 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN avg_logprob IS NULL THEN NULL
                     WHEN avg_logprob >= {LM_TIER_HI} THEN 'head'
                     WHEN avg_logprob >= {LM_TIER_LO} THEN 'middle'
-                    ELSE 'tail' END AS lm_tier
-        FROM scored
+                    ELSE 'tail' END AS lm_tier,
+               g.split
+        FROM scored JOIN read_parquet('{_split_golden()}') g USING (doc_id)
     """
 
     # doc_repeated_spans: INDEPENDENT recomputation — DuckDB groups by
