@@ -35,7 +35,7 @@ __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
            "RESIZED_SCHEMA", "VIDEO_FEATURES_SCHEMA", "image_features",
            "audio_features", "resize_images", "frame_sample_plan",
            "decode_ppm", "decode_wav", "resize_ppm", "encode_ppmv",
-           "decode_ppmv", "video_features"]
+           "decode_ppmv", "video_features", "image_near_dup_pairs"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
@@ -232,6 +232,43 @@ def image_features(df: DataFrame, *, payload_col: str = "payload",
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def image_near_dup_pairs(feats: DataFrame, *, id_col: str = "media_id",
+                         phash_col: str = "phash", max_hamming: int = 5,
+                         max_bucket: int | None = None,
+                         audit: dict | None = None) -> DataFrame:
+    """Near-duplicate images corpus-wide: ``hamming(ahash) ≤ k``.
+
+    The perceptual average-hash is a 64-bit signature whose hamming
+    distance IS image similarity (resizes, re-encodes, and small edits
+    move only a few bits) — exactly the SimHash contract, so this
+    composes ``dedup.simhash_pairs``' pigeonhole banding over the
+    image hashes instead of re-inventing a pairing path: split 64 bits
+    into ``max_hamming + 1`` bands, per-band equi-join, verify with
+    ``bit_count(xor)``.  Scale properties (bounded hot buckets,
+    sorted-neighborhood chain fallback, audit frame) carry over
+    unchanged; ``max_bucket=None`` keeps the pigeonhole's EXACT recall
+    (the test-suite setting — production passes the bounded default).
+
+    Input is :func:`image_features` output (or anything with an id and
+    a 16-hex-digit hash column).  hex→long goes through two 32-bit
+    halves: ``conv`` returns a STRING, and a direct long cast of
+    values ≥ 2^63 overflows.
+
+    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import simhash_pairs
+
+    hi = F.conv(F.substring(F.col(phash_col), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.col(phash_col), 9, 8), 16, 10).cast("long")
+    hashes = feats.select(
+        F.col(id_col).alias("id"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash"))
+    return simhash_pairs(feats, max_hamming=max_hamming,
+                         max_bucket=max_bucket, audit=audit, hashes=hashes)
 
 
 def resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:

@@ -457,3 +457,76 @@ def test_unigram_scores_deterministic_fold_matches_default(spark):
     # bit-identical, not approximately equal: the fold order is
     # canonical, so partitioning cannot perturb the sum
     assert refolded == {i: folded[i]["avg_logprob"] for i in folded}
+
+
+# ---------------------------------------------------------------------------
+# image near-dup pairs (perceptual ahash × simhash banding)
+# ---------------------------------------------------------------------------
+
+
+def test_image_near_dup_pairs_real_pixels(spark):
+    """Resized copies of the same image pair up (hamming ≈ 0); distinct
+    images do not — real PPM pixels through the real average-hash."""
+    from khl_pdf_ocr_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                        image_features,
+                                                        image_near_dup_pairs)
+
+    def inverted(width, height):
+        header = f"P6\n{width} {height}\n255\n".encode()
+        px = bytearray()
+        for y in range(height):
+            for x in range(width):
+                px += bytes([255 - (x * 255) // max(width - 1, 1),
+                             255 - (y * 255) // max(height - 1, 1), 128])
+        return header + bytes(px)
+
+    rows = [
+        ("orig", "image", _make_ppm(32, 24), None),
+        ("resized", "image", _make_ppm(64, 48), None),   # same gradient
+        ("thumb", "image", _make_ppm(16, 12), None),     # same gradient
+        ("negative", "image", inverted(32, 24), None),   # far away
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = image_features(df, real_decode=True)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(feats, max_hamming=5).collect()}
+    assert {frozenset(p) for p in pairs} == \
+        {frozenset(x) for x in [("orig", "resized"), ("orig", "thumb"),
+                                ("resized", "thumb")]}
+    assert all(h <= 5 for h in pairs.values())
+    assert all("negative" not in p for p in pairs)
+
+
+def test_image_near_dup_exact_recall_vs_brute_force(spark):
+    """max_bucket=None pigeonhole recall check: banding finds exactly
+    the brute-force hamming pairs over the fake-decode (sha-derived,
+    effectively random) hashes."""
+    from pyspark.sql import functions as F
+
+    from khl_pdf_ocr_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                        image_features,
+                                                        image_near_dup_pairs)
+
+    rows = [(f"m{i:03d}", "image", bytes([i % 251]) * (50 + i), None)
+            for i in range(120)]
+    # plant guaranteed near-dups: identical payloads -> identical hashes
+    rows += [("m900", "image", rows[5][2], None),
+             ("m901", "image", rows[7][2], None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = image_features(df).select("media_id", "phash").cache()
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           image_near_dup_pairs(feats, max_hamming=6).collect()}
+
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
+    h = feats.select(F.col("media_id").alias("id"),
+                     F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+    brute = (h.alias("a").join(h.alias("b"),
+                               F.col("a.id") < F.col("b.id"))
+             .filter(F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))) <= 6)
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert ("m005", "m900") in want and ("m007", "m901") in want
+    assert got == want
+    feats.unpersist()
