@@ -105,6 +105,19 @@ def main(argv: list[str] | None = None) -> int:
                          "opt-out compliance); with --signals the "
                          "dropped count lands in stats as "
                          "noindex_dropped")
+    ap.add_argument("--diff-against", default=None, metavar="PATH",
+                    help="previous crawl's documents parquet: extract "
+                         "ONLY urls whose newest content is added or "
+                         "changed vs that snapshot (snapshots."
+                         "crawl_diff; unchanged recaptures skip the "
+                         "kernel — their output already exists); "
+                         "per-status counts land in stats as "
+                         "crawl_diff")
+    ap.add_argument("--diff-out", default=None, metavar="PATH",
+                    help="with --diff-against: persist the full (url, "
+                         "status, old_ts, new_ts) diff table — its "
+                         "'removed' rows are the corpus-maintenance "
+                         "work list")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -125,11 +138,14 @@ def main(argv: list[str] | None = None) -> int:
                      "resumable text-layer pass first, then a plain run "
                      "with --ocr/--debug over the failed subset")
         if args.resume and (args.signals or args.honor_noindex
-                            or args.outlinks or args.robots_rules):
+                            or args.outlinks or args.robots_rules
+                            or args.diff_against):
             ap.error("--resume does not support --signals/"
-                     "--honor-noindex/--outlinks/--robots-rules; "
-                     "run the side tables / policy gates in a plain "
-                     "run (or a dedicated pass) first")
+                     "--honor-noindex/--outlinks/--robots-rules/"
+                     "--diff-against; run the side tables / policy "
+                     "gates in a plain run (or a dedicated pass) first")
+        if args.diff_out and not args.diff_against:
+            ap.error("--diff-out requires --diff-against")
         if args.robots_agent != "*" and not args.robots_rules:
             ap.error("--robots-agent requires --robots-rules")
         if args.outlinks_text and not args.outlinks:
@@ -173,7 +189,9 @@ def main(argv: list[str] | None = None) -> int:
                                       outlinks_text=args.outlinks_text,
                                       target_file_mb=args.target_file_mb,
                                       robots_rules_path=args.robots_rules,
-                                      robots_agent=args.robots_agent)
+                                      robots_agent=args.robots_agent,
+                                      diff_against=args.diff_against,
+                                      diff_out=args.diff_out)
         print(json.dumps(stats))
         return 0
     finally:

@@ -163,3 +163,62 @@ def test_debug_column_through_spark(spark, fixture_tables):
     assert any("raw_ref_line" in p for p in payloads)
     # default path keeps the original schema (no debug column)
     assert "debug_json" not in extract_documents(df).columns
+
+
+def test_diff_against_extracts_only_added_and_changed(spark, fixture_tables,
+                                                      tmp_path):
+    """Incremental extraction: crawl2 diffed against crawl1 runs the
+    kernel only over added/changed urls; the diff sidecar carries the
+    removed work list; stats count every status."""
+    docs_path, _ = fixture_tables
+    base = spark.read.parquet(docs_path).orderBy("url").limit(40).cache()
+    urls = [r["url"] for r in base.select("url").collect()]
+    # crawl1 = urls[0:30]; crawl2 drops 0:5 (removed), keeps 5:20
+    # unchanged (same html, newer ts), edits 20:30 (html changed),
+    # and adds 30:40
+    crawl1_path = str(tmp_path / "crawl1")
+    crawl2_path = str(tmp_path / "crawl2")
+    base.filter(F.col("url").isin(urls[:30])).write.parquet(crawl1_path)
+    later = (F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")).alias("warc_ts")
+    unchanged = (base.filter(F.col("url").isin(urls[5:20]))
+                 .select("url", later, "html", "text", "lang"))
+    changed = (base.filter(F.col("url").isin(urls[20:30]))
+               .select("url", later,
+                       F.concat(F.col("html"), F.lit(b"<!--edit-->"))
+                       .alias("html"), "text", "lang"))
+    added = (base.filter(F.col("url").isin(urls[30:40]))
+             .select("url", later, "html", "text", "lang"))
+    unchanged.unionByName(changed).unionByName(added).write.parquet(crawl2_path)
+
+    out_dir = str(tmp_path / "out")
+    diff_path = str(tmp_path / "diff")
+    _, stats = run_extraction(spark, crawl2_path, out_dir,
+                              num_partitions=4, diff_against=crawl1_path,
+                              diff_out=diff_path)
+    assert stats["crawl_diff"] == {"added": 10, "changed": 10,
+                                   "unchanged": 15, "removed": 5}
+    assert stats["diff_path"] == diff_path
+    assert stats["n_docs"] == 20  # only added + changed hit the kernel
+    got = {r["url"] for r in
+           spark.read.parquet(os.path.join(out_dir, "data"))
+           .select("url").collect()}
+    assert got == set(urls[20:40])
+    removed = {r["url"] for r in spark.read.parquet(diff_path)
+               .filter("status = 'removed'").select("url").collect()}
+    assert removed == set(urls[:5])
+    base.unpersist()
+
+
+def test_diff_without_sidecar_uses_checkpoint(spark, fixture_tables,
+                                              tmp_path):
+    docs_path, _ = fixture_tables
+    crawl = str(tmp_path / "c1")
+    spark.read.parquet(docs_path).limit(10).write.parquet(crawl)
+    out_dir = str(tmp_path / "out2")
+    # same crawl on both sides: everything unchanged, nothing extracted
+    _, stats = run_extraction(spark, crawl, out_dir, num_partitions=2,
+                              diff_against=crawl)
+    assert stats["crawl_diff"]["unchanged"] == 10
+    assert stats["crawl_diff"]["added"] == 0
+    assert stats["n_docs"] == 0
+    assert "diff_path" not in stats
