@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
                          "opt-out compliance); with --signals the "
                          "dropped count lands in stats as "
                          "noindex_dropped")
+    ap.add_argument("--page-metadata", default=None, metavar="PATH",
+                    help="write the page-metadata side table (url, "
+                         "title, og_title, pub_date, pub_date_parsed, "
+                         "byline — operators.metadata.page_metadata) "
+                         "before extraction: best-effort declarations "
+                         "read while the raw html is in hand")
     ap.add_argument("--diff-against", default=None, metavar="PATH",
                     help="previous crawl's documents parquet: extract "
                          "ONLY urls whose newest content is added or "
@@ -139,11 +145,12 @@ def main(argv: list[str] | None = None) -> int:
                      "with --ocr/--debug over the failed subset")
         if args.resume and (args.signals or args.honor_noindex
                             or args.outlinks or args.robots_rules
-                            or args.diff_against):
+                            or args.diff_against or args.page_metadata):
             ap.error("--resume does not support --signals/"
                      "--honor-noindex/--outlinks/--robots-rules/"
-                     "--diff-against; run the side tables / policy "
-                     "gates in a plain run (or a dedicated pass) first")
+                     "--diff-against/--page-metadata; run the side "
+                     "tables / policy gates in a plain run (or a "
+                     "dedicated pass) first")
         if args.diff_out and not args.diff_against:
             ap.error("--diff-out requires --diff-against")
         if args.robots_agent != "*" and not args.robots_rules:
@@ -191,7 +198,8 @@ def main(argv: list[str] | None = None) -> int:
                                       robots_rules_path=args.robots_rules,
                                       robots_agent=args.robots_agent,
                                       diff_against=args.diff_against,
-                                      diff_out=args.diff_out)
+                                      diff_out=args.diff_out,
+                                      metadata_path=args.page_metadata)
         print(json.dumps(stats))
         return 0
     finally:

@@ -95,7 +95,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                    robots_rules_path: str | None = None,
                    robots_agent: str = "*",
                    diff_against: str | None = None,
-                   diff_out: str | None = None):
+                   diff_out: str | None = None,
+                   metadata_path: str | None = None):
     """Single-pass job. Returns (extracted_df, stats dict).
 
     When ``output_path`` is None the result is returned un-materialized
@@ -118,6 +119,11 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     declaring ``<meta name="robots" ... noindex>`` pre-kernel (count in
     ``stats["noindex_dropped"]`` when the signals table is there to
     count from, else None — disclosed, never silently uncounted).
+
+    ``metadata_path`` (optional): write the page-metadata side table
+    (url, title, og_title, pub_date, pub_date_parsed, byline —
+    ``metadata.page_metadata``) before extraction: the same
+    full-crawl-audit contract as ``signals_path``.
 
     ``outlinks_path`` (optional): write the (src, dst) hyperlink edge
     table (``links.extract_outlinks`` — the WAT-sidecar analogue)
@@ -168,6 +174,14 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         from khl_pdf_ocr_spark.operators.licensing import page_signals
 
         page_signals(docs).write.mode("overwrite").parquet(signals_path)
+    if metadata_path:
+        # page-metadata sidecar (url, title, og_title, pub_date,
+        # pub_date_parsed, byline) — best-effort declarations read
+        # while the raw html is in hand, like signals: written before
+        # any policy filter so it audits the full crawl
+        from khl_pdf_ocr_spark.operators.metadata import page_metadata
+
+        page_metadata(docs).write.mode("overwrite").parquet(metadata_path)
     if outlinks_path:
         # the WAT-sidecar analogue: (src, dst) hyperlink edges written
         # while the raw html is in hand — the host link graph /
@@ -245,6 +259,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
     stats: dict = {"run_id": run_id}
     if signals_path:
         stats["signals_path"] = signals_path
+    if metadata_path:
+        stats["metadata_path"] = metadata_path
     if outlinks_path:
         stats["outlinks_path"] = outlinks_path
         # parquet count is footer-metadata only — no data rescan
