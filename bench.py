@@ -568,17 +568,48 @@ def main() -> None:
     from khl_pdf_ocr_spark.operators.links import (anchor_text_profile,
                                                    extract_outlinks)
 
+    from khl_pdf_ocr_spark.operators.metadata import page_metadata
+    from khl_pdf_ocr_spark.operators.snapshots import (dedup_revisits,
+                                                       revisit_stats)
+
     raw = spark.read.parquet(docs_path)
     for name, frame in (("page_signals", page_signals(raw)),
                         ("extract_outlinks", extract_outlinks(raw)),
                         # with_text variant + per-target aggregation
                         # (r5 session 6) — the WAT link-text pass
                         ("anchor_text_profile", anchor_text_profile(
-                            extract_outlinks(raw, with_text=True)))):
+                            extract_outlinks(raw, with_text=True))),
+                        # r5 session-6 ingest passes: the metadata
+                        # sidecar projection and the crawl-snapshot
+                        # aggregates (url-keyed max_by/min_by — the
+                        # revisit-policy cost at ingest)
+                        ("page_metadata", page_metadata(raw)),
+                        ("revisit_stats", revisit_stats(raw)),
+                        ("dedup_revisits", dedup_revisits(raw))):
         frame.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
         frame.write.format("noop").mode("overwrite").save()
         prepare[name] = round(time.time() - t0, 3)
+
+    # sharded Bloom store over the 48k documents' fingerprints
+    # (r5 session 6): build = one (shard, positions) shuffle into
+    # per-shard numpy; probe = cogroup against the checkpointed store
+    from khl_pdf_ocr_spark.functions import text as XT
+    from khl_pdf_ocr_spark.operators.bloom import (bloom_probe,
+                                                   build_bloom_store)
+
+    fps = docs_tbl.select(XT.fingerprint(F.col("text")).alias("fingerprint"))
+    bloom_kw = dict(n_shards=64, expected_per_shard=2_000, fpp=0.01)
+    build_bloom_store(fps, **bloom_kw).write.format("noop") \
+        .mode("overwrite").save()  # warm
+    t0 = time.time()
+    store = build_bloom_store(fps, **bloom_kw).localCheckpoint()
+    prepare["bloom_build"] = round(time.time() - t0, 3)
+    probe = bloom_probe(fps, store)
+    probe.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    probe.write.format("noop").mode("overwrite").save()
+    prepare["bloom_probe"] = round(time.time() - t0, 3)
 
     ext_out = os.path.join(REPO, ".bench_cache", "out_main")
     ext_cold = run_extraction_job(spark, docs_path, ext_out + "_cold")
