@@ -1,16 +1,20 @@
 """Text-analytics operators over a documents table (training-data
 pipeline stages: language ID, quality scoring, token counting, document
 fingerprinting).  All JVM-side whole-stage-codegen expressions — zero
-Python UDFs in these paths."""
+Python UDFs in these paths, with one declared exception:
+``compression_ratio`` (zlib has no Catalyst expression; it runs as an
+Arrow-batched pandas UDF)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.functions import text as X
 
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
+           "compression_ratio",
            "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores",
            "train_bigram_lm", "bigram_logprob_scores", "save_lm", "load_lm",
            "lm_tier_assign", "append_lm_tiers", "lm_tier_stats"]
@@ -106,6 +110,41 @@ def quality_filter(df: DataFrame, text_col: str = "text",
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col),
                      X.fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def compression_ratio(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """zlib-compressibility quality signal (the RedPajama-v2 /
+    Dolma-style ``ccnet_*``-adjacent heuristic): ``compressed bytes /
+    raw utf-8 bytes``.  Boilerplate and templated spam compress far
+    below prose (~0.2 vs ~0.4-0.6); glyph soup and binary junk sit
+    near 1.0 — so both tails are suspect, like the LM-perplexity
+    signal but model-free.
+
+    The ONE textstats stage that genuinely needs Python (Catalyst has
+    no deflate expression): an Arrow-batched scalar pandas UDF —
+    documents stream through in Arrow record batches, zlib runs in C,
+    and there is no per-row pickling.  NULL/empty text → NULL ratio.
+    Returns ``(id, n_bytes, zlib_ratio)``; zero shuffles.
+    """
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    c = F.col(text_col)
+    return df.select(F.col(id_col),
+                     F.octet_length(c).alias("n_bytes"),
+                     _ratio(c).alias("zlib_ratio"))
 
 
 def train_unigram_lm(df: DataFrame, *, text_col: str = "text",

@@ -530,3 +530,39 @@ def test_image_near_dup_exact_recall_vs_brute_force(spark):
     assert ("m005", "m900") in want and ("m007", "m901") in want
     assert got == want
     feats.unpersist()
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive boilerplate compresses below prose; glyph soup sits
+    near 1; values match a direct zlib computation exactly."""
+    import zlib
+
+    from khl_pdf_ocr_spark.operators.textstats import compression_ratio
+
+    words = ("referee confirmed final score video review coaches "
+             "accepted decision protest press conference period "
+             "goaltender penalty overtime shootout attendance "
+             "arena captain assistant forward defenseman").split()
+    import hashlib as _hl
+    prose = " ".join(                             # varied, non-periodic
+        words[_hl.sha256(str(i).encode()).digest()[0] % len(words)]
+        for i in range(300))
+    boiler = "Accept cookies to continue. " * 40  # pure repetition
+    import hashlib
+    h = b""
+    seed = b"s"
+    while len(h) < 1200:                          # incompressible junk
+        seed = hashlib.sha256(seed).digest()
+        h += seed
+    soup = h[:1200].decode("latin-1")
+    docs = spark.createDataFrame(
+        [(1, prose), (2, boiler), (3, soup), (4, None), (5, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[2]["zlib_ratio"] < out[1]["zlib_ratio"] < out[3]["zlib_ratio"]
+    assert out[2]["zlib_ratio"] < 0.15          # boilerplate tail
+    assert out[3]["zlib_ratio"] > 0.65          # junk tail
+    assert out[4]["zlib_ratio"] is None and out[5]["zlib_ratio"] is None
+    b = prose.encode("utf-8")
+    assert abs(out[1]["zlib_ratio"] - len(zlib.compress(b, 6)) / len(b)) < 1e-12
+    assert out[1]["n_bytes"] == len(b)
