@@ -136,19 +136,39 @@ def build_bloom_store(fp_df: DataFrame, *, fp_col: str = "fingerprint",
     return slim.groupBy("shard").applyInPandas(_build, STORE_SCHEMA)
 
 
-def merge_bloom_stores(a: DataFrame, b: DataFrame) -> DataFrame:
+def merge_bloom_stores(a: DataFrame, b: DataFrame, *,
+                       geometry: Tuple[int, int, int] | None = None
+                       ) -> DataFrame:
     """OR two stores shard-wise — the daily append.  Geometry must
     match exactly (fail-fast); shards present on one side pass
-    through.  O(store) work, no fingerprints read."""
-    ga, gb = _geometry(a), _geometry(b)
-    if gb is None:
-        return a
-    if ga is None:
-        return b
-    if ga != gb:
-        raise ValueError(f"bloom geometry mismatch: {ga} vs {gb}")
+    through.  O(store) work, no fingerprints read.
+
+    ``geometry``: pass the known ``(m, k, n_shards)`` to skip the
+    discovery collects — each ``_geometry`` call is a Spark job over
+    that side's LINEAGE, which re-executes an un-checkpointed build
+    (the incremental path constructs the delta with the store's
+    geometry, so it threads the value through instead).
+
+    Each side must hold ≤1 row per shard (a raw multi-delta
+    ``increment_id``-partitioned layout has several — reduce it with
+    :func:`or_reduce_bloom_stores` first); a third row per (side,
+    shard) fails the task rather than silently dropping memberships.
+    """
+    if geometry is None:
+        ga, gb = _geometry(a), _geometry(b)
+        if gb is None:
+            return a
+        if ga is None:
+            return b
+        if ga != gb:
+            raise ValueError(f"bloom geometry mismatch: {ga} vs {gb}")
 
     def _or(key, la: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
+        if len(la) > 1 or len(lb) > 1:
+            raise ValueError(
+                f"merge_bloom_stores: shard {key} has multiple rows on "
+                "one side (a multi-delta layout?) — reduce each side "
+                "with or_reduce_bloom_stores first")
         rows = pd.concat([la, lb], ignore_index=True)
         if len(rows) == 1:
             return rows
@@ -196,16 +216,23 @@ def or_reduce_bloom_stores(deltas: DataFrame) -> DataFrame:
 
 def bloom_probe(df: DataFrame, store: DataFrame, *,
                 fp_col: str = "fingerprint",
-                out_col: str = "probably_seen") -> DataFrame:
+                out_col: str = "probably_seen",
+                geometry: Tuple[int, int, int] | None = None) -> DataFrame:
     """Flag rows whose fingerprint is (probably) in the store.
 
     Cogroup on shard: each task gets one shard's probe rows + that
-    shard's single bitset — the bitset never fans out row-wise.  Rows
-    whose shard has no store row are exactly-unseen.  Returns the slim
-    ``(fp, probably_seen)`` pairs joined back onto ``df`` (the probe
-    shuffle moves only 8·k-byte position arrays, never document text).
+    shard's single bitset — the bitset never fans out row-wise (a
+    shard with MULTIPLE store rows — a raw multi-delta layout — fails
+    the task; reduce with :func:`or_reduce_bloom_stores` first).  Rows
+    whose shard has no store row are exactly-unseen, and a NULL
+    fingerprint probes False (NULL is never inserted).  Returns the
+    slim ``(fp, probably_seen)`` pairs joined back onto ``df`` (the
+    probe shuffle moves only 8·k-byte position arrays, never document
+    text).  ``geometry``: pass the known ``(m, k, n_shards)`` to skip
+    the discovery collect (which re-executes an un-checkpointed
+    store's lineage).
     """
-    geo = _geometry(store)
+    geo = geometry if geometry is not None else _geometry(store)
     if geo is None:  # empty store: everything is exactly-unseen
         return df.withColumn(out_col, F.lit(False))
     m, k, n_shards = geo
@@ -217,6 +244,11 @@ def bloom_probe(df: DataFrame, store: DataFrame, *,
 
     def _probe(key, probes: pd.DataFrame, shard_rows: pd.DataFrame
                ) -> pd.DataFrame:
+        if len(shard_rows) > 1:
+            raise ValueError(
+                f"bloom_probe: shard {key} has {len(shard_rows)} store "
+                "rows (a multi-delta layout?) — reduce the store with "
+                "or_reduce_bloom_stores first")
         if not len(probes):
             return pd.DataFrame({"_fp": [], out_col: []})
         if not len(shard_rows):
@@ -231,7 +263,14 @@ def bloom_probe(df: DataFrame, store: DataFrame, *,
 
     flags = (slim.groupBy("shard").cogroup(store.groupBy("shard"))
              .applyInPandas(_probe, out_schema))
-    return df.join(flags.withColumnRenamed("_fp", fp_col), fp_col, "left")
+    joined = df.join(flags.withColumnRenamed("_fp", fp_col),
+                     fp_col, "left")
+    # a NULL fingerprint never equi-joins its flag row back, which
+    # would surface as a NULL flag that BOTH filter(col) and
+    # filter(~col) silently drop — coalesce to the exact answer (a
+    # NULL key is never inserted, so it is unseen by definition)
+    return joined.withColumn(out_col,
+                             F.coalesce(F.col(out_col), F.lit(False)))
 
 
 def bloom_dedup_incremental(df: DataFrame, store: DataFrame | None, *,
@@ -269,9 +308,13 @@ def bloom_dedup_incremental(df: DataFrame, store: DataFrame | None, *,
     heads = tagged.filter(F.col(id_col) == F.col("_keep_id")).drop("_keep_id")
 
     real = ~F.col("fingerprint").startswith("\x00nulltext:")
+    # ONE geometry discovery per increment — probe, delta build, and
+    # merge all reuse it (each _geometry collect re-executes an
+    # un-checkpointed store's lineage; callers should still persist
+    # the store they pass in, as increment jobs naturally do)
     geo = _geometry(store) if store is not None else None
     if store is not None:
-        probed = bloom_probe(heads, store)
+        probed = bloom_probe(heads, store, geometry=geo)
         hist_dup = (probed.filter(real & F.col("probably_seen"))
                     .select(F.col(id_col).alias("id"),
                             F.lit("bloom_probable_dup")
@@ -290,6 +333,9 @@ def bloom_dedup_incremental(df: DataFrame, store: DataFrame | None, *,
                               n_shards=n_shards,
                               expected_per_shard=expected_per_shard,
                               fpp=fpp, _geometry_override=geo)
-    new_store = delta if store is None else merge_bloom_stores(store, delta)
+    if store is None or geo is None:
+        new_store = delta
+    else:
+        new_store = merge_bloom_stores(store, delta, geometry=geo)
     return (kept.drop("fingerprint"), new_store,
             batch_dup.unionByName(hist_dup))

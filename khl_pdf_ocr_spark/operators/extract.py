@@ -42,6 +42,15 @@ def _extract_rows(urls, payloads, mode: str, debug: bool = False
 
     rows = []
     for url, payload in zip(urls, payloads):
+        if url is None:
+            # the output schema declares url non-nullable (it is the
+            # document key everywhere downstream); a NULL key would
+            # otherwise violate the declared schema and surface as a
+            # JVM NullPointerException deep in codegen.  Out-of-
+            # contract input degrades to an observable sentinel row
+            # instead of a task failure — the error-envelope
+            # philosophy (app.py's 4xx, never a 500)
+            url = ""
         t0 = time.perf_counter()
         res = extract_document(url, payload, mode=mode, debug=debug)
         kernel_us = int((time.perf_counter() - t0) * 1e6)

@@ -25,20 +25,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# content="..." / content='...' — the value group is 1
-_CONTENT = """content\\s*=\\s*["']([^"']*)["']"""
+# content="..." / content='...' — QUOTE-SPECIFIC patterns (a shared
+# ["'] open/close class would truncate values at an embedded
+# apostrophe: content="O'Brien" → "O" — and accept mismatched quotes);
+# the value group is 1 in each
+_CONTENT_DQ = 'content\\s*=\\s*"([^"]*)"'
+_CONTENT_SQ = "content\\s*=\\s*'([^']*)'"
 
 
 def _meta(s: Column, h: Column, key_attr: str, key_val: str) -> Column:
     """<meta {key_attr}="{key_val}" ... content="X"> → X, either
-    attribute order, NULL when absent/empty.  Gated on a contains
-    check of the lowered html so the two regexes only run on pages
-    that declare the key at all."""
+    attribute order and either quote style, NULL when absent/empty.
+    Gated on a contains check of the lowered html so the regexes only
+    run on pages containing the key token at all (a strong skip for
+    'og:title'/'article:published_time'; weak for short common tokens
+    like 'date'/'author' — see page_metadata's note)."""
     key = f"""{key_attr}\\s*=\\s*["']{key_val}["']"""
-    fwd = f"(?is)<meta[^>]*{key}[^>]*{_CONTENT}"
-    rev = f"(?is)<meta[^>]*{_CONTENT}[^>]*{key}"
-    hit = F.coalesce(F.nullif(F.regexp_extract(h, fwd, 1), F.lit("")),
-                     F.nullif(F.regexp_extract(h, rev, 1), F.lit("")))
+    pats = [f"(?is)<meta[^>]*{key}[^>]*{c}"
+            for c in (_CONTENT_DQ, _CONTENT_SQ)]
+    pats += [f"(?is)<meta[^>]*{c}[^>]*{key}"
+             for c in (_CONTENT_DQ, _CONTENT_SQ)]
+    hit = F.coalesce(*[F.nullif(F.regexp_extract(h, p, 1), F.lit(""))
+                       for p in pats])
     return F.when(F.contains(s, F.lit(key_val)), hit) \
             .otherwise(F.lit(None).cast("string"))
 
@@ -60,6 +68,14 @@ def page_metadata(df: DataFrame, *, html_col: str = "html",
     * ``pub_date_parsed`` — ``try_to_date`` of its first 10 chars
       (ISO-8601 prefix; NULL on anything else, never an error);
     * ``byline``     — ``<meta name="author" content=…>``.
+
+    Gate honesty: the contains pregates are a strong skip only for
+    long needles (``og:title``, ``article:published_time``,
+    ``<title``); the ``date``/``author`` tokens appear inside
+    unrelated markup (``datetime``, CMS boilerplate) on most real
+    pages, so those two fields' regexes run nearly corpus-wide — the
+    gates there bound the worst case rather than deliver the §4.21
+    3.2× skip.
     """
     u, h = F.col(url_col), F.col(html_col)
     staged = df.select(u.alias("url"),
@@ -74,9 +90,9 @@ def page_metadata(df: DataFrame, *, html_col: str = "html",
 
     time_attr = F.when(
         F.contains(s, F.lit("<time")),
-        F.nullif(F.regexp_extract(
-            h2, """(?is)<time[^>]*datetime\\s*=\\s*["']([^"']*)["']""", 1),
-            F.lit(""))
+        F.coalesce(*[F.nullif(F.regexp_extract(
+            h2, f"(?is)<time[^>]*datetime\\s*=\\s*{q}([^{q}]*){q}", 1),
+            F.lit("")) for q in ('"', "'")])
     ).otherwise(F.lit(None).cast("string"))
     pub = F.coalesce(
         _meta(s, h2, "property", "article:published_time"),

@@ -216,7 +216,13 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
                        .agg(F.count(F.lit(1)).alias("n")).collect()}
         work = (diff.filter(F.col("status").isin("added", "changed"))
                 .select("url"))
-        docs = docs.join(work, "url", "left_semi")
+        # NULL-url rows never match an equi-join key, so a plain
+        # semi-join would silently exclude them from the kernel even
+        # though a non-diff run extracts them (as error-envelope rows);
+        # route them around the work list instead of dropping them
+        docs = (docs.filter(F.col("url").isNotNull())
+                .join(work, "url", "left_semi")
+                .unionByName(docs.filter(F.col("url").isNull())))
     if honor_noindex:
         # compliance filter pre-kernel: the JVM regex drops opted-out
         # pages before a single byte reaches the Python extraction
@@ -227,9 +233,16 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
         docs = docs.filter(~F.coalesce(flag, F.lit(False)))
         if signals_path:
             # count from the just-written side table — never a second
-            # scan of the html column
-            noindex_dropped = (spark.read.parquet(signals_path)
-                               .filter(F.col("noindex")).count())
+            # scan of the html column.  With a diff work list in play
+            # the gate only ran over added/changed urls, so the count
+            # must be restricted the same way (the full-crawl signals
+            # count would report noindex pages whose extraction was
+            # already skipped as unchanged)
+            sig_noindex = (spark.read.parquet(signals_path)
+                           .filter(F.col("noindex")))
+            if diff_against:
+                sig_noindex = sig_noindex.join(work, "url", "left_semi")
+            noindex_dropped = sig_noindex.count()
     robots_dropped = None
     if robots_rules_path:
         # RFC 9309 compliance pre-kernel: host-level rule join on the

@@ -167,3 +167,34 @@ def test_probe_never_moves_text(spark):
     assert "text" not in cg and "doc_id" not in cg, cg
     assert out.count() == 20
     assert out.filter(~F.col("probably_seen")).count() == 0
+
+
+def test_probe_null_fingerprint_is_false_not_null(spark):
+    store = build_bloom_store(_fps(spark, range(10)), n_shards=4,
+                              expected_per_shard=100, fpp=0.01)
+    df = spark.createDataFrame([("fp-1",), (None,)],
+                               "fingerprint string")
+    out = {r["fingerprint"]: r["probably_seen"]
+           for r in bloom_probe(df, store).collect()}
+    assert out["fp-1"] is True
+    assert out[None] is False          # exact: NULL is never inserted
+
+
+def test_multi_row_shard_fails_fast(spark):
+    # a raw increment_id-partitioned multi-delta layout read back as
+    # one frame must not silently drop memberships
+    import pytest as _pt
+
+    kw = dict(n_shards=2, expected_per_shard=100, fpp=0.01)
+    d1 = build_bloom_store(_fps(spark, range(20)), **kw)
+    d2 = build_bloom_store(_fps(spark, range(20, 40)), **kw)
+    raw = d1.unionByName(d2)           # 2 rows per shard
+    with _pt.raises(Exception, match="or_reduce_bloom_stores"):
+        bloom_probe(_fps(spark, range(5)), raw).collect()
+    with _pt.raises(Exception, match="or_reduce_bloom_stores"):
+        merge_bloom_stores(raw, d1).collect()
+    # the documented reduction path works on the same layout
+    from khl_pdf_ocr_spark.operators.bloom import or_reduce_bloom_stores
+    ok = or_reduce_bloom_stores(raw)
+    assert bloom_probe(_fps(spark, range(40)), ok).filter(
+        ~F.col("probably_seen")).count() == 0

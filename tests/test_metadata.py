@@ -108,3 +108,17 @@ def test_duckdb_parity(spark):
         FROM pages
     """).fetchall())
     assert got == want
+
+
+def test_embedded_apostrophes_and_quotes(spark):
+    # quote-specific content patterns: an apostrophe inside a
+    # double-quoted value (and vice versa) must not truncate
+    df = _pages(spark, [
+        ("a", '<meta name="author" content="O\'Brien">'),
+        ("b", "<meta name='author' content='Jane \"JD\" Doe'>"),
+        ("c", '<meta property="og:title" content="It\'s a Test">'),
+    ])
+    out = {r["url"]: r for r in page_metadata(df).collect()}
+    assert out["a"]["byline"] == "O'Brien"
+    assert out["b"]["byline"] == 'Jane "JD" Doe'
+    assert out["c"]["og_title"] == "It's a Test"

@@ -222,3 +222,72 @@ def test_diff_without_sidecar_uses_checkpoint(spark, fixture_tables,
     assert stats["crawl_diff"]["added"] == 0
     assert stats["n_docs"] == 0
     assert "diff_path" not in stats
+
+
+def test_diff_keeps_null_url_rows(spark, fixture_tables, tmp_path):
+    """NULL-url rows can't equi-join the work list; they must still
+    reach the kernel like a plain run, where the kernel maps the
+    out-of-contract NULL key to the '' sentinel (the output schema
+    declares url non-nullable) instead of a JVM NPE."""
+    docs_path, _ = fixture_tables
+    base = spark.read.parquet(docs_path).limit(6)
+    crawl1 = str(tmp_path / "c1")
+    crawl2 = str(tmp_path / "c2")
+    base.write.parquet(crawl1)
+    nulled = base.withColumn(
+        "url", F.when(F.monotonically_increasing_id() == 0,
+                      F.lit(None)).otherwise(F.col("url")))
+    nulled.write.parquet(crawl2)
+    out_dir = str(tmp_path / "out")
+    _, stats = run_extraction(spark, crawl2, out_dir, num_partitions=2,
+                              diff_against=crawl1)
+    # the null-url row is extracted unconditionally (its old url
+    # counts as removed; the NULL 'added' label is a diff artifact)
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert stats["n_docs"] == data.count() >= 1
+    assert data.filter(F.col("url") == "").count() == 1
+    # and the plain (no-diff) run degrades identically, not with an NPE
+    out2 = str(tmp_path / "out2")
+    _, stats2 = run_extraction(spark, crawl2, out2, num_partitions=2)
+    assert stats2["n_docs"] == 6
+
+
+def test_noindex_count_restricted_to_diff_worklist(spark, fixture_tables,
+                                                   tmp_path):
+    """With --diff-against, the noindex gate runs only over the
+    added/changed work list — the stat must count the same subset,
+    not the full crawl's signals table."""
+    docs_path, _ = fixture_tables
+    base = spark.read.parquet(docs_path).orderBy("url").limit(6).cache()
+    urls = [r["url"] for r in base.select("url").collect()]
+    noindex_html = F.lit(b'<html><meta name="robots" content="noindex">'
+                         b'<p>opted out</p></html>')
+    crawl1 = str(tmp_path / "c1")
+    base.write.parquet(crawl1)
+    later = (F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")).alias("warc_ts")
+    # urls[0]: noindex AND changed (in work list) -> counted + dropped
+    # urls[1]: noindex but UNCHANGED -> skipped by diff, must NOT count
+    crawl2_df = base.select(
+        "url", later,
+        F.when(F.col("url") == urls[0], noindex_html)
+        .otherwise(F.col("html")).alias("html"), "text", "lang")
+    # make urls[1] noindex in BOTH crawls (so its newest content is
+    # unchanged between them)
+    for p, src in ((str(tmp_path / "c1b"),
+                    spark.read.parquet(crawl1)),
+                   (str(tmp_path / "c2"), crawl2_df)):
+        src.select("url", "warc_ts",
+                   F.when(F.col("url") == urls[1], noindex_html)
+                   .otherwise(F.col("html")).alias("html"),
+                   "text", "lang").write.parquet(p)
+    out_dir = str(tmp_path / "out")
+    _, stats = run_extraction(
+        spark, str(tmp_path / "c2"), out_dir, num_partitions=2,
+        diff_against=str(tmp_path / "c1b"),
+        signals_path=str(tmp_path / "signals"), honor_noindex=True)
+    assert stats["crawl_diff"]["changed"] == 1
+    assert stats["crawl_diff"]["unchanged"] == 5
+    # only the work-list noindex page counts (and was actually dropped)
+    assert stats["noindex_dropped"] == 1
+    assert stats["n_docs"] == 0  # the one changed url was noindex
+    base.unpersist()
