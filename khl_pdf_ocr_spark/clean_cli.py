@@ -120,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --quality-lm train: persist the trained "
                          "(token, logprob) LM parquet here for reuse "
                          "by later increments")
+    ap.add_argument("--zlib-bounds", default=None, metavar="LO,HI",
+                    help="keep docs whose zlib compression ratio "
+                         "(compressed/raw utf-8 bytes) lies in "
+                         "[LO,HI] ('none' for an open side, e.g. "
+                         "'0.1,none') — the model-free two-tailed "
+                         "quality gate: boilerplate compresses far "
+                         "below prose, glyph soup sits near 1; drops "
+                         "ledger as zlib_ratio")
     ap.add_argument("--quality-classifier", default=None,
                     metavar="train|PATH",
                     help="model-based quality stage (GPT-3 Appendix-A "
@@ -295,6 +303,10 @@ def main(argv: list[str] | None = None) -> int:
             return parse_float_bounds(spec)  # sibling CLIs can't drift
         except ValueError as e:
             ap.error(str(e))
+
+    # parse BEFORE the JVM starts (the --split convention): a bad spec
+    # is a usage error, not a mid-job traceback
+    zlib_bounds = parse_bounds(args.zlib_bounds) if args.zlib_bounds else None
 
     lm_tails = lm_cutoffs = None
     if args.quality_lm:
@@ -491,6 +503,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             near_dup_policy=args.policy, url_col=args.url_col,
             declared_canonical_col=args.canonical_col,
+            zlib_bounds=zlib_bounds,
             benchmark=benchmark,
             benchmark_fuzzy_threshold=args.decontaminate_fuzzy, lm=lm,
             **({"lm_tails": lm_tails} if lm_tails else {}),

@@ -32,6 +32,7 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  near_dup_policy: str = "pairs",
                  url_col: str | None = None,
                  declared_canonical_col: str | None = None,
+                 zlib_bounds: tuple[float | None, float | None] | None = None,
                  benchmark: DataFrame | None = None,
                  benchmark_fuzzy_threshold: float | None = None,
                  lm: DataFrame | None = None,
@@ -53,6 +54,13 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  REPLACES the fetch url as the dedup key, so mirrors /
                  variant urls that declare one target collapse onto it
                  even when their fetch urls normalize differently.
+    ``zlib_bounds`` — optional (lo, hi) compression-ratio band
+                 (``textstats.zlib_ratio_col``; either side None =
+                 unbounded): the model-free two-tailed quality gate —
+                 boilerplate compresses far below prose, glyph soup
+                 sits near 1.  Runs after the heuristic quality stage;
+                 drops land as ``zlib_ratio`` (NULL ratio = empty text
+                 rejects, like the LM stage's zero-token rule).
     ``audit``  — optional dict; gains the near-dup stage's lazy
                  ``"hot_buckets"`` frame (band buckets whose candidate
                  generation was chain-bounded — the no-silent-caps
@@ -169,6 +177,28 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                           F.lit("quality").alias("reject_reason"))
     stage2 = stage1.filter(F.col("_q") >= min_quality)
 
+    zlib_bad = None
+    if zlib_bounds is not None:
+        # compression-ratio band (textstats.zlib_ratio_col): both tails
+        # are junk — templated boilerplate compresses far below prose,
+        # glyph soup/binary junk sits near 1.  A withColumn of the
+        # Arrow-batched UDF — no join-back, no shuffle.  NULL ratio
+        # (empty text) rejects, mirroring the LM stage's zero-token
+        # rule (a row never vanishes from both outputs).
+        from khl_pdf_ocr_spark.operators.textstats import zlib_ratio_col
+
+        zlo, zhi = zlib_bounds
+        zscored = stage2.withColumn("_zr", zlib_ratio_col(F.col(text_col)))
+        in_band = F.col("_zr").isNotNull()
+        if zlo is not None:
+            in_band = in_band & (F.col("_zr") >= zlo)
+        if zhi is not None:
+            in_band = in_band & (F.col("_zr") <= zhi)
+        zlib_bad = (zscored.filter(~F.coalesce(in_band, F.lit(False)))
+                    .select(F.col(id_col).alias("id"),
+                            F.lit("zlib_ratio").alias("reject_reason")))
+        stage2 = zscored.filter(in_band).drop("_zr")
+
     # exact dedup: keep min(id) per fingerprint
     groups = exact_dedup(stage2, text_col=text_col, id_col=id_col)
     keep_ids = groups.select(F.col("keep_id").alias(id_col))
@@ -233,6 +263,8 @@ def clean_corpus(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
                  .drop("_lang", "_q", "_nsw", "_nchr")
 
     ledger = lang_bad.unionByName(q_bad).unionByName(exact_bad).unionByName(near_bad)
+    if zlib_bad is not None:
+        ledger = ledger.unionByName(zlib_bad)
     if lm is not None:
         if isinstance(lm, tuple):
             from khl_pdf_ocr_spark.operators.textstats import \

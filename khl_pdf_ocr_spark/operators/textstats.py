@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from khl_pdf_ocr_spark.functions import text as X
 
 __all__ = ["text_stats", "language_id", "quality_filter", "fingerprints",
-           "compression_ratio",
+           "compression_ratio", "zlib_ratio_col",
            "top_terms_per_group", "train_unigram_lm", "unigram_logprob_scores",
            "train_bigram_lm", "bigram_logprob_scores", "save_lm", "load_lm",
            "lm_tier_assign", "append_lm_tiers", "lm_tier_stats"]
@@ -127,6 +127,16 @@ def compression_ratio(df: DataFrame, *, text_col: str = "text",
     and there is no per-row pickling.  NULL/empty text → NULL ratio.
     Returns ``(id, n_bytes, zlib_ratio)``; zero shuffles.
     """
+    c = F.col(text_col)
+    return df.select(F.col(id_col),
+                     F.octet_length(c).alias("n_bytes"),
+                     zlib_ratio_col(c, level=level).alias("zlib_ratio"))
+
+
+def zlib_ratio_col(text: "F.Column", *, level: int = 6):
+    """The compression-ratio signal as a reusable Column expression
+    (Arrow-batched pandas UDF) — ``clean_corpus``'s zlib stage applies
+    it with ``withColumn`` so no join-back shuffle is ever needed."""
     @F.pandas_udf("double")
     def _ratio(s: pd.Series) -> pd.Series:
         import zlib
@@ -141,10 +151,7 @@ def compression_ratio(df: DataFrame, *, text_col: str = "text",
 
         return s.map(one)
 
-    c = F.col(text_col)
-    return df.select(F.col(id_col),
-                     F.octet_length(c).alias("n_bytes"),
-                     _ratio(c).alias("zlib_ratio"))
+    return _ratio(text)
 
 
 def train_unigram_lm(df: DataFrame, *, text_col: str = "text",

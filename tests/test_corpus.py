@@ -806,3 +806,76 @@ def test_clean_corpus_declared_canonical_collapses_variants(spark):
 
     with pytest.raises(ValueError, match="requires url_col"):
         clean_corpus(df, declared_canonical_col="canonical_of")
+
+
+def test_clean_corpus_zlib_band(spark):
+    """zlib_bounds drops both compression-ratio tails with the
+    zlib_ratio reason; in-band prose survives."""
+    import hashlib
+    import zlib as _z
+
+    from khl_pdf_ocr_spark.corpus import clean_corpus
+
+    words = ("referee confirmed final score video review coaches "
+             "accepted decision protest press conference period "
+             "goaltender penalty overtime shootout attendance").split()
+    prose = " ".join(words[hashlib.sha256(str(i).encode()).digest()[0]
+                           % len(words)] for i in range(300))
+    boiler = "accept all cookies to continue reading this site " * 30
+    h, seed = b"", b"q"
+    while len(h) < 1200:
+        seed = hashlib.sha256(seed).digest()
+        h += seed
+    soup = "w " + h[:1200].decode("latin-1")  # leading token for lang
+    rows = [(0, prose, "s"), (1, boiler, "s"), (2, soup, "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    # sanity: the planted ratios straddle the band
+    rb = len(_z.compress(boiler.encode(), 6)) / len(boiler.encode())
+    rs = len(_z.compress(soup.encode("utf-8"), 6)) / len(soup.encode("utf-8"))
+    assert rb < 0.1 < 0.65 < rs
+
+    kept, ledger = clean_corpus(
+        docs, allowed_langs=("en", "ru", "other"), min_quality=0.0,
+        near_dup_threshold=0.99, zlib_bounds=(0.1, 0.65))
+    assert {r["doc_id"] for r in kept.collect()} == {0}
+    led = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    assert led == {1: "zlib_ratio", 2: "zlib_ratio"}
+
+
+def test_clean_cli_zlib_bounds_flag(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest with all of its friends today")
+    rows = [(0, base, "s"),
+            (1, "this is the best offer of the day for you " * 30,
+             "s")]                                   # boilerplate tail
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+         .write.parquet(inp)
+    out = str(tmp_path / "cleaned")
+    p = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out,
+         "--langs", "en", "--min-quality", "0.1",
+         "--zlib-bounds", "0.12,0.9", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    stats = json.loads([ln for ln in p.stdout.splitlines()
+                        if ln.startswith("{")][-1])
+    assert stats["rejected"].get("zlib_ratio", 0) == 1
+    assert stats["n_kept"] == 1
+    # bad spec = usage error before the JVM, not a traceback
+    p2 = subprocess.run(
+        [sys.executable, "-m", "khl_pdf_ocr_spark.clean_cli",
+         "--input", inp, "--output", out + "2",
+         "--zlib-bounds", "nope", "--cpus", "4"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p2.returncode == 2
+    assert "Traceback" not in p2.stderr
