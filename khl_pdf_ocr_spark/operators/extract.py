@@ -34,6 +34,9 @@ __all__ = ["extract_documents", "extract_batches", "make_extract_fn"]
 
 def _extract_rows(urls, payloads, mode: str, debug: bool = False
                   ) -> list[dict[str, Any]]:
+    # Row-dict reference form — kept as the oracle for
+    # test_extract_columnar_equals_rows (the hot path is the columnar
+    # _extract_columns below, r6 optimization).
     # import inside the task (executor-side) — refkernel is pure stdlib
     import json
     import time
@@ -87,6 +90,54 @@ def _extract_rows(urls, payloads, mode: str, debug: bool = False
     return rows
 
 
+def _extract_columns(urls, payloads, mode: str, debug: bool = False
+                     ) -> dict[str, list]:
+    """Column-wise twin of ``_extract_rows`` (same kernel calls, same
+    values — pinned by ``test_extract_columnar_equals_rows``): the
+    per-row dict + ``RecordBatch.from_pylist`` build measured 3.6× the
+    cost of appending column lists and building arrays directly
+    (guide §4.2: row-wise Python assembly at the Arrow boundary is
+    avoidable overhead — ~34 % of the Python-side extraction cost)."""
+    import json
+    import time
+
+    from khl_pdf_ocr_spark.refkernel.kernel import extract_document, result_to_json
+
+    cols: dict[str, list] = {name: [] for name in (
+        "url", "ok", "engine", "error", "detail", "extracted_text",
+        "result_json", "match", "referees", "goalies", "n_bytes",
+        "n_lines", "kernel_us")}
+    if debug:
+        cols["debug_json"] = []
+    ap = {k: v.append for k, v in cols.items()}
+    perf = time.perf_counter
+    for url, payload in zip(urls, payloads):
+        if url is None:
+            # see _extract_rows: NULL key degrades to the "" sentinel
+            url = ""
+        t0 = perf()
+        res = extract_document(url, payload, mode=mode, debug=debug)
+        kernel_us = int((perf() - t0) * 1e6)
+        text = res["extracted_text"]
+        ap["url"](url)
+        ap["ok"](res["ok"])
+        ap["engine"](res["engine"])
+        ap["error"](res["error"])
+        ap["detail"](res["detail"])
+        ap["extracted_text"](text)
+        ap["result_json"](result_to_json(res))
+        ap["match"](res["match"])
+        ap["referees"](res["referees"])
+        ap["goalies"](res["goalies"])
+        ap["n_bytes"](len(payload) if payload is not None else 0)
+        ap["n_lines"]((text.count("\n") + 1) if text else 0)
+        ap["kernel_us"](kernel_us)
+        if debug:
+            ap["debug_json"](json.dumps(res.get("_debug", {}),
+                                        ensure_ascii=False))
+    return cols
+
+
 def extract_batches(batches: Iterator[pa.RecordBatch], mode: str = "all",
                     debug: bool = False) -> Iterator[pa.RecordBatch]:
     """Iterator[RecordBatch] → Iterator[RecordBatch] extraction kernel."""
@@ -94,8 +145,10 @@ def extract_batches(batches: Iterator[pa.RecordBatch], mode: str = "all",
     for batch in batches:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
-        rows = _extract_rows(urls, payloads, mode, debug)
-        yield pa.RecordBatch.from_pylist(rows, schema=schema)
+        cols = _extract_columns(urls, payloads, mode, debug)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in schema],
+            schema=schema)
 
 
 def make_extract_fn(mode: str = "all", debug: bool = False):

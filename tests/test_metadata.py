@@ -122,3 +122,39 @@ def test_embedded_apostrophes_and_quotes(spark):
     assert out["a"]["byline"] == "O'Brien"
     assert out["b"]["byline"] == 'Jane "JD" Doe'
     assert out["c"]["og_title"] == "It's a Test"
+
+
+def test_quoted_gate_equals_bare_gate(spark):
+    # r6: _meta's pregate moved from bare tokens ('date') to the four
+    # quoted-value needles.  The gate must be a NECESSARY condition of
+    # the regex — adversarial corpus: near-miss tokens (datetime,
+    # updated, JSON "datePublished"), whitespace around '=', mismatched
+    # quotes, either attribute order, either content quote style.
+    rows = [
+        ("g1", '<meta name="date" content="2024-01-02">'),
+        ("g2", "<meta name='date' content='2024-02-03'>"),
+        ("g3", '<meta content="2024-03-04" name="date">'),
+        ("g4", '<meta name = "date" content="2024-04-05">'),   # ws around =
+        ("g5", '<meta name="date\' content="2024-05-06">'),    # mismatched
+        ("g6", '<meta name="author" content="A. Writer">'),
+        ("n1", '<time datetime="2024-06-07">x</time>'),        # datetime only
+        ("n2", "<p>updated yesterday, date unknown</p>"),      # bare tokens
+        ("n3", '<script>{"datePublished":"2024-07-08"}</script>'),
+        ("n4", '<meta name="dates" content="plural">'),
+        ("n5", None),
+    ]
+    df = _pages(spark, rows)
+    out = {r["url"]: r for r in page_metadata(df).collect()}
+    # pages whose regex should hit still hit…
+    assert out["g1"]["pub_date"] == "2024-01-02"
+    assert out["g2"]["pub_date"] == "2024-02-03"
+    assert out["g3"]["pub_date"] == "2024-03-04"
+    assert out["g4"]["pub_date"] == "2024-04-05"
+    assert out["g5"]["pub_date"] == "2024-05-06"
+    assert out["g6"]["byline"] == "A. Writer"
+    # …near-miss tokens fall to the <time> fallback / NULL as before
+    assert out["n1"]["pub_date"] == "2024-06-07"   # via <time>, not meta
+    assert out["n2"]["pub_date"] is None
+    assert out["n3"]["pub_date"] is None
+    assert out["n4"]["pub_date"] is None
+    assert out["n4"]["byline"] is None

@@ -291,3 +291,35 @@ def test_noindex_count_restricted_to_diff_worklist(spark, fixture_tables,
     assert stats["noindex_dropped"] == 1
     assert stats["n_docs"] == 0  # the one changed url was noindex
     base.unpersist()
+
+
+def test_extract_columnar_equals_rows(fixture_tables):
+    # r6 optimization: extract_batches builds RecordBatches column-wise
+    # (from_arrays) instead of row-wise (from_pylist).  The row-dict
+    # form stays as the reference; the two must be value-identical —
+    # including nested match/referees/goalies structs and both debug
+    # modes — over the full fixture mix (pdf/html/text/corrupt).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from khl_pdf_ocr_spark.operators.extract import (_extract_rows,
+                                                     extract_batches)
+    from khl_pdf_ocr_spark.schemas import EXTRACT_PA, EXTRACT_PA_DEBUG
+
+    docs_path, _ = fixture_tables
+    tbl = pq.read_table(docs_path, columns=["url", "html"])
+    batches = tbl.to_batches(max_chunksize=64)
+    for mode, debug in (("all", False), ("refs", True)):
+        schema = EXTRACT_PA_DEBUG if debug else EXTRACT_PA
+        got = list(extract_batches(iter(batches), mode=mode, debug=debug))
+        want = [pa.RecordBatch.from_pylist(
+            _extract_rows(b.column("url").to_pylist(),
+                          b.column("html").to_pylist(), mode, debug),
+            schema=schema) for b in batches]
+        assert len(got) == len(want)
+        value_cols = [n for n in schema.names if n != "kernel_us"]
+        for g, w in zip(got, want):
+            for name in value_cols:  # kernel_us is wall-clock, not a value
+                assert g.column(name).equals(w.column(name)), name
+            assert g.column("kernel_us").type == pa.int64()
+            assert g.column("kernel_us").null_count == 0
