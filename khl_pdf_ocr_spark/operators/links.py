@@ -108,22 +108,34 @@ def extract_outlinks(df: DataFrame, *, url_col: str = "url",
     u = F.col(url_col)
     s = F.col(html_col).cast("string")
     pat = _A_HREF_TEXT_RE if with_text else _A_HREF_RE
-    hrefs = F.slice(F.regexp_extract_all(s, F.lit(pat), 1),
-                    1, max_links_per_page)
-    cols = [u.alias("src"), hrefs.alias("_hrefs"),
-            url_parts(u).alias("_up")]
     if with_text:
-        # same pattern, group 2 — match-aligned with group 1 by
-        # construction (one regex, two captures), bounded identically
-        cols.append(F.slice(F.regexp_extract_all(s, F.lit(pat), 2),
-                            1, max_links_per_page).alias("_texts"))
-    staged = df.select(*cols)
+        # ONE full-page scan (group 0), then per-element group
+        # extraction over the short matched anchor substrings — the r5
+        # form ran the same regex over the ENTIRE page twice (once per
+        # capture group), doubling the dominant cost (guide §1.2
+        # per-task work).  Re-matching inside a match reproduces its
+        # groups exactly: the match starts the substring (leftmost),
+        # `[^>]*` runs are bounded by the same '>'s, and the lazy
+        # text group stops at the same first `</a\s*>` — all decided
+        # within the match extent (test_with_text_single_scan_parity).
+        ms = F.slice(F.regexp_extract_all(s, F.lit(pat), 0),
+                     1, max_links_per_page)
+        staged = df.select(u.alias("src"), ms.alias("_ms"),
+                           url_parts(u).alias("_up"))
+        hrefs = F.transform(F.col("_ms"),
+                            lambda m: F.regexp_extract(m, pat, 1))
+    else:
+        hrefs = F.slice(F.regexp_extract_all(s, F.lit(pat), 1),
+                        1, max_links_per_page)
+        staged = df.select(u.alias("src"), hrefs.alias("_hrefs"),
+                           url_parts(u).alias("_up"))
+        hrefs = F.col("_hrefs")
     # fragment stripped BEFORE resolution: a fragment-only href
     # ("#section") is intra-page navigation, not a hyperlink — it
     # empties out and drops, instead of mis-resolving against the
     # page directory
     resolved = F.transform(
-        F.col("_hrefs"),
+        hrefs,
         lambda h: resolve_href(
             F.regexp_replace(F.replace(h, F.lit("&amp;"), F.lit("&")),
                              r"#.*$", ""),
@@ -131,10 +143,12 @@ def extract_outlinks(df: DataFrame, *, url_col: str = "url",
     if with_text:
         # pair BEFORE the explode (the chunk_documents generator-carry
         # rule): each generated element is one short (dst, anchor)
-        # struct — html, href array, and text array never cross the
+        # struct — html, match array, and text array never cross the
         # Generate
-        cleaned = F.transform(F.col("_texts"),
-                              lambda t: _clean_anchor(t, max_anchor_chars))
+        cleaned = F.transform(
+            F.col("_ms"),
+            lambda m: _clean_anchor(F.regexp_extract(m, pat, 2),
+                                    max_anchor_chars))
         pairs = F.array_distinct(F.filter(
             F.arrays_zip(resolved.alias("dst"), cleaned.alias("anchor")),
             lambda p: p["dst"].isNotNull() & (p["dst"] != "")))

@@ -242,7 +242,7 @@ def test_outlinks_with_text_plan_shape(spark):
     gen = [ln for ln in plan.splitlines() if "Generate" in ln]
     assert gen
     tail = gen[0].rsplit("], ", 1)[-1]
-    for carried in ("_hrefs", "_texts", "html"):
+    for carried in ("_hrefs", "_texts", "_ms", "html"):
         assert carried not in tail
 
 
@@ -274,3 +274,55 @@ def test_anchor_text_profile(spark):
     assert v["top_anchor"] is None
     assert (v["n_refs"], v["n_srcs"], v["n_texts"],
             v["top_anchor_refs"]) == (2, 2, 0, 0)
+
+
+def test_with_text_single_scan_parity(spark):
+    # r6: with_text extracts the full match once (group 0) and pulls
+    # groups 1/2 per element from the short matched substring.  Parity
+    # oracle = the r5 two-full-page-scan form, on adversarial html:
+    # wrapped tags, uppercase attrs, entities, unclosed anchors whose
+    # lazy boundary swallows following anchors, bare hrefs, block-level
+    # link cards, whitespace-heavy attributes.
+    from khl_pdf_ocr_spark.operators.links import (_A_HREF_TEXT_RE,
+                                                   _clean_anchor,
+                                                   extract_outlinks)
+    from khl_pdf_ocr_spark.functions.urls import resolve_href, url_parts
+
+    html = (b'<a href="https://o.example.org/a"> A <b>B</b> </a>'
+            b"<A\n  HREF = '/wrapped'\n  class='x'> wrapped\ntag </A>"
+            b'<a href=/bare>bare</a>'
+            b'<a href="/unclosed">u1 <a href="/u2">u2</a>'
+            b'<a href="/x" title="a>b">odd quote</a>'
+            b'<a href="/y"></a  >'
+            b'plain text <a href="#frag">frag only</a>')
+    rows = [("https://p.example.com/dir/page", html),
+            ("https://p.example.com/", b"no anchors at all"),
+            ("https://p.example.com/n", None)]
+    df = spark.createDataFrame(
+        [(u, h) for u, h in rows], "url string, html binary")
+
+    got = {tuple(r) for r in extract_outlinks(df, with_text=True).collect()}
+
+    # reference: the r5 two-scan construction, verbatim
+    pat = _A_HREF_TEXT_RE
+    u, s = F.col("url"), F.col("html").cast("string")
+    staged = df.select(
+        u.alias("src"),
+        F.slice(F.regexp_extract_all(s, F.lit(pat), 1), 1, 1000).alias("_hrefs"),
+        F.slice(F.regexp_extract_all(s, F.lit(pat), 2), 1, 1000).alias("_texts"),
+        url_parts(u).alias("_up"))
+    resolved = F.transform(
+        F.col("_hrefs"),
+        lambda h: resolve_href(
+            F.regexp_replace(F.replace(h, F.lit("&amp;"), F.lit("&")),
+                             r"#.*$", ""), F.col("_up")))
+    cleaned = F.transform(F.col("_texts"), lambda t: _clean_anchor(t, 200))
+    pairs = F.array_distinct(F.filter(
+        F.arrays_zip(resolved.alias("dst"), cleaned.alias("anchor")),
+        lambda p: p["dst"].isNotNull() & (p["dst"] != "")))
+    want = {tuple(r) for r in
+            (staged.select("src", F.explode(pairs).alias("_p"))
+             .select("src", F.col("_p.dst").alias("dst"),
+                     F.col("_p.anchor").alias("anchor"))
+             .filter(F.col("dst") != F.col("src"))).collect()}
+    assert got == want and got  # non-empty and identical
