@@ -17,7 +17,9 @@ Conventions:
 
 from __future__ import annotations
 
+import bisect
 import re
+from operator import itemgetter
 
 __all__ = [
     "sort_project_words", "lines_from_words", "group_words_by_lines_and_cols",
@@ -87,8 +89,6 @@ def lines_from_words(words, tolerance: float = 3.0) -> list[str]:
     the naive loop on both paths (property-tested in
     tests/test_properties.py).
     """
-    import bisect
-
     rows: dict[float, list[tuple[float, str]]] = {}
     order: dict[float, int] = {}          # key → insertion index (bisect path)
     sorted_keys: list[float] = []         # keys, sorted by value (bisect path)
@@ -141,8 +141,6 @@ def lines_from_words(words, tolerance: float = 3.0) -> list[str]:
                 order = {k: i for i, k in enumerate(rows)}
                 sorted_keys = sorted(rows)
         rows[key].append((x, t))
-    from operator import itemgetter
-
     get_x = itemgetter(0)  # stable x-sort; ties keep insertion order,
     lines = []             # same as the reference's key=lambda
     for ky in sorted(rows.keys()):
