@@ -117,7 +117,11 @@ def build_bloom_store(fp_df: DataFrame, *, fp_col: str = "fingerprint",
         m, k, n_shards = _geometry_override
     else:
         m, k = bloom_geometry(expected_per_shard, fpp)
-    slim = fp_df.select(
+    # NULL fingerprints are never inserted (ADVICE r5): xxhash64(NULL)
+    # is a seed-derived constant, so raw NULL rows would all collide
+    # onto one phantom membership while bloom_probe deliberately
+    # treats NULL as unseen — build and probe must agree
+    slim = fp_df.filter(F.col(fp_col).isNotNull()).select(
         _shard(F.col(fp_col), n_shards).alias("shard"),
         _positions(F.col(fp_col), m, k).alias("positions"))
     n_bytes = m // 8
@@ -170,6 +174,21 @@ def merge_bloom_stores(a: DataFrame, b: DataFrame, *,
                 "one side (a multi-delta layout?) — reduce each side "
                 "with or_reduce_bloom_stores first")
         rows = pd.concat([la, lb], ignore_index=True)
+        if geometry is not None:
+            # an explicit geometry kwarg skipped the discovery collects
+            # — validate it against the actual rows (ADVICE r5: two
+            # stores with equal m but different k would otherwise merge
+            # silently and corrupt membership semantics).  One integer
+            # compare per shard row.
+            gm, gk, gn = geometry
+            for _, r in rows.iterrows():
+                if (int(r["m"]), int(r["k"]), int(r["n_shards"])) != \
+                        (gm, gk, gn):
+                    raise ValueError(
+                        f"merge_bloom_stores: shard {key} row geometry "
+                        f"({int(r['m'])}, {int(r['k'])}, "
+                        f"{int(r['n_shards'])}) != supplied "
+                        f"{(gm, gk, gn)}")
         if len(rows) == 1:
             return rows
         x = np.frombuffer(rows["bits"].iloc[0], dtype=np.uint8)
@@ -236,7 +255,11 @@ def bloom_probe(df: DataFrame, store: DataFrame, *,
     if geo is None:  # empty store: everything is exactly-unseen
         return df.withColumn(out_col, F.lit(False))
     m, k, n_shards = geo
-    slim = (df.select(F.col(fp_col).alias("_fp")).distinct()
+    # NULL fingerprints skip the probe outright (they are never
+    # inserted — see build_bloom_store); the left join below leaves
+    # their flag NULL and the final coalesce answers False
+    slim = (df.select(F.col(fp_col).alias("_fp"))
+            .filter(F.col("_fp").isNotNull()).distinct()
             .select("_fp", _shard(F.col("_fp"), n_shards).alias("shard"),
                     _positions(F.col("_fp"), m, k).alias("positions")))
     out_schema = StructType([StructField("_fp", slim.schema["_fp"].dataType),

@@ -241,7 +241,14 @@ def run_extraction(spark: SparkSession, input_path: str, output_path: str | None
             sig_noindex = (spark.read.parquet(signals_path)
                            .filter(F.col("noindex")))
             if diff_against:
-                sig_noindex = sig_noindex.join(work, "url", "left_semi")
+                # mirror the kernel work list's NULL-url route-around
+                # (ADVICE r5): NULL-url rows bypass the diff semi-join
+                # into the gate, so their noindex drops must be counted
+                # too — a NULL url never equi-joins the work list
+                sig_noindex = (sig_noindex.filter(F.col("url").isNotNull())
+                               .join(work, "url", "left_semi")
+                               .unionByName(
+                                   sig_noindex.filter(F.col("url").isNull())))
             noindex_dropped = sig_noindex.count()
     robots_dropped = None
     if robots_rules_path:

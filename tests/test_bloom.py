@@ -198,3 +198,42 @@ def test_multi_row_shard_fails_fast(spark):
     ok = or_reduce_bloom_stores(raw)
     assert bloom_probe(_fps(spark, range(40)), ok).filter(
         ~F.col("probably_seen")).count() == 0
+
+
+def test_null_fingerprints_never_inserted(spark):
+    # ADVICE r5: raw NULL fingerprints collide onto one seed-derived
+    # synthetic key at build time while probe treats NULL as unseen —
+    # the build must skip them so the store carries no phantom
+    # membership.
+    with_nulls = spark.createDataFrame(
+        [("fp-1",), (None,), ("fp-2",), (None,)], ["fingerprint"])
+    kw = dict(n_shards=4, expected_per_shard=16, fpp=0.01)
+    store = build_bloom_store(with_nulls, **kw)
+    clean = build_bloom_store(with_nulls.filter("fingerprint IS NOT NULL"),
+                              **kw)
+    a = {r["shard"]: (r["bits"], r["n_items"]) for r in store.collect()}
+    b = {r["shard"]: (r["bits"], r["n_items"]) for r in clean.collect()}
+    assert a == b          # identical bitsets AND item counts
+    # probe with NULLs: NULL rows answer False, real rows still hit
+    probed = {r["fingerprint"]: r["probably_seen"]
+              for r in bloom_probe(with_nulls, store).collect()}
+    assert probed["fp-1"] and probed["fp-2"]
+    assert probed[None] is False
+
+
+def test_merge_explicit_geometry_validated_per_row(spark):
+    # ADVICE r5: with an explicit geometry kwarg the discovery collects
+    # are skipped — rows whose geometry differs from the supplied one
+    # must fail the merge instead of OR-ing silently (equal m,
+    # different k corrupts membership semantics).
+    a = build_bloom_store(_fps(spark, range(32)), n_shards=4,
+                          expected_per_shard=64, fpp=0.01)
+    b = build_bloom_store(_fps(spark, range(32, 64)), n_shards=4,
+                          expected_per_shard=64, fpp=0.01)
+    geo = (a.select("m", "k", "n_shards").first())
+    good = merge_bloom_stores(a, b, geometry=(geo["m"], geo["k"],
+                                              geo["n_shards"]))
+    assert good.count() == 4
+    with pytest.raises(Exception, match="geometry"):
+        merge_bloom_stores(a, b, geometry=(geo["m"], geo["k"] + 1,
+                                           geo["n_shards"])).collect()
