@@ -873,10 +873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ws → 48-char prefix) rides along as an id column — the
         # former doc_normalized_preview query folded in (r4 verdict #2
         # consolidation; one extra projection, zero extra shuffles)
+        # r6: preview now computes INSIDE the fused Arrow kernel
+        # (text.text_analytics(preview=48)) — one boundary crossing of
+        # (doc_id, text) instead of a separate JVM normalize pass plus
+        # an extra string column through Arrow; values pinned identical
+        # by test_text_analytics_kernel_parity's preview rows
         docs = spark.read.parquet(_t(sf_dir, "documents"))
-        with_prev = docs.withColumn(
-            "preview", F.substring(X.normalized_text(F.col("text")), 1, 48))
-        return X.text_analytics(with_prev, id_cols=("doc_id", "preview"))
+        return X.text_analytics(docs, id_cols=("doc_id",), preview=48)
 
     q["doc_text_analytics"] = doc_text_analytics
 

@@ -125,18 +125,13 @@ def lang_id(col: Column, *, n_cyr: Column | None = None,
             .otherwise(F.lit("other")))
 
 
-def text_analytics(df, text_col: str = "text",
-                   id_cols: tuple[str, ...] = ("doc_id",)):
-    """The full per-document analytics projection, staged so each
-    distinct count (whitespace tokens, BPE-ish tokens, stopwords,
-    digits, punctuation, Cyrillic chars, length) is computed ONCE and
-    every derived column reuses it — the naive 5-column select
-    recomputes stopword_count 3× and token_count 2× across
-    quality_score/lang_id (r3 VERDICT #6; measured at sf0.1/48k docs:
-    0.61 s staged vs 0.72 s naive, byte-identical values — the
-    remaining cost is the irreducible distinct regex passes, see
-    BENCH.md §4.13).  Output: id_cols + n_tokens, n_bpe_tokens,
-    n_stopwords, quality, lang_pred."""
+def _text_analytics_expr(df, text_col: str = "text",
+                         id_cols: tuple[str, ...] = ("doc_id",)):
+    """The staged Catalyst form of ``text_analytics`` — each distinct
+    count computed once, every derived column reusing it (r3 VERDICT
+    #6).  Kept as the parity oracle for the r6 Arrow kernel
+    (``test_text_analytics_kernel_parity``); the kernel below is the
+    hot path."""
     c = F.col(text_col)
     s1 = df.select(
         *id_cols,
@@ -158,6 +153,157 @@ def text_analytics(df, text_col: str = "text",
                       n_chr=F.col("_nchr")).alias("quality"),
         lang_id(dummy, n_cyr=F.col("_ncyr"), n_sw=F.col("_nsw"),
                 n_chr=F.col("_nchr")).alias("lang_pred"))
+
+
+# Java-exact regex twins for the kernel: re.ASCII pins \b/\s/\w to the
+# ASCII sets Java's default-flag Pattern uses, so boundary behaviour
+# around non-ASCII characters cannot drift between the two engines.
+_RE_J_STOP = None
+_RE_J_BPE = None
+_RE_J_DIG = None
+_RE_J_PUN = None
+_RE_J_CYR = None
+_RE_J_WS = None
+
+
+def _analytics_row(t):
+    """One document's (n_tokens, n_bpe_tokens, n_stopwords, quality,
+    lang_pred) — the exact value the staged Catalyst projection
+    produces (same IEEE double operation order; int operands are far
+    below 2^53, so every cast and division is bit-identical)."""
+    import math
+
+    if t is None:
+        # NULL text: every count is NULL and lang_id's when-chain
+        # falls through to 'other' — but quality is NOT NULL, because
+        # Spark's least()/greatest() SKIP null operands: each least(1,
+        # NULL-ratio) collapses to 1.0, giving 0.4+0.3+0+0 run through
+        # the same rounding (pinned by the parity test's NULL row)
+        q = (0.4 * 1.0 + 0.3 * 1.0
+             + 0.2 * (1.0 - 1.0) + 0.1 * (1.0 - 1.0))
+        return None, None, None, math.floor(q * 10000.0 + 0.5) / 10000.0, \
+            "other"
+    s = t.strip(" ")             # F.trim strips the space char only
+    ntok = 0 if not s else len(_RE_J_WS.split(s))
+    low = t.lower()
+    nsw = len(_RE_J_STOP.findall(low))
+    ndig = len(_RE_J_DIG.findall(t))
+    npun = len(_RE_J_PUN.findall(t))
+    ncyr = len(_RE_J_CYR.findall(t))
+    nbpe = len(_RE_J_BPE.findall(t))
+    nchr = float(len(t)) if len(t) > 1 else 1.0   # greatest(len, 1.0)
+    ntokd = float(ntok)
+    safe_tok = ntokd if ntokd > 1.0 else 1.0      # greatest(ntok, 1.0)
+    q = (0.4 * min(1.0, ntokd / 100.0)
+         + 0.3 * min(1.0, 5.0 * float(nsw) / safe_tok)
+         + 0.2 * (1.0 - min(1.0, 10.0 * float(ndig) / nchr))
+         + 0.1 * (1.0 - min(1.0, 10.0 * float(npun) / nchr)))
+    quality = math.floor(q * 10000.0 + 0.5) / 10000.0  # round_half_up(4)
+    lang = ("ru" if float(ncyr) / nchr > 0.3
+            else ("en" if nsw >= 3 else "other"))
+    return ntok, nbpe, nsw, quality, lang
+
+
+def _preview_row(t, n: int):
+    """First ``n`` code points of the normalized text (kernel twin of
+    ``normalized_text`` + substring — same step order: lower →
+    punct-strip → ws-collapse → space-trim).  Module-level on purpose:
+    functions here pickle by reference, so they see the worker-side
+    module globals that ``_compile_j_regexes`` fills (a closure's
+    globals are captured by value at pickle time)."""
+    if t is None:
+        return None
+    s = _RE_J_WS.sub(" ", _RE_J_PUN.sub("", t.lower()))
+    return s.strip(" ")[:n]
+
+
+def _compile_j_regexes():
+    global _RE_J_STOP, _RE_J_BPE, _RE_J_DIG, _RE_J_PUN, _RE_J_CYR, _RE_J_WS
+    if _RE_J_WS is None:
+        import re
+        # Java's \b is Unicode-aware even under default flags (a
+        # Cyrillic letter next to 'the' suppresses the boundary), so
+        # the stopword pattern compiles WITHOUT re.ASCII — unlike \s,
+        # which Java keeps ASCII (the split pattern below)
+        _RE_J_STOP = re.compile(STOPWORD_RE)
+        _RE_J_BPE = re.compile(BPE_TOKEN_RE, re.ASCII)
+        _RE_J_DIG = re.compile(DIGIT_RE, re.ASCII)
+        _RE_J_PUN = re.compile(PUNCT_RE, re.ASCII)
+        _RE_J_CYR = re.compile(CYRILLIC_RE, re.ASCII)
+        _RE_J_WS = re.compile(WS_SPLIT_RE, re.ASCII)
+
+
+def text_analytics(df, text_col: str = "text",
+                   id_cols: tuple[str, ...] = ("doc_id",),
+                   preview: int | None = None):
+    """The full per-document analytics projection as ONE Arrow-batched
+    pass (r6): the staged Catalyst form still paid one full string
+    scan per distinct count — 7 interpreted/codegen regex passes, 0.51 s
+    warm at 48k docs — while a batch kernel does all of them in a
+    single traversal per document with C-level regex/count machinery
+    (guide §4.2; the repetition-table precedent).  Values are pinned
+    identical to the staged expression form (``_text_analytics_expr``)
+    by ``test_text_analytics_kernel_parity``: re.ASCII twins Java's
+    default regex flags, counts are exact ints, and the quality
+    formula replays the identical IEEE double operation order.
+    Output: id_cols [+ preview] + n_tokens, n_bpe_tokens, n_stopwords,
+    quality, lang_pred.
+
+    ``preview=N`` additionally emits a ``preview`` column right after
+    the id cols: the first N code points of ``normalized_text`` —
+    computed INSIDE the kernel (same lower → punct-strip → ws-collapse
+    → space-trim steps), so the caller needn't pay a separate JVM
+    normalize pass nor ship the extra string through the Arrow
+    boundary."""
+    from pyspark.sql import types as T
+
+    n_ids = len(id_cols)
+    id_fields = [df.schema[c] for c in id_cols]
+    out_type = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in id_fields]
+        + ([T.StructField("preview", T.StringType(), True)]
+           if preview is not None else [])
+        + [T.StructField("n_tokens", T.LongType(), True),
+           T.StructField("n_bpe_tokens", T.LongType(), True),
+           T.StructField("n_stopwords", T.LongType(), True),
+           T.StructField("quality", T.DoubleType(), True),
+           T.StructField("lang_pred", T.StringType(), True)])
+
+    def kernel(batches):
+        import pyarrow as pa
+        _compile_j_regexes()
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [batch.schema.field(i) for i in range(n_ids)]
+                    + ([pa.field("preview", pa.string())]
+                       if preview is not None else [])
+                    + [pa.field("n_tokens", pa.int64()),
+                       pa.field("n_bpe_tokens", pa.int64()),
+                       pa.field("n_stopwords", pa.int64()),
+                       pa.field("quality", pa.float64()),
+                       pa.field("lang_pred", pa.string())])
+            cols = ([], [], [], [], [])
+            pv: list = []
+            for t in batch.column(n_ids).to_pylist():
+                row = _analytics_row(t)
+                for j in range(5):
+                    cols[j].append(row[j])
+                if preview is not None:
+                    pv.append(_preview_row(t, preview))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(n_ids)]
+                + ([pa.array(pv, type=pa.string())]
+                   if preview is not None else [])
+                + [pa.array(cols[0], type=pa.int64()),
+                   pa.array(cols[1], type=pa.int64()),
+                   pa.array(cols[2], type=pa.int64()),
+                   pa.array(cols[3], type=pa.float64()),
+                   pa.array(cols[4], type=pa.string())],
+                schema=out_schema)
+
+    return df.select(*id_cols, text_col).mapInArrow(kernel, out_type)
 
 
 def normalized_text(col: Column) -> Column:

@@ -566,3 +566,47 @@ def test_compression_ratio_signal(spark):
     b = prose.encode("utf-8")
     assert abs(out[1]["zlib_ratio"] - len(zlib.compress(b, 6)) / len(b)) < 1e-12
     assert out[1]["n_bytes"] == len(b)
+
+
+def test_text_analytics_kernel_parity(spark):
+    # r6: text_analytics runs as an Arrow-batched kernel; the staged
+    # Catalyst expression form stays as the oracle.  Adversarial rows:
+    # NULL, empty, space/tab-only, NBSP (Java \s is ASCII — must stay
+    # one token), mixed-script \b adjacency, digits/punct/cyrillic
+    # density extremes, quality rounding boundary values, long text.
+    from khl_pdf_ocr_spark.functions.text import (_text_analytics_expr,
+                                                  text_analytics)
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "\t"),
+        (5, "a\xa0b nbsp stays joined"),
+        (6, "привет мир это русский текст с буквами ёЁ и длиной"),
+        (7, "the a of and to in is on for with the the the"),
+        (8, "numbers 123 456 7890 1.5, 2.5; mixed! ok?"),
+        (9, "словоthe гибрид theслово the konec"),
+        (10, " ".join(f"w{i}" for i in range(250))),
+        (11, "x" * 3000),
+        (12, "полуfifty the of пятьдесят and mixed язык text."),
+        (13, "0.78875 boundary 0.78875 boundary the of and"),
+        (14, "\t leading tab and trailing \t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_analytics(df).collect()}
+    want = {r["doc_id"]: r for r in _text_analytics_expr(df).collect()}
+    # preview variant: kernel-computed normalized prefix vs the JVM
+    # normalized_text expression (the doc_text_analytics query shape)
+    from khl_pdf_ocr_spark.functions.text import normalized_text
+    from pyspark.sql import functions as F
+    jvm_prev = {r["doc_id"]: r["preview"] for r in df.select(
+        "doc_id", F.substring(normalized_text(F.col("text")), 1, 48)
+        .alias("preview")).collect()}
+    k_prev = {r["doc_id"]: r["preview"] for r in
+              text_analytics(df, preview=48).collect()}
+    assert k_prev == jvm_prev
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].asDict() == want[k].asDict(), \
+            f"doc {k}: {got[k]} != {want[k]}"
