@@ -37,7 +37,7 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from khl_pdf_ocr_spark.functions.urls import (registered_domain,
@@ -183,9 +183,11 @@ def anchor_text_profile(edges: DataFrame, *, dst_col: str = "dst",
     work it yields query/title-like descriptions for pages).
 
     Scale shape: one hash shuffle on ``dst`` for the base counts and
-    one on ``(dst)`` for the text ranking (window + grouped agg reuse
-    the same partitioning; AQE elides the second exchange); every
-    shuffled row is (url, short-text, count) — the html never moves.
+    one on ``(dst, anchor)`` for the text counts, whose winner election
+    is a ``min_by`` over the (−cnt, anchor) struct — a map-side-partial
+    aggregate, never a per-dst sort/window (r6; the snapshots
+    ``max_by`` discipline).  Every shuffled row is (url, short-text,
+    count) — the html never moves.
     """
     e = edges.select(F.col(dst_col).alias("dst"),
                      F.col(src_col).alias("src"),
@@ -195,13 +197,16 @@ def anchor_text_profile(edges: DataFrame, *, dst_col: str = "dst",
         F.countDistinct("src").alias("n_srcs"))
     texts = (e.filter(F.col("anchor") != "")
              .groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("cnt")))
-    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(),
-                                          F.col("anchor").asc())
-    prof = (texts.withColumn("_rn", F.row_number().over(w))
-            .groupBy("dst")
+    # top anchor via min_by over the (−cnt, anchor) struct — identical
+    # winner to the r5 row_number window (most frequent, tie → lexico-
+    # graphically smallest anchor) but as a map-side-partial aggregate:
+    # no per-dst SORT inside the shuffle, no window machinery (r6;
+    # guide §2.4 — the snapshots max_by/min_by discipline)
+    prof = (texts.groupBy("dst")
             .agg(F.count(F.lit(1)).alias("n_texts"),
-                 F.max(F.when(F.col("_rn") == 1,
-                              F.struct(F.col("anchor"), F.col("cnt"))))
+                 F.min_by(F.struct(F.col("anchor"), F.col("cnt")),
+                          F.struct((-F.col("cnt")).alias("nc"),
+                                   F.col("anchor").alias("a")))
                  .alias("_top"))
             .select("dst", "n_texts",
                     F.col("_top.anchor").alias("top_anchor"),
