@@ -184,7 +184,10 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 
     |A∩B|/|A∪B| ≥ threshold; the self-join is keyed on the block column
     so the shuffle is by block, never all-pairs. Emits
-    (id_a, id_b, jaccard) with id_a < id_b.
+    (id_a, id_b, jaccard) with id_a < id_b.  "Exact" = exhaustive
+    candidate generation and set-cardinality Jaccard over the distinct
+    shingle sets; set elements are compared via xxhash64 (r6 — see the
+    in-body note for the measured 2.5× and the 2^-64 collision budget).
 
     Blocks larger than ``max_block`` would make the stage quadratic (one
     hot domain at 100 TB); they are routed through the MinHash-LSH path
@@ -194,15 +197,25 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     the blocks where all-pairs is unpayable).  ``max_block=None``
     disables the guard.
     """
+    sh = shingles(text_col, n)
+    # r6, two per-pair cost cuts in the deliberately-quadratic verify
+    # loop (guide §1.2):
+    # * |sh| staged per side once and union derived as |A|+|B|−|A∩B|
+    #   instead of materializing array_union (value-identical —
+    #   shingles() is array_distinct'ed, so cardinalities are exact);
+    # * the DISTINCT shingle set is mapped through xxhash64 so the
+    #   per-pair array_intersect compares longs, not ~n-token strings
+    #   — measured 2.5× at sf1.0 (~500-shingle docs: 96 → 38 s) and
+    #   ~1.07× at sf0.1, 0 row diff at both.  Candidate generation
+    #   stays exhaustive (all pairs within the block — no LSH recall
+    #   trade); only set-element identity rides a 64-bit hash, the
+    #   same ~2^-64-per-pair collision budget the repetition table and
+    #   MinHash banding already accept, and a collision can only
+    #   perturb one pair's jaccard, never crash.
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
-        shingles(text_col, n).alias("sh"))
-    # |sh| staged per side once: the per-pair union below is derived as
-    # |A| + |B| − |A∩B| instead of materializing array_union — half the
-    # per-pair array work in the deliberately-quadratic verify loop
-    # (guide §1.2 per-task work; value-identical because shingles() is
-    # array_distinct'ed, so set cardinalities are exact)
-    base = base.select("id", "blk", "sh", F.size("sh").alias("n_sh"))
+        F.transform(sh, lambda g: F.xxhash64(g)).alias("sh"),
+        F.size(sh).alias("n_sh"))
     if max_block is not None:
         # block sizes via groupBy (map-side partials, tiny result) and
         # the hot KEYS via broadcast semi/anti joins — NOT a
