@@ -485,12 +485,24 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                                                 max_bucket=max_bucket)
     cand = _band_candidates(banded, keys=keys, max_bucket=max_bucket).distinct()
 
-    sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"),
-                                        shingles(text_col, shingle_n).alias("sh"))
-    cand = (cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-            .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
+    # exact verify over xxhash64-mapped distinct shingle sets with the
+    # union derived from staged cardinalities (r6 — the same two
+    # per-pair cuts as ngram_jaccard_pairs, same ~2^-64 collision
+    # budget as the banding itself; long compares instead of ~n-token
+    # strings were the sf1.0 straggler in this very join's predicate)
+    sh_raw = shingles(text_col, shingle_n)
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(sh_raw, lambda g: F.xxhash64(g)).alias("sh"),
+        F.size(sh_raw).alias("n_sh"))
+    cand = (cand.join(sh.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("sh", "sh_a")
+                      .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sh.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("sh", "sh_b")
+                  .withColumnRenamed("n_sh", "n_b"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     return (cand.select("id_a", "id_b", round_half_up(inter / union, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= verify_threshold))
 
