@@ -193,6 +193,20 @@ def test_event_parity_fuzz():
         assert _fast(s) == _std(s), repr(s)
 
 
+def test_event_parity_attr_soup_fuzz():
+    # start-tag parsing is the subtlest surface: tagfind/attrfind/
+    # locatestarttagend must agree on where a tag ends or the stdlib
+    # degrades the whole tag to data — hammer random attribute soup
+    chars = list("abc XYZ='\"/>=<&;-_@$\t\n\x00.")
+    rng = random.Random(424242)
+    for _ in range(3000):
+        body = "".join(rng.choice(chars)
+                       for _ in range(rng.randint(0, 25)))
+        s = ("pre<" + rng.choice("aA") + body
+             + rng.choice([">", "/>", "", ">post", " >x"]))
+        assert _fast(s) == _std(s), repr(s)
+
+
 def test_output_parity_realistic_page():
     page = (
         "<!DOCTYPE html>\n<html><head><title>T &amp; U</title>"
