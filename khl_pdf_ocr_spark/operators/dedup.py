@@ -176,18 +176,182 @@ def shingles(text_col: str, n: int = 3):
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
 
 
+# -- numpy block-verify kernel (r6) -----------------------------------------
+# Blocks up to this many docs verify through the co-occurrence kernel
+# below (dense k×k float64 count matrix ≤ 134 MB transient at the cap);
+# larger exact blocks (kernel cap < k ≤ max_block) keep the original
+# JVM self-join form — same output, bounded worker memory.
+KERNEL_MAX_BLOCK = 4096
+# Shingles shared by more docs than this are counted via one BLAS
+# matmul over a k×n_hot incidence slab instead of pair enumeration
+# (their C(g,2) emission count grows quadratically with group size).
+_HOT_GROUP_CUT = 32
+
+
+def _ranges(counts):
+    """Concatenated [arange(c) for c in counts], vectorized."""
+    import numpy as np
+    return (np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+
+
+def _block_intersections(sh_arrays, *, hot_cut: int = _HOT_GROUP_CUT):
+    """Pairwise distinct-element intersection sizes for one block.
+
+    ``sh_arrays``: sequence of 1-D int64 arrays (hashed shingle sets;
+    duplicates tolerated — deduped here, matching ``array_intersect``'s
+    set semantics).  Returns (ia, jb, inter): positional doc-index pairs
+    with ia < jb and inter ≥ 1.  Work is proportional to the TRUE
+    overlap structure (Σ_shingle C(group,2) emissions for rare shingles
+    + one incidence matmul for common ones), never k² Python-side pair
+    loops; counts accumulate in float64 (exact to 2^53).
+    """
+    import numpy as np
+    k = len(sh_arrays)
+    e = np.empty(0, np.int64)
+    if k < 2:
+        return e, e, e
+    uniq = [np.unique(np.asarray(a, dtype=np.int64)) for a in sh_arrays]
+    lens = np.fromiter((u.size for u in uniq), dtype=np.int64, count=k)
+    if int(lens.sum()) == 0:
+        return e, e, e
+    di = np.repeat(np.arange(k, dtype=np.int64), lens)
+    hv = np.concatenate(uniq)
+    order = np.lexsort((di, hv))        # by shingle hash, then doc index
+    hv, di = hv[order], di[order]
+    starts = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+    sizes = np.diff(np.r_[starts, hv.size])
+    M = np.zeros((k, k), dtype=np.float64)
+    hot = sizes > hot_cut
+    if hot.any():
+        hs, hz = starts[hot], sizes[hot]
+        memb = di[np.repeat(hs, hz) + _ranges(hz)]
+        cols = np.repeat(np.arange(hs.size, dtype=np.int64), hz)
+        chunk = max(1, (4 << 20) // k)  # ≤ ~32 MB float64 incidence slab
+        for c0 in range(0, hs.size, chunk):
+            lo = np.searchsorted(cols, c0)
+            hi = np.searchsorted(cols, c0 + chunk)
+            D = np.zeros((k, min(chunk, hs.size - c0)), dtype=np.float64)
+            D[memb[lo:hi], cols[lo:hi] - c0] = 1.0
+            M += D @ D.T                # symmetric + diagonal; triu read below
+    cold = np.flatnonzero(~hot & (sizes >= 2))
+    cs, cz = starts[cold], sizes[cold]
+    for s in np.unique(cz):
+        g = cs[cz == s]
+        members = di[g[:, None] + np.arange(s)]   # rows ascend per group
+        pi, qi = np.triu_indices(int(s), 1)
+        flat = members[:, pi].ravel() * k + members[:, qi].ravel()
+        if flat.size > (1 << 16):
+            M += np.bincount(flat, minlength=k * k).reshape(k, k)
+        else:
+            np.add.at(M.reshape(-1), flat, 1.0)
+    M = np.triu(M, 1)
+    ia, jb = np.nonzero(M)
+    return (ia.astype(np.int64), jb.astype(np.int64),
+            M[ia, jb].astype(np.int64))
+
+
+def _kernel_pairs(src: DataFrame, *, threshold: float, n: int) -> DataFrame:
+    """All-pairs exact-Jaccard verification within each ``blk`` of
+    ``src`` (id, blk, nt) via the numpy co-occurrence kernel — ONE
+    shuffle (groupBy blk) instead of the self-join's two sides, no
+    per-pair JVM hash-set build, and no interpreted higher-order
+    shingle expressions (the transform/slice/array_distinct pipeline is
+    the measured scale-killer: one pass of it alone over 50k ~3 kB docs
+    exceeds 5 minutes on 32 cores, all JVM interpreted-expression time
+    — same diagnosis as the r6 repetition-kernel change #1).
+
+    ``nt`` is the JVM-normalized text (the exact ``X.normalized_text``
+    expression), so normalization parity is by construction; the kernel
+    replays only tokenize → n-gram → distinct: after trim+collapse the
+    Java ``split("\\s+")`` equals Python ``split(" ")`` (pinned incl.
+    the empty-string row), shingles are built as
+    ``" ".join(toks[i:i+n]) for i in range(max(m-n+1, 1))`` — identical
+    to ``concat_ws(" ", slice(toks, i+1, n))`` over
+    ``sequence(0, greatest(m-n, 0))`` — and set identity uses EXACT
+    strings via ``pd.factorize`` (the JVM form's xxhash64 step only
+    ever existed to cheapen per-pair compares; exact strings remove
+    even its 2^-64 collision budget).  Output-identical to the JVM join
+    form (pinned by tests/test_ngram_kernel.py): same rounding formula,
+    same NULL semantics (NULL id/text rows pair with nothing,
+    a.id < b.id is strict), same id ordering (UTF-8 byte order ==
+    code-point order).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = src.schema["id"]
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType, True),
+        StructField("id_b", id_field.dataType, True),
+        StructField("jaccard", DoubleType(), True)])
+    integral_id = id_field.dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+
+    def _block(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf[pdf["id"].notna() & pdf["nt"].notna()]
+        k = len(pdf)
+        empty = pd.DataFrame({"id_a": pdf["id"].iloc[:0],
+                              "id_b": pdf["id"].iloc[:0],
+                              "jaccard": pd.Series([], dtype="float64")})
+        if k < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        if integral_id and ids.dtype.kind == "f":
+            ids = ids.astype(np.int64)   # pandas NaN-promotion undone
+        lens = np.empty(k, dtype=np.int64)
+        all_sh: list = []
+        for r, t in enumerate(pdf["nt"]):
+            toks = t.split(" ")
+            m = len(toks)
+            sset = {" ".join(toks[i:i + n])
+                    for i in range(max(m - n + 1, 1))}
+            lens[r] = len(sset)
+            all_sh.extend(sset)
+        codes, _ = pd.factorize(np.asarray(all_sh, dtype=object))
+        bounds = np.cumsum(lens)[:-1]
+        per_doc = np.split(codes.astype(np.int64), bounds)
+        n_sh = lens.astype(np.float64)
+        ia, jb, inter = _block_intersections(per_doc)
+        if threshold <= 0:   # rounded jaccard 0.0 passes: need all pairs
+            dense = np.zeros((k, k), dtype=np.float64)
+            dense[ia, jb] = inter
+            ia, jb = np.triu_indices(k, 1)
+            inter = dense[ia, jb]
+        if ia.size == 0:
+            return empty
+        # replays the JVM form bit-for-bit: int sums < 2^53 are exact in
+        # float64, division and floor(x*1e6+0.5)/1e6 are IEEE-identical
+        x = inter.astype(np.float64) / (n_sh[ia] + n_sh[jb] - inter)
+        jacc = np.floor(x * 1e6 + 0.5) / 1e6      # round_half_up(·, 6)
+        keep = jacc >= threshold
+        id_i, id_j, jacc = ids[ia[keep]], ids[jb[keep]], jacc[keep]
+        neq = id_i != id_j                        # a.id < b.id is strict
+        id_i, id_j, jacc = id_i[neq], id_j[neq], jacc[neq]
+        swap = id_i > id_j
+        return pd.DataFrame({"id_a": np.where(swap, id_j, id_i),
+                             "id_b": np.where(swap, id_i, id_j),
+                             "jaccard": jacc})
+
+    return (src.select("blk", "id", "nt")
+            .groupBy("blk").applyInPandas(_block, out_schema))
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str = "source",
                         n: int = 3, threshold: float = 0.8,
-                        max_block: int | None = 10_000) -> DataFrame:
+                        max_block: int | None = 10_000,
+                        kernel_max_block: int | None = KERNEL_MAX_BLOCK
+                        ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard within a blocking key.
 
-    |A∩B|/|A∪B| ≥ threshold; the self-join is keyed on the block column
-    so the shuffle is by block, never all-pairs. Emits
-    (id_a, id_b, jaccard) with id_a < id_b.  "Exact" = exhaustive
-    candidate generation and set-cardinality Jaccard over the distinct
-    shingle sets; set elements are compared via xxhash64 (r6 — see the
-    in-body note for the measured 2.5× and the 2^-64 collision budget).
+    |A∩B|/|A∪B| ≥ threshold; work is keyed on the block column so the
+    shuffle is by block, never all-pairs. Emits (id_a, id_b, jaccard)
+    with id_a < id_b.  "Exact" = exhaustive candidate generation and
+    set-cardinality Jaccard over the distinct shingle sets; set elements
+    are compared via xxhash64 (r6 — see the in-body note for the
+    measured 2.5× and the 2^-64 collision budget).
 
     Blocks larger than ``max_block`` would make the stage quadratic (one
     hot domain at 100 TB); they are routed through the MinHash-LSH path
@@ -196,26 +360,33 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     banding, trading provable completeness for bounded work on exactly
     the blocks where all-pairs is unpayable).  ``max_block=None``
     disables the guard.
+
+    Blocks of at most ``kernel_max_block`` docs verify through a numpy
+    co-occurrence kernel (r6, guide §4.2): the whole interpreted
+    higher-order shingle pipeline (transform/slice/array_distinct —
+    measured as essentially the ENTIRE cell cost on long docs) and the
+    per-pair ``array_intersect`` hash-set build become one
+    tokenize+factorize+shingle→docs inversion per block (bincount for
+    rare shingles, one BLAS matmul for common ones), with the block's
+    rows crossing the Arrow boundary once as JVM-normalized text.
+    Output-identical to the JVM join form — which still handles blocks
+    above the kernel cap and remains the parity oracle
+    (``kernel_max_block=None`` disables the kernel).
     """
     sh = shingles(text_col, n)
-    # r6, two per-pair cost cuts in the deliberately-quadratic verify
-    # loop (guide §1.2):
-    # * |sh| staged per side once and union derived as |A|+|B|−|A∩B|
-    #   instead of materializing array_union (value-identical —
-    #   shingles() is array_distinct'ed, so cardinalities are exact);
-    # * the DISTINCT shingle set is mapped through xxhash64 so the
-    #   per-pair array_intersect compares longs, not ~n-token strings
-    #   — measured 2.5× at sf1.0 (~500-shingle docs: 96 → 38 s) and
-    #   ~1.07× at sf0.1, 0 row diff at both.  Candidate generation
-    #   stays exhaustive (all pairs within the block — no LSH recall
-    #   trade); only set-element identity rides a 64-bit hash, the
-    #   same ~2^-64-per-pair collision budget the repetition table and
-    #   MinHash banding already accept, and a collision can only
-    #   perturb one pair's jaccard, never crash.
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
-        F.transform(sh, lambda g: F.xxhash64(g)).alias("sh"),
-        F.size(sh).alias("n_sh"))
+
+    def _hashed_base(side: DataFrame) -> DataFrame:
+        # r6 note kept for the retained JVM form: |sh| staged per side
+        # once (union = |A|+|B|−|A∩B| — exact, shingles() is
+        # array_distinct'ed) and set elements xxhash64'd so per-pair
+        # intersection compares longs, not ~n-token strings (measured
+        # 2.5× at 500-shingle docs; ~2^-64-per-pair collision budget).
+        return _ensure_parallelism(side).select(
+            F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+            F.transform(sh, lambda g: F.xxhash64(g)).alias("sh"),
+            F.size(sh).alias("n_sh"))
+
+    small_docs = df
     if max_block is not None:
         # block sizes via groupBy (map-side partials, tiny result) and
         # the hot KEYS via broadcast semi/anti joins — NOT a
@@ -224,21 +395,41 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
         # definition few, so the broadcast side is trivially small.
         big_keys = _oversized_block_keys(df, block_col, max_block)
         big_docs = df.join(F.broadcast(big_keys), block_col, "left_semi")
-        small_ids = (df.join(F.broadcast(big_keys), block_col, "left_anti")
-                     .select(F.col(id_col).alias("id")))
-        base = base.join(small_ids, "id", "left_semi")
+        small_docs = df.join(F.broadcast(big_keys), block_col, "left_anti")
         big_pairs = minhash_lsh_pairs(
             big_docs, text_col=text_col, id_col=id_col, shingle_n=n,
             verify_threshold=threshold, block_col=block_col)
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = (F.col("a.n_sh") + F.col("b.n_sh")).cast("double") - inter
-    small_pairs = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                round_half_up(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold))
+
+    def _jvm_pairs(side: DataFrame) -> DataFrame:
+        a = side.alias("a")
+        b = side.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        union = (F.col("a.n_sh") + F.col("b.n_sh")).cast("double") - inter
+        return (
+            a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    round_half_up(inter / union, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+    if kernel_max_block is None:
+        small_pairs = _jvm_pairs(_hashed_base(small_docs))
+    else:
+        # split by block size: kernel for blocks ≤ kernel_max_block,
+        # the JVM join for the (rare) mid-size exact blocks — and the
+        # expensive shingle expressions are only built over the mid
+        # docs.  NULL blk rows pair with nothing in the join form (NULL
+        # never equi-joins); the kernel path filters them for the same
+        # result.
+        mid_keys = _oversized_block_keys(df, block_col, kernel_max_block)
+        mid_docs = small_docs.join(F.broadcast(mid_keys), block_col, "left_semi")
+        kern_docs = small_docs.join(F.broadcast(mid_keys), block_col, "left_anti")
+        kern_src = (_ensure_parallelism(kern_docs)
+                    .filter(F.col(block_col).isNotNull())
+                    .select(F.col(id_col).alias("id"),
+                            F.col(block_col).alias("blk"),
+                            X.normalized_text(F.col(text_col)).alias("nt")))
+        small_pairs = (_kernel_pairs(kern_src, threshold=threshold, n=n)
+                       .unionByName(_jvm_pairs(_hashed_base(mid_docs))))
     if max_block is not None:
         return small_pairs.unionByName(big_pairs)
     return small_pairs
