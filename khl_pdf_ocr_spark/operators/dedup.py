@@ -273,9 +273,11 @@ def _kernel_pairs(src: DataFrame, *, threshold: float, n: int) -> DataFrame:
     ever existed to cheapen per-pair compares; exact strings remove
     even its 2^-64 collision budget).  Output-identical to the JVM join
     form (pinned by tests/test_ngram_kernel.py): same rounding formula,
-    same NULL semantics (NULL id/text rows pair with nothing,
-    a.id < b.id is strict), same id ordering (UTF-8 byte order ==
-    code-point order).
+    same NULL semantics (NULL id rows pair with nothing — a.id < b.id
+    is strict; NULL TEXT gets the ``{""}`` shingle set exactly like
+    empty text, because legacy ``size(NULL) = -1`` makes the JVM form
+    emit one all-NULL-slice ``concat_ws`` shingle), same id ordering
+    (UTF-8 byte order == code-point order).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -290,7 +292,7 @@ def _kernel_pairs(src: DataFrame, *, threshold: float, n: int) -> DataFrame:
     def _block(pdf):
         import numpy as np
         import pandas as pd
-        pdf = pdf[pdf["id"].notna() & pdf["nt"].notna()]
+        pdf = pdf[pdf["id"].notna()]
         k = len(pdf)
         empty = pd.DataFrame({"id_a": pdf["id"].iloc[:0],
                               "id_b": pdf["id"].iloc[:0],
@@ -303,7 +305,8 @@ def _kernel_pairs(src: DataFrame, *, threshold: float, n: int) -> DataFrame:
         lens = np.empty(k, dtype=np.int64)
         all_sh: list = []
         for r, t in enumerate(pdf["nt"]):
-            toks = t.split(" ")
+            # NULL text == empty text in the JVM form (see docstring)
+            toks = (t if isinstance(t, str) else "").split(" ")
             m = len(toks)
             sset = {" ".join(toks[i:i + n])
                     for i in range(max(m - n + 1, 1))}

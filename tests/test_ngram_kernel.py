@@ -74,7 +74,11 @@ def _mk_corpus(rng, n_docs, n_blocks, with_nulls=False):
     rows.append((901, "alpha beta gamma delta epsilon zeta", "b0"))
     rows.append((902, "alpha beta gamma delta epsilon eta", "b0"))
     if with_nulls:
-        rows.append((903, None, "b0"))          # NULL text -> pairs nothing
+        # NULL text normalizes to the {""} shingle set (legacy
+        # size(NULL) = -1 + concat_ws over an all-NULL slice), so it
+        # pairs with empty-text docs at jaccard 1.0 — pinned explicitly
+        rows.append((903, None, "b0"))
+        rows.append((906, "", "b0"))            # NULL↔empty pair in b0
         rows.append((None, "alpha beta gamma delta epsilon zeta", "b0"))
         rows.append((904, "alpha beta gamma delta epsilon zeta", None))
         rows.append((905, "", "b1"))            # empty text is a real doc
@@ -91,6 +95,7 @@ def test_kernel_equals_jvm(spark, threshold):
     jvm = _rows_multiset(ngram_jaccard_pairs(df, threshold=threshold,
                                              kernel_max_block=None))
     assert kern == jvm and len(kern) > 0
+    assert (903, 906, 1.0) in kern   # NULL text ↔ empty text
     # bit-exact jaccard values, not approximate
     assert all(isinstance(j, float) for _, _, j in kern)
 
