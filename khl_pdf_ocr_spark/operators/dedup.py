@@ -521,6 +521,47 @@ def hot_band_buckets(banded: DataFrame, *, keys: tuple[str, ...] = ("band", "bh"
 # ---------------------------------------------------------------------------
 
 
+def _shingle_stream(df: DataFrame, *, text_col: str, id_col: str,
+                    n: int) -> DataFrame:
+    """(id, h) rows — one per word-n-gram occurrence — with NO
+    higher-order expressions (r6 change #14).
+
+    ``explode(shingles(...))`` evaluated the
+    transform/sequence/slice/concat_ws/array_distinct pipeline
+    interpreted, per element, with no common-subexpression elimination —
+    measured ~190 s for 50k ~550-token docs on 32 cores (Python workers
+    idle, pure JVM expression time).  This form is measured-codegen-
+    friendly: ``posexplode`` of the PLAIN token array (a bare-attribute
+    generator — a Generate over a composite ``arrays_zip`` child
+    measured 178 s where the plain explode takes 1.4 s), the token
+    array carried alongside within the same WholeStageCodegen (a
+    per-row reference, never materialized), successors fetched with
+    null-safe ``get``, one row-level ``concat_ws``.  Same shape: 8.6 s.
+
+    Value contract (pinned by tests): the emitted multiset of shingle
+    strings per doc equals the HOF form's array MINUS its
+    ``array_distinct`` — callers must be duplicate-insensitive, which
+    both consumers are (``min`` aggregation; ``collect_set``).  Edge
+    parity with ``shingles()``: docs with fewer than ``n`` tokens emit
+    exactly one shingle (``concat_ws`` skips the NULL out-of-bounds
+    ``get``s), empty text emits the ``""`` shingle, and NULL text ALSO
+    emits the ``""`` shingle (the HOF form's legacy ``size(NULL) = -1``
+    path — replayed here via ``coalesce``), so every input row is
+    represented.
+    """
+    toks = F.split(
+        F.coalesce(X.normalized_text(F.col(text_col)), F.lit("")),
+        r"\s+")
+    succ = [F.get(F.col("toks"), F.col("pos") + i) for i in range(1, n)]
+    return (_ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), toks.alias("toks"))
+            .select("id", F.size("toks").alias("_m"), "toks",
+                    F.posexplode("toks").alias("pos", "tok"))
+            .filter(F.col("pos") <= F.greatest(F.col("_m") - n, F.lit(0)))
+            .select("id", F.xxhash64(
+                F.concat_ws(" ", F.col("tok"), *succ)).alias("h")))
+
+
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        shingle_n: int = 3) -> DataFrame:
@@ -534,14 +575,16 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     - a pure map-side nested-``transform`` formulation (zero shuffles)
       is NOT used: higher-order functions run interpreted without
       common-subexpression elimination, so the shingle array would be
-      rebuilt per permutation (~10× slower end-to-end);
+      rebuilt per permutation (~10× slower end-to-end) — r6 change #14
+      removed the last interpreted HOF from this path entirely
+      (``_shingle_stream``; duplicates need no pre-``distinct`` because
+      ``min`` is duplicate-insensitive, and output values are pinned
+      identical to the per-row HOF twin ``with_minhash_signature``);
     - the explode→aggregate shuffle carries only (id, long) pairs and
       combines map-side.
     """
-    exploded = (_ensure_parallelism(df)
-                .select(F.col(id_col).alias("id"),
-                        F.explode(shingles(text_col, shingle_n)).alias("sh"))
-                .select("id", F.xxhash64("sh").alias("h")))
+    exploded = _shingle_stream(df, text_col=text_col, id_col=id_col,
+                               n=shingle_n)
     mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
             for i in range(num_perm)]
     agg = exploded.groupBy("id").agg(*mins)
@@ -683,12 +726,17 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     # union derived from staged cardinalities (r6 — the same two
     # per-pair cuts as ngram_jaccard_pairs, same ~2^-64 collision
     # budget as the banding itself; long compares instead of ~n-token
-    # strings were the sf1.0 straggler in this very join's predicate)
-    sh_raw = shingles(text_col, shingle_n)
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(sh_raw, lambda g: F.xxhash64(g)).alias("sh"),
-        F.size(sh_raw).alias("n_sh"))
+    # strings were the sf1.0 straggler in this very join's predicate).
+    # r6 change #14: the sets are aggregated from the HOF-free shingle
+    # stream (collect_set — duplicate-insensitive) instead of a second
+    # interpreted transform/array_distinct pass over every doc; n_sh
+    # counts distinct HASHES rather than distinct strings, a difference
+    # only an xxhash64 collision could expose — the identical ~2^-64
+    # budget this verify already rides for the intersect itself.
+    sh = (_shingle_stream(df, text_col=text_col, id_col=id_col,
+                          n=shingle_n)
+          .groupBy("id").agg(F.collect_set("h").alias("sh"))
+          .withColumn("n_sh", F.size("sh")))
     cand = (cand.join(sh.withColumnRenamed("id", "id_a")
                       .withColumnRenamed("sh", "sh_a")
                       .withColumnRenamed("n_sh", "n_a"), "id_a")

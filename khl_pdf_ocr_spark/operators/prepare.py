@@ -223,14 +223,20 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
     strip, whitespace collapse) applies to BOTH sides so cosmetic
     edits don't hide contamination.
     """
-    from khl_pdf_ocr_spark.operators.dedup import shingles
+    from khl_pdf_ocr_spark.operators.dedup import _shingle_stream, shingles
 
     bench_grams = (benchmark
                    .select(F.explode(shingles(bench_text_col, n)).alias("g"))
                    .select(F.xxhash64("g").alias("gh")).distinct())
-    corpus_grams = (corpus.select(F.col(id_col).alias("id"),
-                                  F.explode(shingles(text_col, n)).alias("g"))
-                    .select("id", F.xxhash64("g").alias("gh")))
+    # corpus side: the HOF-free shingle stream (r6 change #14 — the
+    # interpreted explode(shingles(...)) pipeline measured ~190 s for
+    # 50k ~550-token docs; identical shingle strings, duplicates kept,
+    # which count_distinct and the broadcast join are insensitive to).
+    # The benchmark side stays on the tiny HOF form: eval-set-sized
+    # input, and keeping both formulations exercised pins their parity.
+    corpus_grams = (_shingle_stream(corpus, text_col=text_col,
+                                    id_col=id_col, n=n)
+                    .withColumnRenamed("h", "gh"))
     hits = (corpus_grams.join(F.broadcast(bench_grams), "gh")
             .groupBy("id").agg(F.count_distinct("gh").alias("n_hits"))
             .filter(F.col("n_hits") >= min_hits))

@@ -135,6 +135,32 @@ def test_kernel_tokenize_parity_whitespace_edges(spark):
     assert (1, 3) not in pairs   # NBSP token differs from space token
 
 
+def test_shingle_stream_signatures_equal_hof_twin(spark):
+    """r6 change #14: minhash_signatures now builds its shingle stream
+    from codegen primitives (shifted-slice arrays_zip + posexplode +
+    concat_ws) instead of exploding the interpreted HOF shingle array.
+    Signature VALUES must be bit-identical to the per-row HOF twin
+    with_minhash_signature (which still evaluates the original
+    transform-based pipeline) — incl. NULL text, empty text, sub-n
+    docs, duplicate-heavy text, and unicode."""
+    from khl_pdf_ocr_spark.operators.dedup import (minhash_signatures,
+                                                   with_minhash_signature)
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "δέλτα", "ёж", "x1"]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 25))))
+            for i in range(60)]
+    rows += [(100, None), (101, ""), (102, "one"), (103, "two tok"),
+             (104, "dup dup dup dup dup"), (105, "  padded   text  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {r["id"]: list(r["sig"])
+             for r in minhash_signatures(df).collect()}
+    perrow = {r["doc_id"]: list(r["sig"])
+              for r in with_minhash_signature(df).collect()}
+    assert set(batch) == set(perrow) == {r[0] for r in rows}
+    assert batch == perrow
+
+
 def test_kernel_string_ids_byte_order(spark):
     """id_a < id_b uses UTF8String byte order in the JVM; UTF-8 byte
     order equals code-point order, so the kernel's Python compare must
