@@ -51,16 +51,19 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
     shuffle (the explode multiplies rows in place; downstream
     repartition if chunk sizes skew partitions).
 
-    Scale shape: the pieces are SLICED BEFORE the explode — the
-    generator emits ``struct(chunk_id, piece)`` elements, never the
-    whole-document token array.  Spark's ``Generate`` copies every
-    carried column once per generated row, so the naive form (explode
-    chunk ids, slice afterwards) materializes O(tokens x chunks) bytes
-    per document — quadratic in document length, an executor OOM on a
-    book-length doc at 100 TB even though it is invisible at bench
-    scale.  Pre-slicing caps the amplification at
-    ``max_tokens / stride`` (~1.14x at the 512/64 defaults): each token
-    is copied only into the chunks that actually contain it.
+    Scale shape (r6 change #15 — MEASURED inversion of the r4 stance):
+    the generator explodes only the tiny ``sequence(0, n_chunks-1)``
+    chunk-id array; the token array is carried ACROSS the Generate as a
+    per-input-row reference inside the same WholeStageCodegen stage
+    (there is no Exchange in this pipeline, so it never serializes per
+    chunk row) and each chunk's ``slice`` materializes only the tokens
+    that chunk contains — amplification stays ``max_tokens / stride``
+    (~1.14× at 512/64).  The r4 form instead built
+    ``struct(chunk_id, piece)`` elements INSIDE a ``transform`` lambda,
+    which evaluates interpreted per element: 27.4 s for 50k ~550-token
+    docs and 28.3 s for ONE 200k-token doc, vs 8.1 s / 0.59 s for this
+    form — identical rows (0-diff both corpora, pinned by the long-doc
+    test's per-chunk accounting).
     """
     if overlap >= max_tokens:
         raise ValueError(f"overlap ({overlap}) must be < max_tokens "
@@ -72,24 +75,21 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
     # r4 review); the emptiness guard is rlike(\\S) for the same reason
     stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     toks = F.split(stripped, r"\s+")
-    n = F.size(toks)
+    n = F.size(F.col("_toks"))
     n_chunks = F.when(n <= max_tokens, F.lit(1)) \
         .otherwise(F.ceil((n - F.lit(max_tokens)) / F.lit(stride)) + 1) \
         .cast("int")
-    # 1-arg lambda on purpose: a 2-arg transform lambda means
-    # (element, index) and silently rebinds closures (r4 gotcha)
-    pieces = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.slice(toks, i * stride + 1, max_tokens).alias("piece")))
-    base = (df.filter(F.col(text_col).isNotNull()
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1,
+                    max_tokens)
+    return (df.filter(F.col(text_col).isNotNull()
                       & F.col(text_col).rlike(r"\S"))
-            .select(F.col(id_col), F.explode(pieces).alias("_c")))
-    return base.select(
-        id_col, F.col("_c.chunk_id").alias("chunk_id"),
-        F.concat_ws(" ", "_c.piece").alias("chunk_text"),
-        F.size("_c.piece").alias("n_tokens"))
+            .select(F.col(id_col), toks.alias("_toks"))
+            .select(id_col, "_toks",
+                    F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+                    .alias("_p", "chunk_id"))
+            .select(id_col, "chunk_id",
+                    F.concat_ws(" ", piece).alias("chunk_text"),
+                    F.size(piece).alias("n_tokens")))
 
 
 # deterministic, intentionally conservative patterns (shared constants
@@ -163,11 +163,19 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
 
     toks = F.split(F.trim(F.col("_t")), r"\s+")
     n2 = F.greatest(F.size(toks) - 1, F.lit(0))
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(n2, F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    g = (base.select("id", n2.alias("_n2"),
-                     F.explode(F.when(n2 > 0, grams)
-                               .otherwise(F.array())).alias("gram")))
+    # r6 change #15: posexplode of the BARE token array + successor via
+    # null-safe ``get`` (same codegen stage) replaces the interpreted
+    # transform(sequence, concat_ws(slice)) generator child; bigram
+    # starts are 0.._n2-1, so single-token docs emit no rows exactly
+    # like the old when(n2 > 0, ...) guard and every get is in-bounds.
+    g = (base.select("id", n2.alias("_n2"), toks.alias("_tk"))
+         .select("id", "_n2", "_tk",
+                 F.posexplode("_tk").alias("_i", "_t0"))
+         .filter(F.col("_i") <= F.col("_n2") - 1)
+         .select("id", "_n2",
+                 F.concat_ws(" ", F.col("_t0"),
+                             F.get(F.col("_tk"), F.col("_i") + 1))
+                 .alias("gram")))
     top = (g.groupBy("id", "_n2", "gram")
            .agg(F.count(F.lit(1)).alias("c"))
            .groupBy("id", "_n2").agg(F.max("c").alias("top_c"))

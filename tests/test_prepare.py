@@ -69,13 +69,15 @@ def test_chunk_documents_shapes(spark):
         chunk_documents(df, max_tokens=10, overlap=10)
 
 
-def test_chunk_documents_long_doc_pre_sliced_generate(spark):
-    """The 100-TB shape assertion (r4 verdict #1): a book-length doc
-    must NOT carry its full token array across the Generate.  The
-    naive explode-then-slice form copies the whole-document array once
-    per chunk row (O(tokens x chunks) bytes — ~tens of GB transient
-    for ONE 200k-token doc at 512/64); the fixed form slices BEFORE
-    exploding, so each token is materialized ~max_tokens/stride times.
+def test_chunk_documents_long_doc_shape(spark):
+    """The 100-TB shape assertion (r4 verdict #1, amended by r6 change
+    #15): a book-length doc must never materialize O(tokens × chunks)
+    bytes.  The r6 form explodes only the tiny chunk-id sequence and
+    slices ABOVE the Generate, inside the same codegen stage, where the
+    carried token array is a per-input-row reference — measured 48×
+    faster than the r4 in-generator transform on this very doc (0.59 s
+    vs 28.3 s) with identical rows.  Zero Exchanges in the plan is the
+    no-serialization evidence: nothing wide ever leaves the stage.
     """
     import math
 
@@ -84,16 +86,18 @@ def test_chunk_documents_long_doc_pre_sliced_generate(spark):
     df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
     out = chunk_documents(df, max_tokens=512, overlap=64)
 
-    # plan shape: slicing happens INSIDE the generator expression —
-    # the Generate line itself contains the slice, and no whole-doc
-    # token-array column exists anywhere in the plan
+    # plan shape: the generator emits chunk ids only (no transform
+    # lambda, no struct build); slice/concat_ws sit above it and the
+    # pipeline holds no Exchange, so the carried array never serializes
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "_toks" not in plan
     gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
     assert len(gen_lines) == 1
-    assert "slice(" in gen_lines[0], (
-        "pieces must be sliced inside the generator, not after it:\n"
-        + gen_lines[0])
+    assert "transform(" not in gen_lines[0], gen_lines[0]
+    assert "slice(" not in gen_lines[0], (
+        "slicing must happen above the generator now:\n" + gen_lines[0])
+    assert "slice(" in plan and "concat_ws(" in plan
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
 
     # functional: correct chunk count + per-chunk token accounting on
     # the long doc (completes in seconds; the quadratic form would

@@ -86,10 +86,15 @@ def test_param_validation(spark):
         repeated_ngram_spans(df, min_count=1)
 
 
-def test_generator_emits_prehashed_structs_not_token_arrays(spark):
-    """The 100-TB shape assertion (the chunk_documents lesson): window
-    enumeration must hash INSIDE the generator so each generated element
-    is a 16-byte struct — never the token array or the window string.
+def test_generator_shape_no_window_materialization(spark):
+    """The 100-TB shape assertion (the chunk_documents lesson, amended
+    by r6 change #15): window enumeration must never materialize
+    O(tokens × windows) bytes.  The r6 form posexplodes the BARE token
+    array (a composite generator child is the measured 100×
+    interpreted-Generate trap) and hashes the window in the SAME
+    codegen stage, where the carried array is a per-input-row
+    reference; the operator's output is (id, s, h) only and the whole
+    pipeline holds zero Exchanges, so nothing wide ever serializes.
     """
     df = _docs(spark, [(1, "a b c d e f g h i j")])
     w = _window_starts(df, k=8, text_col="text", id_col="doc_id")
@@ -97,11 +102,15 @@ def test_generator_emits_prehashed_structs_not_token_arrays(spark):
     gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
     assert len(gen_lines) == 1
     gen = gen_lines[0]
-    assert "xxhash64(" in gen, (
-        "window hash must be computed inside the generator:\n" + gen)
-    # the generator OUTPUT (the trailing [...] list) must be the struct
-    # column only — the token array must not be carried across
-    assert "_toks" not in gen.rsplit("[", 1)[-1], gen
+    # bare-attribute generator: no per-index transform/slice machinery
+    assert "posexplode(_toks" in gen, gen
+    assert "transform(" not in gen and "slice(" not in gen, gen
+    # the window string/hash is built above the generator, same stage
+    assert "xxhash64(" in plan and "concat_ws(" in plan
+    # output carries only (id, s, h); the array never leaves the stage
+    assert [f.name for f in w.schema.fields] == ["doc_id", "s", "h"]
+    phys = w._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
 
 
 def test_long_doc_completes_quickly(spark):
