@@ -336,13 +336,73 @@ def with_winnow_fingerprint(df, text_col: str = "text",
     shingle-Jaccard).  Byte-for-byte reproducible in SQL (the driver
     oracle recomputes it).
 
-    STAGED projections on purpose: interpreted higher-order functions
-    have no common-subexpression elimination, so an inline formulation
-    re-evaluates the entire gram-hash pipeline once PER WINDOW —
-    O(n_grams² · k) per row (measured: minutes at sf0.01).  Each stage
-    below materializes its array as a plain column reference, keeping
-    the whole thing O(n_grams · (k + w)).
+    r6 change #16: the gram/window machinery runs in an Arrow-batched
+    pandas kernel (numpy: utf-32 code points, k mod-mul folds over the
+    gram-start vector, a stride-view sliding min) — the staged
+    higher-order form (kept below as ``_winnow_fingerprint_expr``, the
+    parity oracle) evaluates interpreted per ELEMENT and could not
+    finish one pass over 50k ~3 kB docs in 15 minutes on 32 cores,
+    this kernel does the same corpus in seconds.  Normalization stays
+    the JVM ``normalized_text`` expression (parity by construction);
+    the kernel replays ``split('')``/``ascii()`` semantics exactly —
+    per CODE POINT, empty string → the single hash 0, n<k docs → one
+    truncated gram — pinned against the expression form on
+    unicode/astral/empty/NULL rows by ``test_winnow_kernel_parity``.
     """
+    import pandas as pd
+
+    M, B = 2147483647, 131
+
+    # NB: real annotation objects, not strings — this module uses
+    # `from __future__ import annotations`, which would stringify a
+    # `nt: pd.Series` hint into something the pandas_udf type-hint
+    # resolver cannot evaluate (pd is function-local here)
+    def _winnow(nt):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        def one(s):
+            if s is None:
+                # the expression form yields [NULL], not NULL: greatest
+                # treats the NULL length as 1 gram whose poly-hash is
+                # NULL, and array_distinct keeps it — replayed exactly
+                return [None]
+            cps = np.frombuffer(s.encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            n = int(cps.size)
+            if n <= k:            # one (possibly truncated) gram
+                h = 0
+                for c in cps:
+                    h = (h * B + int(c)) % M
+                return [h]
+            n_g = n - k + 1
+            H = np.zeros(n_g, dtype=np.int64)
+            for step in range(k):   # products < M·B < 2^39: int64-safe
+                H = (H * B + cps[step:step + n_g]) % M
+            if n_g <= w:
+                return [int(H.min())]
+            sel = sliding_window_view(H, w).min(axis=1)
+            return np.unique(sel)   # sorted distinct, like sort_array
+
+        return nt.map(one)
+
+    _winnow.__annotations__ = {"nt": pd.Series, "return": pd.Series}
+    winnow_udf = F.pandas_udf(_winnow, "array<long>")
+    return df.withColumn(out_col,
+                         winnow_udf(normalized_text(F.col(text_col))))
+
+
+def _winnow_fingerprint_expr(df, text_col: str = "text",
+                             out_col: str = "winnow_fp",
+                             k: int = 7, w: int = 4):
+    """The staged higher-order-expression formulation — retained as the
+    in-tree parity oracle for the kernel above (plus the SQL twin the
+    driver oracle recomputes).  STAGED projections on purpose:
+    interpreted HOFs have no common-subexpression elimination, so an
+    inline formulation re-evaluates the entire gram-hash pipeline once
+    PER WINDOW — O(n_grams² · k) per row (measured: minutes at
+    sf0.01).  Each stage materializes its array as a plain column
+    reference, keeping the whole thing O(n_grams · (k + w))."""
     t = normalized_text(F.col(text_col))
     step1 = df.withColumn("_wt", t)
     gidx = F.sequence(

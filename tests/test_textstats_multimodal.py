@@ -240,6 +240,36 @@ def test_bpe_token_count_cross_engine(spark):
     assert got[14] == 7  # word, ', quoted, ', (, paren, )
 
 
+def test_winnow_kernel_parity(spark):
+    """r6 change #16: the Arrow-batched winnow kernel must equal the
+    retained higher-order-expression oracle value-for-value — incl.
+    NULL, empty, whitespace-only, shorter-than-k, exactly-k, unicode
+    (Cyrillic + astral plane: split('')/ascii() are per CODE POINT,
+    replayed via utf-32 in the kernel), and boundary window counts."""
+    import random
+
+    from khl_pdf_ocr_spark.functions.text import (_winnow_fingerprint_expr,
+                                                  with_winnow_fingerprint)
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "речка", "ёлка", "x"]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(40)]
+    rows += [(100, None), (101, ""), (102, "   "), (103, "ab"),
+             (104, "abcdefg"), (105, "abcdefgh"),      # n = k, k+1
+             (106, "emoji \U0001F600 inside and я text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kern = {r["doc_id"]: (None if r["winnow_fp"] is None
+                          else list(r["winnow_fp"]))
+            for r in with_winnow_fingerprint(df).collect()}
+    expr = {r["doc_id"]: (None if r["winnow_fp"] is None
+                          else list(r["winnow_fp"]))
+            for r in _winnow_fingerprint_expr(df).collect()}
+    assert kern == expr
+    assert kern[100] == [None] and kern[101] == [0]
+
+
 def test_winnow_fingerprint_edit_robustness(spark):
     """Winnowing property: a local edit changes only the fingerprints
     near the edit; a position shift (prefix insertion) preserves most of
