@@ -699,8 +699,16 @@ def main(argv: list[str] | None = None) -> int:
 
         # stats from the READ-BACK, never the live lineage — counting
         # the un-materialized frames would re-run the whole LSH/dedup
-        # pipeline twice
-        kept_rb = read_documents(spark, kept_t, args.format)
+        # pipeline twice.  A PARTITIONED write of an EMPTY frame emits
+        # no data files at all (only _SUCCESS), and a bare parquet read
+        # of that directory cannot infer a schema — so an all-rejected
+        # corpus under --split crashed the stats read-back (r6 find).
+        # Supplying the writer frame's schema reads identically when
+        # files exist and yields the empty frame when none do.
+        if args.format == "parquet" and partition_by:
+            kept_rb = spark.read.schema(kept.schema).parquet(kept_t)
+        else:
+            kept_rb = read_documents(spark, kept_t, args.format)
         ledger_rb = read_documents(spark, ledger_t, args.format)
         by_reason = {r["reject_reason"]: r["n"] for r in
                      ledger_rb.groupBy("reject_reason")

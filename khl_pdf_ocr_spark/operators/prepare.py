@@ -394,37 +394,59 @@ def gopher_quality_filter(df: DataFrame, *, text_col: str = "text",
     ``gopher_stopwords``).  NULL/blank text fails the word count — a
     row never vanishes from both frames.
 
-    Scale shape: per-row staged token/line arrays + aggregate
-    expressions — zero shuffles, zero UDFs.
+    Scale shape: one Arrow-batched reason kernel per row (r6 change
+    #17) — zero shuffles.  The previous all-expression form (kept
+    below as ``_gopher_reason_expr``, the parity oracle) evaluated
+    its token/line rules through interpreted ``filter``/``aggregate``/
+    ``transform`` lambdas with a regex per element: 43.5 s for 50k
+    ~550-token docs on 32 cores, vs seconds for the kernel.
     """
+    thresholds = (min_words, max_words, min_mean_word_len,
+                  max_mean_word_len, max_symbol_ratio, max_bullet_frac,
+                  max_ellipsis_frac, min_alpha_word_frac,
+                  min_stopword_hits)
+    tagged = df.withColumn("_reject",
+                           _gopher_reason_kernel(text_col, *thresholds))
+    kept = tagged.filter(F.col("_reject").isNull()).drop("_reject")
+    ledger = (tagged.filter(F.col("_reject").isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.col("_reject").alias("reject_reason")))
+    return kept, ledger
+
+
+def _gopher_reason_expr(text_col: str, min_words, max_words,
+                        min_mean_word_len, max_mean_word_len,
+                        max_symbol_ratio, max_bullet_frac,
+                        max_ellipsis_frac, min_alpha_word_frac,
+                        min_stopword_hits):
+    """The r5 all-expression reason column — retained as the in-tree
+    parity oracle for the kernel (interpreted HOF lambdas; see the
+    gopher_quality_filter docstring for the measured cost)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    staged = (df.withColumn("_tk", F.filter(F.split(text, r"\s+"),
-                                            lambda t: F.length(t) > 0))
-              .withColumn("_ln", F.filter(
-                  F.split(text, "\n"),
-                  lambda ln: ln.rlike(r"\S"))))
-    n_w = F.size("_tk").cast("double")
-    n_l = F.greatest(F.size("_ln"), F.lit(1)).cast("double")
+    tk = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    ln = F.filter(F.split(text, "\n"), lambda l: l.rlike(r"\S"))
+    n_w = F.size(tk).cast("double")
+    n_l = F.greatest(F.size(ln), F.lit(1)).cast("double")
     mean_len = F.aggregate(
-        "_tk", F.lit(0).cast("long"),
+        tk, F.lit(0).cast("long"),
         lambda acc, t: acc + F.length(t)).cast("double") \
         / F.greatest(n_w, F.lit(1.0))
     symbol_ratio = (F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
                     .cast("double") / F.greatest(n_w, F.lit(1.0)))
     bullet_frac = (F.size(F.filter(
-        F.col("_ln"), lambda ln: ln.rlike(r"^\s*[-*•●▪‣·]")))
+        ln, lambda l: l.rlike(r"^\s*[-*•●▪‣·]")))
         .cast("double") / n_l)
     ellipsis_frac = (F.size(F.filter(
-        F.col("_ln"), lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        ln, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
         .cast("double") / n_l)
     alpha_frac = (F.size(F.filter(
-        F.col("_tk"), lambda t: t.rlike(r"\p{L}")))
+        tk, lambda t: t.rlike(r"\p{L}")))
         .cast("double") / F.greatest(n_w, F.lit(1.0)))
     stop_hits = F.size(F.array_intersect(
-        F.transform("_tk", lambda t: F.lower(
+        F.transform(tk, lambda t: F.lower(
             F.regexp_replace(t, r"^\W+|\W+$", ""))),
         F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
-    reason = (
+    return (
         F.when((n_w < min_words) | (n_w > max_words), "gopher_word_count")
         .when((mean_len < min_mean_word_len)
               | (mean_len > max_mean_word_len), "gopher_word_length")
@@ -433,13 +455,69 @@ def gopher_quality_filter(df: DataFrame, *, text_col: str = "text",
         .when(ellipsis_frac > max_ellipsis_frac, "gopher_ellipsis_lines")
         .when(alpha_frac < min_alpha_word_frac, "gopher_alpha_words")
         .when(stop_hits < min_stopword_hits, "gopher_stopwords"))
-    tagged = staged.withColumn("_reject", reason)
-    kept = (tagged.filter(F.col("_reject").isNull())
-            .drop("_tk", "_ln", "_reject"))
-    ledger = (tagged.filter(F.col("_reject").isNotNull())
-              .select(F.col(id_col).alias("id"),
-                      F.col("_reject").alias("reject_reason")))
-    return kept, ledger
+
+
+def _gopher_reason_kernel(text_col: str, min_words, max_words,
+                          min_mean_word_len, max_mean_word_len,
+                          max_symbol_ratio, max_bullet_frac,
+                          max_ellipsis_frac, min_alpha_word_frac,
+                          min_stopword_hits):
+    """Arrow-batched replay of ``_gopher_reason_expr`` (r6 change #17).
+
+    Java-parity notes, each pinned by ``test_gopher_kernel_parity``:
+    Java-default ``\\s``/``\\W`` are ASCII → all patterns compile with
+    ``re.ASCII`` (NBSP stays inside tokens and counts as ``\\S`` in the
+    line filter); ``\\p{L}`` is Unicode-L → ``str.isalpha()`` (the same
+    L* categories); ``length``/``size`` are code-point counts → Python
+    ``len``; every ratio replays the identical int→float64 division and
+    comparison order; NULL text coalesces to ``""`` exactly like the
+    expression form (word-count reject, never a NULL verdict).
+    """
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    nonsp_re = re.compile(r"\S", re.ASCII)
+    sym_re = re.compile(r"#|\.\.\.|…")
+    bullet_re = re.compile(r"^\s*[-*•●▪‣·]", re.ASCII)
+    ellipsis_re = re.compile(r"(\.\.\.|…)\s*$", re.ASCII)
+    strip_re = re.compile(r"^\W+|\W+$", re.ASCII)
+    stop = frozenset(GOPHER_STOPWORDS)
+
+    def _reason(s):
+        if s is None:
+            s = ""
+        tk = [t for t in ws_re.split(s) if t]
+        n_w = float(len(tk))
+        if n_w < min_words or n_w > max_words:
+            return "gopher_word_count"
+        mean_len = float(sum(len(t) for t in tk)) / max(n_w, 1.0)
+        if mean_len < min_mean_word_len or mean_len > max_mean_word_len:
+            return "gopher_word_length"
+        if len(sym_re.findall(s)) / max(n_w, 1.0) > max_symbol_ratio:
+            return "gopher_symbol_ratio"
+        ln = [l for l in s.split("\n") if nonsp_re.search(l)]
+        n_l = float(max(len(ln), 1))
+        if sum(1 for l in ln if bullet_re.match(l)) / n_l > max_bullet_frac:
+            return "gopher_bullet_lines"
+        if (sum(1 for l in ln if ellipsis_re.search(l)) / n_l
+                > max_ellipsis_frac):
+            return "gopher_ellipsis_lines"
+        alpha = sum(1 for t in tk if any(c.isalpha() for c in t))
+        if alpha / max(n_w, 1.0) < min_alpha_word_frac:
+            return "gopher_alpha_words"
+        hits = len({w for t in tk
+                    if (w := strip_re.sub("", t).lower()) in stop})
+        if hits < min_stopword_hits:
+            return "gopher_stopwords"
+        return None
+
+    def _batch(s):
+        return s.map(_reason)
+
+    _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_batch, "string")(F.col(text_col))
 
 
 def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame, *,

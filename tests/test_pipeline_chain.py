@@ -159,3 +159,22 @@ def test_chain_with_model_ready_token_ids(spark, tmp_path,
         dec = "".join(id2p[i] for i in r["token_ids"]) \
             .replace("</w>", " ").strip()
         assert dec == " ".join(r["chunk_text"].lower().split())
+
+
+def test_clean_cli_all_rejected_split_emits_zero_stats(spark, tmp_path):
+    """r6 regression: a PARTITIONED (--split) write of an all-rejected
+    corpus emits no data files, and the stats read-back used to crash
+    on schema inference — it must report n_kept 0 instead."""
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "far too short to pass the gopher gate", "s")
+         for i in range(6)],
+        ["doc_id", "text", "source"]).write.parquet(docs)
+    out = _run("khl_pdf_ocr_spark.clean_cli",
+               ["--input", docs, "--output", str(tmp_path / "cleaned"),
+                "--gopher-rules", "--langs", "en", "ru", "other",
+                "--min-quality", "0.0",
+                "--split", "train=0.8,val=0.2", "--cpus", "2"])
+    assert out["n_kept"] == 0
+    assert out["rejected"].get("gopher_word_count", 0) >= 1
+    assert out["splits"] == {}

@@ -371,6 +371,49 @@ def test_gopher_quality_filter_rule_by_rule(spark):
     assert 5 in reasons                           # rejected (some rule)
 
 
+def test_gopher_kernel_parity(spark):
+    """r6 change #17: the Arrow-batched gopher reason kernel must equal
+    the retained expression oracle verdict-for-verdict, incl. the
+    Java-regex parity corners: NBSP inside tokens and as the only
+    'content' of a line (ASCII \\s), unicode letters (\\p{L} ==
+    isalpha), \\r\\n endings, symbol-count overlaps, stopword
+    punctuation stripping, boundary ratios, NULL/empty text."""
+    import random
+
+    from khl_pdf_ocr_spark.operators.prepare import (_gopher_reason_expr,
+                                                     gopher_quality_filter)
+
+    fluent = ("the quick brown fox jumps over the lazy dog and it is "
+              "known that many of the animals have been seen with the ")
+    rng = random.Random(23)
+    vocab = ("the of and to be river жизнь zebra # ... … 12345 x - "
+             "antidisestablishmentarianism").split(" ")
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 120))))
+            for i in range(60)]
+    rows += [
+        (200, fluent * 3),
+        (201, None), (202, ""), (203, "   \n \n\t"),
+        (204, " \n" + fluent * 3),            # NBSP-only line is a line
+        (205, (fluent * 3).replace(" ", "  ", 5)),  # NBSP in tokens
+        (206, "\r\n".join(["- " + fluent] * 10)),  # CRLF bullets
+        (207, "\n".join([fluent + "...\r"] * 10)), # ellipsis before \r
+        (208, "жизнь прекрасна и удивительна " * 20),   # Unicode letters
+        (209, fluent * 3 + " ...." * 30),          # overlapping dots
+        (210, ("...the, " + fluent) * 3),          # stopword punct strip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    defaults = (50, 100_000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2)
+    expr = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", _gopher_reason_expr("text", *defaults).alias("r")
+    ).collect()}
+    kept, ledger = gopher_quality_filter(df)
+    kern = {r["id"]: r["reject_reason"] for r in ledger.collect()}
+    for d in kept.select("doc_id").collect():
+        kern[d["doc_id"]] = None
+    assert kern == expr
+
+
 def test_gopher_bullet_and_ellipsis_line_rules(spark):
     from khl_pdf_ocr_spark.operators.prepare import gopher_quality_filter
 
